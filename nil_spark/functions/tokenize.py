@@ -1,0 +1,92 @@
+"""Vectorized tokenization + n-gram shingling (Arrow pandas UDFs).
+
+Reference analog: the lexer/symbol-filter/hash stage
+(/root/reference/src/main/kotlin/jp/ac/osaka_u/sdl/nil/usecase/
+preprocess/SymbolSeparator.kt:11-41) and n-gram shingling
+(entity/TokenSequence.kt:8-11).  The reference tokenizes source code
+with JDT/ANTLR; our payload is natural-language transcript text, so the
+tokenizer is a pinned regex (lowercase, ``[a-z0-9]+`` runs) applied in
+Arrow batches — no per-row Python UDFs, no grammar.
+
+The whole stage is ONE pandas UDF returning a struct ``(dl, terms)`` so
+text is tokenized exactly once; everything downstream is JVM-side
+DataFrame ops.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nil_spark.config import EngineConfig
+from nil_spark.functions.hashing import MASK63, MASK64, FNV_PRIME, FNV_OFFSET, POLY_P, ngram_hashes_np
+
+# per-worker token-hash memo: vocabulary is Zipfian, so the hit rate is
+# very high; values are pinned FNV-1a so the cache is pure memoization.
+_TOKEN_CACHE: dict[str, int] = {}
+
+
+def _hash_token(tok: str) -> int:
+    h = _TOKEN_CACHE.get(tok)
+    if h is None:
+        h = FNV_OFFSET
+        for b in tok.encode("utf-8"):
+            h = ((h ^ b) * FNV_PRIME) & MASK64
+        h &= MASK63
+        _TOKEN_CACHE[tok] = h
+    return h
+
+
+def tokenize_series(texts: pd.Series, cfg: EngineConfig) -> pd.Series:
+    """text -> list[str] tokens (pinned: lowercase regex findall)."""
+    pat = re.compile(cfg.token_pattern)
+    return texts.fillna("").str.lower().map(pat.findall)
+
+
+def terms_for_tokens(tokens: list[str], cfg: EngineConfig) -> np.ndarray:
+    """tokens -> int64 term ids (token hashes, or n-gram rolling hashes
+    when gram_size > 1; optionally distinct per the reference's set
+    semantics, entity/TokenSequence.kt:11)."""
+    th = np.fromiter((_hash_token(t) for t in tokens), dtype=np.int64, count=len(tokens))
+    if cfg.gram_size > 1:
+        th = ngram_hashes_np(th, cfg.gram_size)
+    if cfg.distinct_ngrams:
+        th = np.unique(th)
+    return th
+
+
+def make_tokenize_udf(cfg: EngineConfig):
+    """Returns a scalar pandas UDF: text -> struct(dl int, terms array<long>).
+
+    ``dl`` is the BM25 document length = raw token count (pinned),
+    independent of shingling/distinct.
+    """
+
+    @F.pandas_udf("struct<dl:int, terms:array<bigint>>")
+    def tok(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for texts in it:
+            toks = tokenize_series(texts, cfg)
+            dl = toks.map(len).astype("int32")
+            terms = toks.map(lambda ts: terms_for_tokens(ts, cfg))
+            yield pd.DataFrame({"dl": dl, "terms": terms})
+
+    return tok
+
+
+def with_terms(df: DataFrame, cfg: EngineConfig, text_col: str = "text") -> DataFrame:
+    """Append ``dl`` (token count) and ``terms`` (array<long> term ids)
+    and apply the reference's min-size scan predicates
+    (JavaTransformer.kt:40-45: minLine/minToken) *before* any shuffle so
+    Catalyst keeps them at the scan."""
+    out = df.withColumn("_tk", make_tokenize_udf(cfg)(F.col(text_col)))
+    out = out.withColumn("dl", F.col("_tk.dl")).withColumn("terms", F.col("_tk.terms")).drop("_tk")
+    if cfg.min_chars > 1:
+        out = out.filter(F.length(F.col(text_col)) >= cfg.min_chars)
+    if cfg.min_tokens > 1:
+        out = out.filter(F.col("dl") >= cfg.min_tokens)
+    return out

@@ -1,0 +1,185 @@
+"""Pure-Python single-process oracle engine.
+
+The in-repo analog of the reference's Python analysis port
+(/root/reference/analysis/similarity_calculator.py:23-166) with its
+``hash()`` nondeterminism fixed (similarity_calculator.py:96): every
+hash here is the same pinned FNV/polynomial function the Spark pandas
+UDFs use, so "oracle == engine" is a meaningful rank-identity check,
+not a coincidence of one process's hash salt.
+
+Covers: tokenize → terms → postings/docstats → BM25 top-k (ties by
+ascending doc_id) → overlap-similarity clone detection → Hunt-Szymanski
+LCS verification (port of /root/reference/src/main/kotlin/jp/ac/
+osaka_u/sdl/nil/entity/HuntSzymanskiLCS.kt:8-34).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from bisect import bisect_left
+from collections import Counter, defaultdict
+
+import pandas as pd
+
+from nil_spark.config import EngineConfig
+from nil_spark.functions.hashing import fnv1a64, ngram_hash
+from nil_spark.operators.query import SCORE_DECIMALS, idf_py
+
+
+def tokenize(text: str, cfg: EngineConfig) -> list[str]:
+    return re.findall(cfg.token_pattern, (text or "").lower())
+
+
+def terms_of(text: str, cfg: EngineConfig) -> list[int]:
+    toks = tokenize(text, cfg)
+    hs = [fnv1a64(t) for t in toks]
+    if cfg.gram_size > 1:
+        hs = [
+            ngram_hash(hs, i, cfg.gram_size)
+            for i in range(len(hs) - cfg.gram_size + 1)
+        ]
+    if cfg.distinct_ngrams:
+        hs = sorted(set(hs))
+    return hs
+
+
+class OracleIndex:
+    """In-memory index over (doc_id -> text), doc ids dense by stable
+    (conv_id, turn_idx) order."""
+
+    def __init__(self, transcripts: pd.DataFrame, cfg: EngineConfig):
+        self.cfg = cfg
+        t = transcripts.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        self.doc_text = t["text"].tolist()
+        self.tokens = [tokenize(x, cfg) for x in self.doc_text]
+        self.dl = [len(x) for x in self.tokens]
+        self.terms = [terms_of(x, cfg) for x in self.doc_text]
+        self.postings: dict[int, dict[int, int]] = defaultdict(dict)
+        for did, ts in enumerate(self.terms):
+            for term, tf in Counter(ts).items():
+                self.postings[term][did] = tf
+        self.n_docs = len(self.doc_text)
+        self.avgdl = sum(self.dl) / max(1, self.n_docs)
+        # df-based stopword pruning, identical to the engine
+        cutoff = cfg.df_stopword_cutoff
+        if cutoff is not None and cutoff < 1.0:
+            lim = int(cutoff * self.n_docs)
+            self.pruned = {t for t, pl in self.postings.items() if len(pl) > lim}
+        else:
+            self.pruned = set()
+
+    def bm25_topk(self, query_text: str, k: int) -> list[tuple[int, int, float]]:
+        """[(rank, doc_id, bm25)] — pinned scoring, ties by doc_id."""
+        cfg = self.cfg
+        qterms = sorted(set(terms_of(query_text, cfg)))
+        scores: dict[int, float] = defaultdict(float)
+        for term in qterms:
+            if term in self.pruned or term not in self.postings:
+                continue
+            pl = self.postings[term]
+            idf = idf_py(len(pl), self.n_docs)
+            for did, tf in pl.items():
+                dl = self.dl[did]
+                tfn = (tf * (cfg.bm25_k1 + 1.0)) / (
+                    tf
+                    + cfg.bm25_k1
+                    * (1.0 - cfg.bm25_b + cfg.bm25_b * dl / self.avgdl)
+                )
+                scores[did] += idf * tfn
+        ranked = sorted(
+            ((round(s, SCORE_DECIMALS), did) for did, s in scores.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:k]
+        return [(i + 1, did, s) for i, (s, did) in enumerate(ranked)]
+
+    def topk_frame(self, queries: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, q in queries.iterrows():
+            for rank, did, s in self.bm25_topk(q["text"], int(q["k"])):
+                rows.append((int(q["query_id"]), rank, did, s))
+        return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "bm25"])
+
+
+def overlap_similarity(a: set[int], b: set[int]) -> int:
+    """Reference scoring fn: |A∩B|·100 / min(|A|,|B|), integer division
+    (NGramSimilarity.kt:6-7)."""
+    if not a or not b:
+        return 0
+    return len(a & b) * 100 // min(len(a), len(b))
+
+
+def hunt_szymanski_lcs(a: list[int], b: list[int]) -> int:
+    """O((r+n)log n) LCS length — same algorithm as the reference's
+    HuntSzymanskiLCS.kt:8-34 (inverted index of the longer sequence +
+    patience-style binary search)."""
+    if len(a) > len(b):
+        a, b = b, a
+    pos: dict[int, list[int]] = defaultdict(list)
+    for j in range(len(b) - 1, -1, -1):
+        pos[b[j]].append(j)  # descending j
+    tails: list[int] = []
+    for x in a:
+        for j in pos.get(x, ()):  # descending order keeps this correct
+            i = bisect_left(tails, j)
+            if i == len(tails):
+                tails.append(j)
+            else:
+                tails[i] = j
+    return len(tails)
+
+
+def lcs_similarity(a: list[int], b: list[int]) -> int:
+    """lcs·100 / min(|a|,|b|), integer division (LCSBasedVerification.kt:9-10)."""
+    if not a or not b:
+        return 0
+    return hunt_szymanski_lcs(a, b) * 100 // min(len(a), len(b))
+
+
+def naive_lcs(a: list[int], b: list[int]) -> int:
+    """O(NM) DP test oracle (NaiveLCS.kt:6-23)."""
+    m, n = len(a), len(b)
+    prev = [0] * (n + 1)
+    for i in range(1, m + 1):
+        cur = [0] * (n + 1)
+        for j in range(1, n + 1):
+            cur[j] = prev[j - 1] + 1 if a[i - 1] == b[j - 1] else max(prev[j], cur[j - 1])
+        prev = cur
+    return prev[n]
+
+
+def clone_pairs(index: OracleIndex) -> list[tuple[int, int, int, int | None]]:
+    """Two-tier filter-then-verify self-detection over the corpus —
+    oracle for the reference's OptimizedCloneDetection.kt:17-56 pipeline:
+    locate (shared distinct terms) → filtration (θ) → n-gram verify (δ,
+    tier-1 short-circuit: lcs=None) → LCS verify (δ)."""
+    cfg = index.cfg
+    term_sets = [set(t) for t in index.terms]
+    # token-hash sequences for LCS (the reference verifies on token
+    # sequences, not n-grams: OptimizedCloneDetection.kt:36-53)
+    tok_hashes = [[fnv1a64(t) for t in toks] for toks in index.tokens]
+    inv: dict[int, list[int]] = defaultdict(list)
+    for did, ts in enumerate(term_sets):
+        for term in ts:
+            inv[term].append(did)
+    out = []
+    for did in range(index.n_docs):
+        counts: Counter = Counter()
+        for term in term_sets[did]:
+            for other in inv[term]:
+                if other < did:  # triangular guard (NGramBasedLocation.kt:16)
+                    counts[other] += 1
+        for other, inter in counts.items():
+            na, nb = len(term_sets[did]), len(term_sets[other])
+            if not na or not nb:
+                continue
+            sim = inter * 100 // min(na, nb)
+            if sim < cfg.filtration_threshold:
+                continue  # filtration (NGramBasedFiltration.kt:6-12)
+            if sim >= cfg.verification_threshold:
+                out.append((other, did, sim, None))  # tier-1 accept
+                continue
+            ls = lcs_similarity(tok_hashes[other], tok_hashes[did])
+            if ls >= cfg.verification_threshold:
+                out.append((other, did, sim, ls))
+    return sorted(out)

@@ -1,0 +1,24 @@
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from nil_spark.session import get_spark
+from nil_spark.sources.transcripts import gen_queries, gen_transcripts
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app="nil_spark_tests", master="local[4]", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def transcripts_1k() -> pd.DataFrame:
+    return gen_transcripts(1000, seed=42)
+
+
+@pytest.fixture(scope="session")
+def queries_1k(transcripts_1k) -> pd.DataFrame:
+    return gen_queries(transcripts_1k, n_queries=30, k=10, seed=43)
