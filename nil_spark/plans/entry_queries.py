@@ -1,0 +1,435 @@
+"""Driver-contract queries: Spark DataFrame implementations + exact
+DuckDB oracle SQL over the /root/testdata parquet tables.
+
+Each entry re-expresses an operator row of SURVEY.md §2 over the
+`documents` / `embeddings` / `events` tables so the driver's
+DuckDB-vs-Spark compare (row count + schema + value hash) can gate it.
+Everything here is pure JVM-side DataFrame expressions (whole-stage
+codegen; no Python in the hot path) — the pandas-UDF engine path is
+exercised separately against the pure-Python oracle in tests/.
+
+Parity pins (identical in Spark and DuckDB):
+ * tokenization: split lowercased text on '[^a-z0-9]+', drop empties;
+ * BM25: k1=1.2, b=0.75, idf = ln(1+(N-df+0.5)/(df+0.5)), dl = token
+   count, query-side tf collapsed to 1;
+ * doubles rounded to 6 decimals BEFORE any ranking, ties by id;
+ * integer similarity: floor(inter*100 / min(|A|,|B|)) — the
+   reference's formula (NGramSimilarity.kt:6-7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- helpers
+
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+# fixed BM25 query set over the documents vocabulary ('dup' is the rare
+# discriminative term; the rest are hot)
+BM25_QUERIES = [
+    (0, "dup table scan"),
+    (1, "hash join merge sort"),
+    (2, "the fast query"),
+    (3, "spark stream window agg"),
+    (4, "customer order line part"),
+    (5, "dup vector dup"),
+    (6, "slow batch filter small"),
+    (7, "key value group row big"),
+]
+BM25_K = 10
+
+STOPWORDS = ("the", "a")
+
+
+def _docs_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), TOKEN_SPLIT), lambda x: x != "").alias(
+            "toks"
+        ),
+    )
+
+
+_DOCS_CTE = (
+    "docs AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),"
+    " '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents)"
+)
+
+
+# ------------------------------------------------------------- q: bm25
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k over documents — the flagship query (SURVEY §2: A1-A4,
+    Q1, Q9 generalized; reference candidate counting
+    NGramBasedLocation.kt:10-15)."""
+    docs = _docs_toks(spark, sf_dir)
+    dl = docs.select("doc_id", F.size("toks").cast("double").alias("dl"))
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfr = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    )
+
+    q = spark.createDataFrame(BM25_QUERIES, "query_id long, qtext string")
+    qt = (
+        q.select(
+            "query_id",
+            F.explode(
+                F.filter(F.split(F.lower("qtext"), TOKEN_SPLIT), lambda x: x != "")
+            ).alias("term"),
+        )
+        .dropDuplicates(["query_id", "term"])
+    )
+
+    scored = (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(dfr), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (F.col("tf") * 2.2)
+                / (F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl")))
+            ).alias("partial"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("partial"), 6).alias("bm25"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_K)
+        .select("query_id", "rank", "doc_id", "bm25")
+    )
+
+
+def _bm25_sql() -> str:
+    vals = ", ".join(f"({i}, '{t}')" for i, t in BM25_QUERIES)
+    return f"""
+WITH {_DOCS_CTE},
+dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM docs),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+       FROM docs, unnest(toks) AS u(tok) GROUP BY 1, 2),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(query_id, qtext) AS (VALUES {vals}),
+qt AS (SELECT DISTINCT query_id, tok AS term
+       FROM q, unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) AS u(tok)),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum( ln(1 + (s.n - dfr.df + 0.5) / (dfr.df + 0.5))
+                    * (tf.tf * 2.2)
+                    / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6) AS bm25
+  FROM qt JOIN tf USING (term) JOIN dfr USING (term)
+       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  GROUP BY 1, 2)
+SELECT query_id, (row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id))::INT AS rank,
+       doc_id, bm25
+FROM scored
+QUALIFY rank <= {BM25_K}
+"""
+
+
+# ------------------------------------------------- q: term dictionary
+
+
+def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term dictionary (term, df, cf, idf) — SURVEY §2 A1/A2; reference
+    InvertedIndex.kt:10-23 posting build + df broadcast stats."""
+    docs = _docs_toks(spark, sf_dir)
+    n = docs.count()
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    return tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+        F.round(
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n)) - F.count("*") + 0.5) / (F.count("*") + 0.5)
+            ),
+            6,
+        ).alias("idf"),
+    )
+
+
+def _term_stats_sql() -> str:
+    return f"""
+WITH {_DOCS_CTE},
+tf AS (SELECT doc_id, tok AS term, count(*) AS tf
+       FROM docs, unnest(toks) AS u(tok) GROUP BY 1, 2),
+n AS (SELECT count(*)::DOUBLE AS n FROM docs)
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf,
+       round(ln(1 + ((SELECT n FROM n) - count(*) + 0.5) / (count(*) + 0.5)), 6) AS idf
+FROM tf GROUP BY term
+"""
+
+
+# ------------------------------------------------------ q: doc stats
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc catalog (S5 sink analog + T9 content hash,
+    CodeBlock.kt:29-34): dl, distinct terms, md5 content hash."""
+    docs = _docs_toks(spark, sf_dir)
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.md5("text").alias("content_md5")
+    )
+    out = docs.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        F.size(F.array_distinct("toks")).alias("n_distinct_terms"),
+    )
+    return out.join(raw, "doc_id").select(
+        "doc_id", "dl", "n_distinct_terms", "content_md5"
+    )
+
+
+def _doc_stats_sql() -> str:
+    return f"""
+WITH {_DOCS_CTE}
+SELECT d.doc_id, len(d.toks)::INT AS dl,
+       len(list_distinct(d.toks))::INT AS n_distinct_terms,
+       md5(r.text) AS content_md5
+FROM docs d JOIN documents r ON d.doc_id = r.doc_id
+"""
+
+
+# ------------------------------------------------ q: 3-gram postings
+
+
+def q_ngram_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram shingle dictionary (T10 shingling + A1 index build):
+    (shingle, df, cf)."""
+    docs = _docs_toks(spark, sf_dir)
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= 3,
+                F.expr(
+                    "transform(sequence(0, size(toks) - 3),"
+                    " i -> concat_ws(' ', slice(toks, i + 1, 3)))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("shingle"),
+    )
+    per_doc = sh.groupBy("doc_id", "shingle").agg(F.count("*").alias("tf"))
+    return per_doc.groupBy("shingle").agg(
+        F.count("*").cast("long").alias("df"), F.sum("tf").cast("long").alias("cf")
+    )
+
+
+def _ngram_postings_sql() -> str:
+    return f"""
+WITH {_DOCS_CTE},
+sh AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+       FROM docs, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+       WHERE len(toks) >= 3),
+per_doc AS (SELECT doc_id, shingle, count(*) AS tf FROM sh GROUP BY 1, 2)
+SELECT shingle, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+FROM per_doc GROUP BY shingle
+"""
+
+
+# --------------------------------------------- q: overlap candidates
+
+
+def q_overlap_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NIL candidate location + filtration over documents (SURVEY §2
+    A4/A5/Q1/Q2): distinct 3-gram shingles, posting self-join with the
+    triangular guard id1 < id2 (NGramBasedLocation.kt:16), integer
+    overlap similarity inter*100/min (NGramSimilarity.kt:6-7), keep
+    sim >= filtration threshold 10 (NGramBasedFiltration.kt:6-12)."""
+    docs = _docs_toks(spark, sf_dir)
+    g = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.when(
+                    F.size("toks") >= 3,
+                    F.expr(
+                        "transform(sequence(0, size(toks) - 3),"
+                        " i -> concat_ws(' ', slice(toks, i + 1, 3)))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            )
+        ).alias("shingle"),
+    )
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("nsh"))
+    a = g.alias("a")
+    b = g.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id1"), F.col("nsh").alias("n1"))
+    sb = sizes.select(F.col("doc_id").alias("id2"), F.col("nsh").alias("n2"))
+    out = (
+        inter.join(F.broadcast(sa), "id1")
+        .join(F.broadcast(sb), "id2")
+        .select(
+            "id1",
+            "id2",
+            F.col("inter").cast("long").alias("inter"),
+            F.floor(F.col("inter") * 100 / F.least("n1", "n2")).cast("long").alias("sim"),
+        )
+        .filter(F.col("sim") >= 10)
+    )
+    return out.select("id1", "id2", "inter", "sim")
+
+
+def _overlap_candidates_sql() -> str:
+    return f"""
+WITH {_DOCS_CTE},
+sh AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+       FROM docs, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+       WHERE len(toks) >= 3),
+g AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS nsh FROM g GROUP BY 1),
+inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+          FROM g a JOIN g b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id1, id2, inter::BIGINT AS inter,
+       floor(inter * 100 / least(sa.nsh, sb.nsh))::BIGINT AS sim
+FROM inter JOIN sizes sa ON inter.id1 = sa.doc_id
+           JOIN sizes sb ON inter.id2 = sb.doc_id
+WHERE floor(inter * 100 / least(sa.nsh, sb.nsh)) >= 10
+"""
+
+
+# ----------------------------------------------------- q: exact dedup
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup / canonical mapping by content hash (SURVEY §2 P3/P5;
+    reference md5 tracking join method_tracker.py:258-292): every doc_id
+    mapped to min doc_id of its md5(text) group."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    w = Window.partitionBy("h")
+    return d.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("canon_id"),
+        F.count("*").over(w).cast("long").alias("group_size"),
+    )
+
+
+def _dedup_exact_sql() -> str:
+    return """
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS canon_id,
+       (count(*) OVER (PARTITION BY md5(text)))::BIGINT AS group_size
+FROM documents
+"""
+
+
+# -------------------------------------------------- q: text quality
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-quality scoring (training-data pipeline op): token counts,
+    char stats, stopword/punctuation ratios."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.filter(F.split(F.lower("text"), TOKEN_SPLIT), lambda x: x != "")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_raw"),
+        F.round(
+            F.length(F.concat_ws("", toks)) / F.nullif(F.size(toks), F.lit(0)), 6
+        ).alias("avg_token_len"),
+        F.round(
+            F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+            / F.nullif(F.size(toks), F.lit(0)),
+            6,
+        ).alias("stopword_ratio"),
+        F.round(
+            F.length(F.regexp_replace(F.lower("text"), "[a-z0-9 ]", ""))
+            / F.nullif(F.length("text"), F.lit(0)),
+            6,
+        ).alias("punct_ratio"),
+    )
+
+
+def _text_quality_sql() -> str:
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH {_DOCS_CTE}
+SELECT d.doc_id,
+       len(d.toks)::INT AS n_tokens,
+       length(r.text)::INT AS n_chars_raw,
+       round(length(array_to_string(d.toks, ''))::DOUBLE / nullif(len(d.toks), 0), 6) AS avg_token_len,
+       round(len(list_filter(d.toks, x -> x IN ({stop})))::DOUBLE / nullif(len(d.toks), 0), 6) AS stopword_ratio,
+       round(length(regexp_replace(lower(r.text), '[a-z0-9 ]', '', 'g'))::DOUBLE / nullif(length(r.text), 0), 6) AS punct_ratio
+FROM docs d JOIN documents r ON d.doc_id = r.doc_id
+"""
+
+
+# ------------------------------------------------- q: events trend
+
+
+def q_events_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend aggregation (SURVEY §2 P7; reference
+    evolution_pattern_analyzer.py:163-211): per (event_type, day)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.groupBy(
+            "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select("event_type", "day", "n", "total_value", "avg_value")
+    )
+
+
+def _events_trend_sql() -> str:
+    return """
+SELECT event_type, date_trunc('day', ts)::DATE AS day,
+       count(*)::BIGINT AS n,
+       round(sum(value), 6) AS total_value,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------- registry
+
+REGISTRY: dict[str, tuple] = {
+    "bm25_topk": (q_bm25_topk, _bm25_sql()),
+    "term_stats": (q_term_stats, _term_stats_sql()),
+    "doc_stats": (q_doc_stats, _doc_stats_sql()),
+    "ngram_postings": (q_ngram_postings, _ngram_postings_sql()),
+    "overlap_candidates": (q_overlap_candidates, _overlap_candidates_sql()),
+    "dedup_exact": (q_dedup_exact, _dedup_exact_sql()),
+    "text_quality": (q_text_quality, _text_quality_sql()),
+    "events_trend": (q_events_trend, _events_trend_sql()),
+}
+
+
+def queries():
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+
+
+def oracle_sql():
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}
