@@ -1,0 +1,368 @@
+"""Compressed index segments: delta+varint posting blobs with block-max
+metadata, built by range-partitioned external merge; exact top-k via a
+MaxScore/block-max traversal UDF.
+
+Reference analog: the partial inverted indexes of the partition loop
+(/root/reference/src/main/kotlin/jp/ac/osaka_u/sdl/nil/NILMain.kt:71-119
+and entity/InvertedIndex.kt:10-23; paper §3.2 "partial inverted
+indexes") turned into a real external merge: postings are
+``repartitionByRange`` on ``term`` (each range partition = one segment,
+globally sorted term dictionary) and encoded to binary blobs inside an
+Arrow ``mapInPandas`` pass — one sequential sweep per partition, no
+per-group shuffle.  Hot terms are *chunked* (``chunk_idx``) so no
+single row exceeds ``max_chunk`` postings: the salting analog for the
+one skewed dimension a posting list has (doc range), and chunks
+concatenate back in doc order for free.
+
+Block-max metadata (``bm_first``/``bm_max``) stores, per block of
+``cfg.block_size`` postings, the first doc id and an upper bound on the
+BM25 tf-normalization — the posting-resident stats trick of the
+reference (InvertedIndex.kt:20 keeps the doc's n-gram count in every
+posting) applied to scoring bounds, enabling WAND/MaxScore skipping at
+query time without touching doc stats.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nil_spark.config import EngineConfig
+from nil_spark.functions import varint
+from nil_spark.operators import index as index_ops
+from nil_spark.operators.query import SCORE_DECIMALS, idf_col, query_terms
+
+SEGMENT_SCHEMA = (
+    "term long, chunk_idx int, n_postings long, "
+    "doc_blob binary, tf_blob binary, dl_blob binary, "
+    "bm_first array<long>, bm_max array<double>"
+)
+
+MAXSCORE_MARGIN = 1e-6  # see topk docstring: keeps pruning exact past rounding
+
+
+def _encode_group(
+    term: int,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    cfg: EngineConfig,
+    avgdl: float,
+    max_chunk: int,
+) -> list[tuple]:
+    k1, b = cfg.bm25_k1, cfg.bm25_b
+    rows = []
+    for ci, lo in enumerate(range(0, len(doc_ids), max_chunk)):
+        d = doc_ids[lo : lo + max_chunk]
+        t = tfs[lo : lo + max_chunk]
+        dl = dls[lo : lo + max_chunk]
+        tfn = (t * (k1 + 1.0)) / (t + k1 * (1.0 - b + b * dl / avgdl))
+        bs = cfg.block_size
+        nb = (len(d) + bs - 1) // bs
+        bm_first = d[::bs].tolist()
+        # upper bound per block: nextafter guards any float directionality
+        bm_max = [
+            float(np.nextafter(tfn[i * bs : (i + 1) * bs].max(), np.inf))
+            for i in range(nb)
+        ]
+        rows.append(
+            (
+                int(term),
+                ci,
+                len(d),
+                varint.encode_deltas(d),
+                varint.encode(t.astype(np.uint64)),
+                varint.encode(dl.astype(np.uint64)),
+                bm_first,
+                bm_max,
+            )
+        )
+    return rows
+
+
+def build_segments(
+    postings: DataFrame, cfg: EngineConfig, avgdl: float, max_chunk: int = 1 << 20
+) -> DataFrame:
+    """postings (term, doc_id, tf, dl) -> segment rows (SEGMENT_SCHEMA).
+
+    Plan: range-shuffle on term (one exchange), sort within partition by
+    (term, doc_id), then a single sequential Arrow sweep encodes each
+    term run.  Term runs never cross partitions (range is on term only),
+    so partitions are independently encodable and independently
+    checkpointable segments.
+    """
+    p = postings.repartitionByRange(cfg.num_segments, "term").sortWithinPartitions(
+        "term", "doc_id"
+    )
+
+    def sweep(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["term", "chunk_idx", "n_postings", "doc_blob", "tf_blob", "dl_blob", "bm_first", "bm_max"]
+        cur_term = None
+        bufs: list[pd.DataFrame] = []
+
+        def flush():
+            docs = np.concatenate([b["doc_id"].to_numpy(np.int64) for b in bufs])
+            tfs = np.concatenate([b["tf"].to_numpy(np.float64) for b in bufs])
+            dls = np.concatenate([b["dl"].to_numpy(np.float64) for b in bufs])
+            return _encode_group(cur_term, docs, tfs, dls, cfg, avgdl, max_chunk)
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            terms = pdf["term"].to_numpy()
+            # boundaries of equal-term runs in this Arrow batch
+            cuts = np.flatnonzero(np.diff(terms)) + 1
+            starts = np.concatenate(([0], cuts))
+            ends = np.concatenate((cuts, [len(pdf)]))
+            out_rows: list[tuple] = []
+            for s, e in zip(starts, ends):
+                t = int(terms[s])
+                if cur_term is not None and t != cur_term:
+                    out_rows.extend(flush())
+                    bufs = []
+                cur_term = t
+                bufs.append(pdf.iloc[s:e])
+            if out_rows:
+                yield pd.DataFrame(out_rows, columns=cols)
+        if cur_term is not None and bufs:
+            yield pd.DataFrame(flush(), columns=cols)
+
+    return p.mapInPandas(sweep, schema=SEGMENT_SCHEMA)
+
+
+def decode_postings(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """segment row -> (doc_ids int64, tf f64, dl f64) — test/debug helper."""
+    return (
+        varint.decode_deltas(bytes(row["doc_blob"])),
+        varint.decode(bytes(row["tf_blob"])).astype(np.float64),
+        varint.decode(bytes(row["dl_blob"])).astype(np.float64),
+    )
+
+
+# --------------------------------------------------------------- query
+
+
+def topk_maxscore(
+    queries: DataFrame,
+    segments: DataFrame,
+    termdict: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    cfg: EngineConfig,
+) -> DataFrame:
+    """Exact BM25 top-k over compressed segments with MaxScore pruning.
+
+    Reference analog: location + filtration (NGramBasedLocation.kt:10-16,
+    NGramBasedFiltration.kt:6-12) — the cheap bound that keeps the
+    expensive work off most candidates — reborn as document-pruning with
+    posting upper bounds.
+
+    Exactness argument: terms are processed in descending upper bound
+    ``ub = idf·max(bm_max)``.  Once the sum of remaining ubs is below
+    the current kth score minus MAXSCORE_MARGIN, an unseen doc can never
+    reach the top-k, so remaining terms only update already-seen docs
+    (whose scores stay exact).  Chunks whose doc range contains no
+    accumulated doc are skipped without decoding (block-max skip).
+    Final scores are rounded to SCORE_DECIMALS before ranking, ties by
+    ascending doc_id — identical to the DataFrame path (query.py).
+    """
+    k1, b = cfg.bm25_k1, cfg.bm25_b
+    qt = query_terms(queries, cfg)
+    qt = qt.join(termdict.select("term", "df"), "term", "inner")
+    qt = qt.select("term", "query_id", "k", idf_col(F.col("df"), n_docs).alias("idf"))
+
+    joined = segments.join(F.broadcast(qt), "term", "inner").select(
+        "query_id", "k", "term", "chunk_idx", "idf",
+        "doc_blob", "tf_blob", "dl_blob", "bm_first", "bm_max", "n_postings",
+    )
+
+    def per_query(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(key[0])
+        k = int(pdf["k"].iloc[0])
+        # group chunks per term, order terms by descending upper bound
+        ubs = {}
+        for term, g in pdf.groupby("term"):
+            idf = float(g["idf"].iloc[0])
+            ubs[term] = idf * max(max(bm) for bm in g["bm_max"])
+        order = sorted(ubs, key=lambda t: -ubs[t])
+        rem = sum(ubs.values())
+
+        acc_docs = np.empty(0, dtype=np.int64)
+        acc_scores = np.empty(0, dtype=np.float64)
+        intersect = False
+        for term in order:
+            rem -= ubs[term]
+            g = pdf[pdf["term"] == term].sort_values("chunk_idx")
+            idf = float(g["idf"].iloc[0])
+            for _, row in g.iterrows():
+                if intersect and len(acc_docs):
+                    # chunk skip: no accumulated doc in this chunk's range
+                    first = row["bm_first"][0]
+                    lo = np.searchsorted(acc_docs, first)
+                    if lo == len(acc_docs):
+                        continue
+                d = varint.decode_deltas(bytes(row["doc_blob"]))
+                tf = varint.decode(bytes(row["tf_blob"])).astype(np.float64)
+                dl = varint.decode(bytes(row["dl_blob"])).astype(np.float64)
+                contrib = idf * (tf * (k1 + 1.0)) / (
+                    tf + k1 * (1.0 - b + b * dl / avgdl)
+                )
+                if intersect:
+                    # only already-seen docs may still matter
+                    pos = np.searchsorted(acc_docs, d)
+                    pos_ok = pos < len(acc_docs)
+                    hit = np.zeros(len(d), dtype=bool)
+                    hit[pos_ok] = acc_docs[pos[pos_ok]] == d[pos_ok]
+                    np.add.at(acc_scores, pos[hit], contrib[hit])
+                else:
+                    all_docs = np.concatenate((acc_docs, d))
+                    all_sc = np.concatenate((acc_scores, contrib))
+                    acc_docs, inv = np.unique(all_docs, return_inverse=True)
+                    acc_scores = np.zeros(len(acc_docs), dtype=np.float64)
+                    np.add.at(acc_scores, inv, all_sc)
+            if not intersect and len(acc_docs) >= k:
+                kth = np.partition(acc_scores, -k)[-k]
+                if rem + MAXSCORE_MARGIN < kth:
+                    intersect = True
+
+        if len(acc_docs) == 0:
+            return pd.DataFrame(columns=["query_id", "rank", "doc_id", "bm25"]).astype(
+                {"query_id": "int64", "rank": "int32", "doc_id": "int64", "bm25": "float64"}
+            )
+        scores = np.round(acc_scores, SCORE_DECIMALS)
+        order_idx = np.lexsort((acc_docs, -scores))[:k]
+        return pd.DataFrame(
+            {
+                "query_id": np.int64(qid),
+                "rank": np.arange(1, len(order_idx) + 1, dtype=np.int32),
+                "doc_id": acc_docs[order_idx],
+                "bm25": scores[order_idx],
+            }
+        )
+
+    return joined.groupBy("query_id").applyInPandas(
+        per_query, schema="query_id long, rank int, doc_id long, bm25 double"
+    )
+
+
+# ------------------------------------------------- checkpointed build
+
+
+def _cfg_fingerprint(cfg: EngineConfig) -> str:
+    import hashlib
+
+    rel = (
+        cfg.gram_size, cfg.min_tokens, cfg.min_chars, cfg.token_pattern,
+        cfg.distinct_ngrams, cfg.bm25_k1, cfg.bm25_b, cfg.num_segments,
+        cfg.block_size, cfg.df_stopword_cutoff,
+    )
+    return hashlib.md5(repr(rel).encode()).hexdigest()[:16]
+
+
+class CheckpointedIndexBuilder:
+    """Stage-checkpointed index build with per-partition lineage.
+
+    Each stage (docstats → postings → segments) writes parquet plus a
+    manifest entry {stage, rows, per-partition counts, wall seconds,
+    config fingerprint}.  A re-run skips any stage whose output +
+    manifest already exist with a matching fingerprint — the Spark
+    analog of the reference's results-dir provenance
+    (NILMain.kt:43-47) and the north rule's checkpoint-resume clause.
+    """
+
+    def __init__(self, path: str, cfg: EngineConfig):
+        self.path = path
+        self.cfg = cfg
+        self.manifest_path = os.path.join(path, "manifest.json")
+        self.manifest = self._load()
+
+    def _load(self) -> dict:
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as f:
+                return json.load(f)
+        return {"config_fingerprint": _cfg_fingerprint(self.cfg), "stages": {}}
+
+    def _save(self):
+        os.makedirs(self.path, exist_ok=True)
+        with open(self.manifest_path, "w") as f:
+            json.dump(self.manifest, f, indent=2, default=str)
+
+    def _stage_done(self, name: str) -> bool:
+        ent = self.manifest["stages"].get(name)
+        return (
+            ent is not None
+            and ent.get("config_fingerprint") == _cfg_fingerprint(self.cfg)
+            and os.path.exists(os.path.join(self.path, name, "_SUCCESS"))
+        )
+
+    def _run_stage(self, name: str, df_fn, spark: SparkSession) -> DataFrame:
+        out_dir = os.path.join(self.path, name)
+        if self._stage_done(name):
+            return spark.read.parquet(out_dir)
+        t0 = time.time()
+        df = df_fn()
+        df.write.mode("overwrite").parquet(out_dir)
+        written = spark.read.parquet(out_dir)
+        parts = (
+            written.groupBy(F.spark_partition_id().alias("pid"))
+            .count()
+            .orderBy("pid")
+            .collect()
+        )
+        self.manifest["stages"][name] = {
+            "config_fingerprint": _cfg_fingerprint(self.cfg),
+            "rows": int(sum(r["count"] for r in parts)),
+            "partitions": [{"pid": int(r["pid"]), "rows": int(r["count"])} for r in parts],
+            "wall_s": round(time.time() - t0, 3),
+            "finished_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        self._save()
+        return written
+
+    def build(self, docs: DataFrame) -> dict:
+        """docs must carry doc_id + text.  Returns index handle dict."""
+        from nil_spark.functions.tokenize import with_terms
+
+        spark = docs.sparkSession
+        cfg = self.cfg
+
+        dt = with_terms(docs, cfg).persist()
+        docstats = self._run_stage(
+            "docstats", lambda: index_ops.doc_stats(dt), spark
+        )
+        n_docs, avgdl = index_ops.corpus_stats(docstats)
+        self.manifest["corpus"] = {"n_docs": n_docs, "avgdl": avgdl}
+
+        postings = self._run_stage(
+            "postings",
+            lambda: index_ops.prune_stopwords(
+                index_ops.exploded_postings(dt, cfg),
+                index_ops.term_dictionary(index_ops.exploded_postings(dt, cfg)),
+                n_docs,
+                cfg,
+            ),
+            spark,
+        )
+        termdict = self._run_stage(
+            "termdict", lambda: index_ops.term_dictionary(postings), spark
+        )
+        segments = self._run_stage(
+            "segments", lambda: build_segments(postings, cfg, avgdl), spark
+        )
+        self._save()
+        dt.unpersist()
+        return {
+            "segments": segments,
+            "termdict": termdict,
+            "docstats": docstats,
+            "postings": postings,
+            "n_docs": n_docs,
+            "avgdl": avgdl,
+        }

@@ -1,0 +1,151 @@
+"""Segment codec, block-max MaxScore query path, checkpoint/resume."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from nil_spark.config import EngineConfig
+from nil_spark.functions import varint
+from nil_spark.operators.docids import assign_doc_ids
+from nil_spark.operators.index import build_index
+from nil_spark.operators.query import bm25_topk
+from nil_spark.operators.segments import (
+    CheckpointedIndexBuilder,
+    build_segments,
+    decode_postings,
+    topk_maxscore,
+)
+from nil_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+from nil_spark.testing.oracle import OracleIndex
+
+CFG = EngineConfig(gram_size=1, num_segments=4, block_size=16)
+
+
+@given(st.lists(st.integers(0, 2**63 - 1), max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_varint_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert (varint.decode(varint.encode(arr)) == arr).all()
+
+
+@given(st.sets(st.integers(0, 2**40), max_size=100))
+@settings(max_examples=100, deadline=None)
+def test_delta_roundtrip(ids):
+    arr = np.array(sorted(ids), dtype=np.int64)
+    assert (varint.decode_deltas(varint.encode_deltas(arr)) == arr).all()
+
+
+@pytest.fixture(scope="module")
+def indexed(spark, transcripts_1k):
+    docs = spark.createDataFrame(transcripts_1k, schema=TRANSCRIPT_SCHEMA)
+    docs = assign_doc_ids(docs, ["conv_id", "turn_idx"], num_partitions=4)
+    idx = build_index(docs, CFG)
+    segs = build_segments(idx["postings"], CFG, idx["avgdl"], max_chunk=64)
+    return docs, idx, segs.persist()
+
+
+def test_segments_decode_exactly(indexed):
+    _, idx, segs = indexed
+    exp = (
+        idx["postings"].toPandas().sort_values(["term", "doc_id"]).groupby("term")
+    )
+    got_rows = segs.toPandas().sort_values(["term", "chunk_idx"])
+    got = {}
+    for term, g in got_rows.groupby("term"):
+        ds, tfs, dls = [], [], []
+        for _, row in g.iterrows():
+            d, t, dl = decode_postings(row)
+            ds.append(d)
+            tfs.append(t)
+            dls.append(dl)
+        got[term] = (
+            np.concatenate(ds),
+            np.concatenate(tfs),
+            np.concatenate(dls),
+        )
+    n_terms = 0
+    for term, g in exp:
+        d, t, dl = got[term]
+        assert (d == g["doc_id"].to_numpy()).all()
+        assert (t == g["tf"].to_numpy()).all()
+        assert (dl == g["dl"].to_numpy()).all()
+        n_terms += 1
+    assert n_terms == len(got)
+    # chunking actually exercised (hot terms split at max_chunk=64)
+    assert (got_rows["chunk_idx"] > 0).any()
+
+
+def test_maxscore_rank_identical_to_dataframe_path(
+    spark, indexed, transcripts_1k, queries_1k
+):
+    docs, idx, segs = indexed
+    q = spark.createDataFrame(queries_1k, schema="query_id long, text string, k int")
+    df_path = bm25_topk(q, idx, CFG).toPandas()
+    seg_path = topk_maxscore(
+        q, segs, idx["termdict"], idx["n_docs"], idx["avgdl"], CFG
+    ).toPandas()
+    df_path = df_path.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    seg_path = seg_path.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(df_path) == len(seg_path)
+    assert (df_path["doc_id"].values == seg_path["doc_id"].values).all()
+    assert np.allclose(df_path["bm25"].values, seg_path["bm25"].values, atol=1e-9)
+    # and both match the pure-Python oracle
+    oracle = OracleIndex(transcripts_1k, CFG).topk_frame(queries_1k)
+    oracle = oracle.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert (seg_path["doc_id"].values == oracle["doc_id"].values).all()
+    assert np.allclose(seg_path["bm25"].values, oracle["bm25"].values, atol=1e-6)
+
+
+def test_checkpoint_resume(spark, transcripts_1k, queries_1k, tmp_path):
+    docs = spark.createDataFrame(transcripts_1k, schema=TRANSCRIPT_SCHEMA)
+    docs = assign_doc_ids(docs, ["conv_id", "turn_idx"], num_partitions=4)
+    path = str(tmp_path / "idx")
+
+    # simulated failure: build then "crash" — wipe only the later stages
+    b1 = CheckpointedIndexBuilder(path, CFG)
+    b1.build(docs)
+    man1 = json.load(open(os.path.join(path, "manifest.json")))
+    import shutil
+
+    shutil.rmtree(os.path.join(path, "segments"))
+    man1["stages"].pop("segments")
+    json.dump(man1, open(os.path.join(path, "manifest.json"), "w"))
+
+    # resume: completed stages must be skipped (identical finished_at),
+    # killed stage rebuilt
+    b2 = CheckpointedIndexBuilder(path, CFG)
+    idx2 = b2.build(docs)
+    man2 = json.load(open(os.path.join(path, "manifest.json")))
+    for stage in ("docstats", "postings", "termdict"):
+        assert (
+            man2["stages"][stage]["finished_at"]
+            == man1["stages"][stage]["finished_at"]
+        ), f"stage {stage} was rebuilt instead of resumed"
+    assert "segments" in man2["stages"]
+    # lineage: per-partition counts recorded
+    assert all(
+        "partitions" in s and s["rows"] == sum(p["rows"] for p in s["partitions"])
+        for s in man2["stages"].values()
+    )
+
+    # resumed index answers queries identically to a fresh one
+    q = spark.createDataFrame(queries_1k, schema="query_id long, text string, k int")
+    got = (
+        topk_maxscore(
+            q, idx2["segments"], idx2["termdict"], idx2["n_docs"], idx2["avgdl"], CFG
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    oracle = OracleIndex(transcripts_1k, CFG).topk_frame(queries_1k)
+    oracle = oracle.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert (got["doc_id"].values == oracle["doc_id"].values).all()
+    assert np.allclose(got["bm25"].values, oracle["bm25"].values, atol=1e-6)
