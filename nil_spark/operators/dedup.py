@@ -1,0 +1,189 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash groupBy), MinHash+LSH (shingle → minhash → band → bucket
+join → Jaccard verify), SimHash, and n-gram Jaccard — the
+filter-then-verify discipline of the reference (cheap bucket/bound
+first, exact similarity only on survivors; OptimizedCloneDetection.kt:
+17-56) applied to near-duplicate detection.
+
+All hashes here are the *cross-system* md5-prefix family
+(functions/hashing.py) so every operator has an exact DuckDB SQL oracle.
+Pure JVM expressions throughout — no Python in the hot path.
+
+Scale notes: minhash signatures aggregate on (doc_id, perm_id) — never
+skewed; the LSH bucket self-join fans out only within buckets, and a
+``bucket_cap`` guards degenerate buckets (the df-cutoff analog).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from nil_spark.functions.hashing import md5_prefix64_col
+
+MINHASH_P = 2147483647  # 2^31 - 1; a·(h%P)+b stays < 2^62 (int64 safe)
+MINHASH_K = 12
+LSH_BANDS = 4
+LSH_ROWS = 3
+
+
+def minhash_perms(k: int = MINHASH_K) -> list[tuple[int, int, int]]:
+    """Pinned permutation params (perm_id, a, b) — same literals are
+    embedded in the SQL oracle."""
+    out = []
+    for i in range(k):
+        a = (2654435761 * (i + 1) + 1) % MINHASH_P
+        b = (40503 * (i + 7) * 2654435761 + 17) % MINHASH_P
+        out.append((i, a, b))
+    return out
+
+
+def shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, shingle) — distinct word n-gram shingles as strings."""
+    toks_df = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(F.split(F.lower(text_col), "[^a-z0-9]+"), lambda x: x != "").alias("toks"),
+    )
+    sh = F.when(
+        F.size("toks") >= n,
+        F.expr(
+            f"transform(sequence(0, size(toks) - {n}),"
+            f" i -> concat_ws(' ', slice(toks, i + 1, {n})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toks_df.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, canon_id, group_size) by md5 content hash — groupBy+join
+    shape (no global window) so it scales: one shuffle on the hash."""
+    h = df.select(F.col(id_col).alias("doc_id"), F.md5(text_col).alias("h"))
+    groups = h.groupBy("h").agg(
+        F.min("doc_id").alias("canon_id"), F.count("*").cast("long").alias("group_size")
+    )
+    return h.join(groups, "h").select("doc_id", "canon_id", "group_size")
+
+
+def minhash_signatures(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, perm_id, mh) — min over shingles of (a·(h64%P)+b) % P."""
+    spark = sh.sparkSession
+    perms = spark.createDataFrame(minhash_perms(k), "perm_id int, a long, b long")
+    hp = sh.select(
+        "doc_id", (md5_prefix64_col(F.col("shingle")) % MINHASH_P).alias("hp")
+    )
+    return (
+        hp.crossJoin(F.broadcast(perms))
+        .groupBy("doc_id", "perm_id")
+        .agg(F.min((F.col("a") * F.col("hp") + F.col("b")) % MINHASH_P).alias("mh"))
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS, bucket_cap: int = 10_000
+) -> DataFrame:
+    """(id1, id2) distinct — pairs sharing at least one LSH band."""
+    banded = (
+        sigs.withColumn("band", (F.col("perm_id") / rows).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("perm_id", "mh"))),
+                    lambda x: x["mh"].cast("string"),
+                ),
+                "-",
+            ).alias("band_key")
+        )
+    )
+    # guard degenerate buckets (hot-bucket analog of df stopword pruning)
+    sizes = banded.groupBy("band", "band_key").agg(F.count("*").alias("bsz"))
+    banded = banded.join(
+        F.broadcast(sizes.filter(F.col("bsz") > bucket_cap)), ["band", "band_key"], "left_anti"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .distinct()
+    )
+
+
+def jaccard_verify(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """(id1, id2, inter, n1, n2, jaccard) — exact verify on candidates."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("nsh"))
+    g1 = sh.select(F.col("doc_id").alias("id1"), "shingle")
+    g2 = sh.select(F.col("doc_id").alias("id2"), "shingle")
+    inter = (
+        pairs.join(g1, "id1")
+        .join(g2, ["id2", "shingle"])
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("id1"), F.col("nsh").alias("n1")), "id1")
+        .join(sizes.select(F.col("doc_id").alias("id2"), F.col("nsh").alias("n2")), "id2")
+        .select(
+            "id1",
+            "id2",
+            F.col("inter").cast("long").alias("inter"),
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            F.round(F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 6).alias("jaccard"),
+        )
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    n: int = 3,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end near-dup pairs: shingle → minhash → LSH → Jaccard ≥ t."""
+    sh = shingles(df, n)
+    sigs = minhash_signatures(sh, k)
+    cand = lsh_candidate_pairs(sigs, bands, rows)
+    return jaccard_verify(cand, sh).filter(F.col("jaccard") >= threshold)
+
+
+def simhash63(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash) — 63-bit SimHash over unigram tf with
+    md5-prefix term hashes.  bit b = 1 iff Σ tf·(2·bit_b(h)−1) > 0."""
+    toks = F.filter(F.split(F.lower(text_col), "[^a-z0-9]+"), lambda x: x != "")
+    tf = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", md5_prefix64_col(F.col("term")))
+    )
+    bits = tf.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(62))).alias("b"),
+        F.col("tf").alias("tf"),
+        F.col("h").alias("h"),
+    ).select(
+        "doc_id",
+        "b",
+        F.expr("tf * ((shiftright(h, b) & 1) * 2 - 1)").alias("w"),
+    )
+    return (
+        bits.groupBy("doc_id", "b")
+        .agg(F.sum("w").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b)"
+                    " ELSE CAST(0 AS BIGINT) END"
+                )
+            ).alias("simhash")
+        )
+    )

@@ -413,6 +413,313 @@ FROM events GROUP BY 1, 2
 """
 
 
+# ------------------------------------------------ q: minhash lsh dedup
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs with exact Jaccard verify
+    (training-data dedup op; filter-then-verify shape of
+    OptimizedCloneDetection.kt:17-56)."""
+    from nil_spark.operators import dedup
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = dedup.shingles(d, 3)
+    sigs = dedup.minhash_signatures(sh)
+    cand = dedup.lsh_candidate_pairs(sigs)
+    return dedup.jaccard_verify(cand, sh).select(
+        "id1", "id2", "inter", "jaccard"
+    )
+
+
+def _minhash_pairs_sql() -> str:
+    from nil_spark.operators.dedup import LSH_ROWS, MINHASH_P, minhash_perms
+
+    perm_vals = ", ".join(f"({i}, {a}, {b})" for i, a, b in minhash_perms())
+    return f"""
+WITH {_DOCS_CTE},
+sh0 AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+        FROM docs, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+        WHERE len(toks) >= 3),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+hp AS (SELECT doc_id, (('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MINHASH_P}) AS hp FROM sh),
+perms(perm_id, a, b) AS (VALUES {perm_vals}),
+sigs AS (SELECT doc_id, perm_id, min((a * hp + b) % {MINHASH_P}) AS mh
+         FROM hp CROSS JOIN perms GROUP BY 1, 2),
+banded AS (SELECT doc_id, (perm_id // {LSH_ROWS})::INT AS band,
+                  string_agg(mh::VARCHAR, '-' ORDER BY perm_id) AS band_key
+           FROM sigs GROUP BY 1, 2),
+cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         FROM banded a JOIN banded b
+           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+inter AS (SELECT c.id1, c.id2, count(*) AS inter
+          FROM cand c JOIN sh s1 ON s1.doc_id = c.id1
+                      JOIN sh s2 ON s2.doc_id = c.id2 AND s2.shingle = s1.shingle
+          GROUP BY 1, 2)
+SELECT i.id1, i.id2, i.inter::BIGINT AS inter,
+       round(i.inter / (sa.nsh + sb.nsh - i.inter), 6) AS jaccard
+FROM inter i JOIN sizes sa ON i.id1 = sa.doc_id
+             JOIN sizes sb ON i.id2 = sb.doc_id
+"""
+
+
+# ---------------------------------------------------------- q: simhash
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """63-bit SimHash fingerprints (near-dup dedup family)."""
+    from nil_spark.operators.dedup import simhash63
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash63(d)
+
+
+def _simhash_sql() -> str:
+    return f"""
+WITH {_DOCS_CTE},
+tf AS (SELECT doc_id, tok AS term, count(*) AS tf
+       FROM docs, unnest(toks) AS u(tok) GROUP BY 1, 2),
+th AS (SELECT doc_id, tf, ('0x' || substr(md5(term), 1, 15))::BIGINT AS h FROM tf),
+bits AS (SELECT doc_id, b, sum(tf * (((h >> b) & 1) * 2 - 1)) AS s
+         FROM th, unnest(generate_series(0, 62)) AS u(b) GROUP BY 1, 2)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+# ------------------------------------------------------ q: ann cosine
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k over the embeddings table;
+    queries = vec_id < 5 (self included, rank 1, cosine 1.0)."""
+    from nil_spark.operators.ann import cosine_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return cosine_topk(e, q, k=10)
+
+
+def _ann_cosine_sql() -> str:
+    return """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(e.embedding::DOUBLE[], q.qvec)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS cosine
+  FROM embeddings e CROSS JOIN q)
+SELECT query_id, (row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id))::INT AS rank,
+       vec_id, cosine
+FROM scored QUALIFY rank <= 10
+"""
+
+
+# --------------------------------------------------- q: ann lsh bucket
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (deterministic-approximate scale path): exact
+    cosine rerank within the query's sign bucket."""
+    from nil_spark.operators.ann import ann_lsh_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ann_lsh_topk(e, q, k=10)
+
+
+def _ann_lsh_sql() -> str:
+    return """
+WITH planes AS (
+  SELECT p, d,
+         (((('0x' || substr(md5('p:' || p::VARCHAR || ':' || d::VARCHAR), 1, 15))::BIGINT % 2001) - 1000) / 1000.0) AS comp
+  FROM range(8) t1(p), range(64) t2(d)),
+vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+comps AS (SELECT vec_id, p, sum(v[d + 1] * comp) AS dot
+          FROM vecs, planes GROUP BY 1, 2),
+buckets AS (SELECT vec_id, sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)::INT AS bucket
+            FROM comps GROUP BY 1),
+q AS (SELECT v.vec_id AS query_id, v.v AS qvec, b.bucket
+      FROM vecs v JOIN buckets b USING (vec_id) WHERE v.vec_id < 5),
+scored AS (
+  SELECT q.query_id, v.vec_id,
+         round(list_dot_product(v.v, q.qvec)
+               / (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS cosine
+  FROM vecs v JOIN buckets b ON v.vec_id = b.vec_id
+              JOIN q ON b.bucket = q.bucket)
+SELECT query_id, (row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id))::INT AS rank,
+       vec_id, cosine
+FROM scored QUALIFY rank <= 10
+"""
+
+
+# -------------------------------------------------- q: doc fingerprint
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5-prefix hash of whitespace-normalized
+    text (T9 content-hash analog, CodeBlock.kt:29-34)."""
+    from nil_spark.functions.hashing import md5_prefix64_col
+
+    docs = _docs_toks(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        md5_prefix64_col(F.concat_ws(" ", "toks")).alias("fingerprint"),
+    )
+
+
+def _doc_fingerprint_sql() -> str:
+    return f"""
+WITH {_DOCS_CTE}
+SELECT doc_id,
+       ('0x' || substr(md5(array_to_string(toks, ' ')), 1, 15))::BIGINT AS fingerprint
+FROM docs
+"""
+
+
+# ------------------------------------------------------- q: lang id
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: English-stopword ratio thresholding
+    (text-analysis family)."""
+    docs = _docs_toks(spark, sf_dir)
+    ratio = F.size(
+        F.filter(F.col("toks"), lambda x: x.isin("the", "a"))
+    ) / F.nullif(F.size("toks"), F.lit(0))
+    return docs.select(
+        "doc_id",
+        F.round(ratio, 6).alias("en_ratio"),
+        F.when(ratio > 0.05, "en").otherwise("und").alias("pred_lang"),
+    )
+
+
+def _lang_id_sql() -> str:
+    return f"""
+WITH {_DOCS_CTE}
+SELECT doc_id,
+       round(len(list_filter(toks, x -> x IN ('the', 'a')))::DOUBLE / nullif(len(toks), 0), 6) AS en_ratio,
+       CASE WHEN len(list_filter(toks, x -> x IN ('the', 'a')))::DOUBLE / nullif(len(toks), 0) > 0.05
+            THEN 'en' ELSE 'und' END AS pred_lang
+FROM docs
+"""
+
+
+# ----------------------------------------------------- q: sessionize
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization of the events stream (30-min inactivity gap) —
+    the batch analog of the streaming session-window operator."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    with_prev = e.withColumn("prev_ts", prev)
+    gap = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    sess = with_prev.withColumn(
+        "new_sess",
+        F.when(F.col("prev_ts").isNull() | (gap > 1_800_000_000), 1).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+def _sessionize_sql() -> str:
+    return """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR (epoch_us(ts) - epoch_us(lag(ts) OVER w)) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g)
+SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY 1, 2
+"""
+
+
+# -------------------------------------------------- q: snapshot diff
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff by content hash (SURVEY §2 P6, pair_diff.py):
+    documents in source src0 missing from src1 and vice versa."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = d.filter(F.col("source") == "src0").select("doc_id", F.md5("text").alias("h"))
+    b = d.filter(F.col("source") == "src1").select("doc_id", F.md5("text").alias("h"))
+    only_a = a.join(b.select("h"), "h", "left_anti").select(
+        F.lit("src0_only").alias("side"), "doc_id"
+    )
+    only_b = b.join(a.select("h"), "h", "left_anti").select(
+        F.lit("src1_only").alias("side"), "doc_id"
+    )
+    return only_a.unionByName(only_b)
+
+
+def _snapshot_diff_sql() -> str:
+    return """
+WITH a AS (SELECT doc_id, md5(text) AS h FROM documents WHERE source = 'src0'),
+b AS (SELECT doc_id, md5(text) AS h FROM documents WHERE source = 'src1')
+SELECT 'src0_only' AS side, doc_id FROM a WHERE h NOT IN (SELECT h FROM b)
+UNION ALL
+SELECT 'src1_only' AS side, doc_id FROM b WHERE h NOT IN (SELECT h FROM a)
+"""
+
+
+# ------------------------------------------------ q: tracking join
+
+
+def q_tracking_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-based tracking join across snapshots (SURVEY §2 P2,
+    method_tracker.py:240-257): match src0 docs to src1 docs by
+    (lang, token count) signature."""
+    docs = _docs_toks(spark, sf_dir)
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source"
+    )
+    sig = docs.join(raw, "doc_id").select(
+        "doc_id", "lang", "source", F.size("toks").alias("n_tokens")
+    )
+    a = sig.filter(F.col("source") == "src0").select(
+        F.col("doc_id").alias("id_old"), "lang", "n_tokens"
+    )
+    b = sig.filter(F.col("source") == "src1").select(
+        F.col("doc_id").alias("id_new"), "lang", "n_tokens"
+    )
+    return a.join(b, ["lang", "n_tokens"]).select(
+        "id_old", "id_new", "lang", "n_tokens"
+    )
+
+
+def _tracking_signature_sql() -> str:
+    return f"""
+WITH {_DOCS_CTE},
+sig AS (SELECT d.doc_id, r.lang, r.source, len(d.toks)::INT AS n_tokens
+        FROM docs d JOIN documents r ON d.doc_id = r.doc_id)
+SELECT a.doc_id AS id_old, b.doc_id AS id_new, a.lang, a.n_tokens
+FROM sig a JOIN sig b ON a.lang = b.lang AND a.n_tokens = b.n_tokens
+WHERE a.source = 'src0' AND b.source = 'src1'
+"""
+
+
 # --------------------------------------------------------- registry
 
 REGISTRY: dict[str, tuple] = {
@@ -424,6 +731,15 @@ REGISTRY: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, _dedup_exact_sql()),
     "text_quality": (q_text_quality, _text_quality_sql()),
     "events_trend": (q_events_trend, _events_trend_sql()),
+    "minhash_lsh_pairs": (q_minhash_pairs, _minhash_pairs_sql()),
+    "simhash": (q_simhash, _simhash_sql()),
+    "ann_cosine_topk": (q_ann_cosine_topk, _ann_cosine_sql()),
+    "ann_lsh_topk": (q_ann_lsh_topk, _ann_lsh_sql()),
+    "doc_fingerprint": (q_doc_fingerprint, _doc_fingerprint_sql()),
+    "lang_id": (q_lang_id, _lang_id_sql()),
+    "sessionize": (q_sessionize, _sessionize_sql()),
+    "snapshot_diff": (q_snapshot_diff, _snapshot_diff_sql()),
+    "tracking_signature": (q_tracking_signature, _tracking_signature_sql()),
 }
 
 
