@@ -40,8 +40,8 @@ def candidate_pairs(docs: DataFrame, cfg: EngineConfig) -> DataFrame:
     n-gram shingles (set semantics, entity/TokenSequence.kt:11).
     """
     cfg = cfg.with_(distinct_ngrams=True)
-    dt = with_terms(docs, cfg).select("doc_id", "terms")
-    g = dt.select("doc_id", F.explode("terms").alias("term"))
+    dt = with_terms(docs, cfg).select("doc_id", "terms").persist()
+    g = dt.select("doc_id", F.explode("terms").alias("term")).persist()  # self-joined
     sizes = dt.select("doc_id", F.size("terms").alias("nsh")).filter(F.col("nsh") > 0)
 
     # df-based pruning bounds the join fan-out on hot terms

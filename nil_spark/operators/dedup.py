@@ -100,7 +100,7 @@ def lsh_candidate_pairs(
     sizes = banded.groupBy("band", "band_key").agg(F.count("*").alias("bsz"))
     banded = banded.join(
         F.broadcast(sizes.filter(F.col("bsz") > bucket_cap)), ["band", "band_key"], "left_anti"
-    )
+    ).persist()  # consumed by both sides of the self-join below
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -147,8 +147,13 @@ def minhash_dedup(
     rows: int = LSH_ROWS,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """End-to-end near-dup pairs: shingle → minhash → LSH → Jaccard ≥ t."""
-    sh = shingles(df, n)
+    """End-to-end near-dup pairs: shingle → minhash → LSH → Jaccard ≥ t.
+
+    ``shingles`` feeds three consumers (signatures + both sides of the
+    verify join) and the banded signatures feed a self-join — persist
+    both so the DAG doesn't re-derive them per branch (cluster analog:
+    checkpoint)."""
+    sh = shingles(df, n).persist()
     sigs = minhash_signatures(sh, k)
     cand = lsh_candidate_pairs(sigs, bands, rows)
     return jaccard_verify(cand, sh).filter(F.col("jaccard") >= threshold)

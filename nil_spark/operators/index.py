@@ -90,10 +90,14 @@ def build_index(
 ) -> dict:
     """End-to-end logical index build over a doc table that already has
     ``doc_id``.  Returns dict of DataFrames + corpus scalars."""
-    dt = with_terms(docs, cfg, text_col=text_col)
+    # persist the tokenized view: docstats, postings and termdict all
+    # derive from it and would otherwise re-run the tokenizer UDF per
+    # consumer (at cluster scale this would be a checkpoint instead)
+    dt = with_terms(docs, cfg, text_col=text_col).persist()
     docstats = doc_stats(dt)
     postings = exploded_postings(dt, cfg)
-    termdict = term_dictionary(postings)
+    # termdict is re-read by every query batch (idf lookup) — keep it hot
+    termdict = term_dictionary(postings).persist()
     n_docs, avgdl = corpus_stats(docstats)
     pruned = prune_stopwords(postings, termdict, n_docs, cfg)
     return {

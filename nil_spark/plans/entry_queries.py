@@ -269,7 +269,7 @@ def q_overlap_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).otherwise(F.array().cast("array<string>"))
             )
         ).alias("shingle"),
-    )
+    ).persist()  # self-joined below
     sizes = g.groupBy("doc_id").agg(F.count("*").alias("nsh"))
     a = g.alias("a")
     b = g.alias("b")
@@ -423,7 +423,7 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nil_spark.operators import dedup
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sh = dedup.shingles(d, 3)
+    sh = dedup.shingles(d, 3).persist()  # 3 consumers: sigs + verify join (x2)
     sigs = dedup.minhash_signatures(sh)
     cand = dedup.lsh_candidate_pairs(sigs)
     return dedup.jaccard_verify(cand, sh).select(
