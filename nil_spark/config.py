@@ -35,9 +35,11 @@ class EngineConfig:
     # ---- index layout / scale knobs ----
     num_segments: int = 32        # term-range segments of the merged index
     block_size: int = 128         # postings per block (block-max metadata)
-    df_stopword_cutoff: float = 0.5  # prune terms with df > cutoff * N (0 disables... set >1 to disable)
-    salt_df_threshold: int = 1_000_000  # terms hotter than this get salted two-stage agg
-    salt_buckets: int = 16
+    df_stopword_cutoff: float = 0.5  # prune terms with df > cutoff * N (set >1 to disable)
+    # hot-term skew: segments are range-partitioned on the composite
+    # (term, doc_id) key — the doc_id dimension is the salt, splitting a
+    # hot term's postings across adjacent partitions in doc order with
+    # no second-stage merge (chunks are self-contained; see segments.py)
 
     # ---- runtime ----
     shuffle_partitions: int = 32

@@ -6,13 +6,21 @@ Reference analog: the partial inverted indexes of the partition loop
 (/root/reference/src/main/kotlin/jp/ac/osaka_u/sdl/nil/NILMain.kt:71-119
 and entity/InvertedIndex.kt:10-23; paper §3.2 "partial inverted
 indexes") turned into a real external merge: postings are
-``repartitionByRange`` on ``term`` (each range partition = one segment,
-globally sorted term dictionary) and encoded to binary blobs inside an
-Arrow ``mapInPandas`` pass — one sequential sweep per partition, no
-per-group shuffle.  Hot terms are *chunked* (``chunk_idx``) so no
-single row exceeds ``max_chunk`` postings: the salting analog for the
-one skewed dimension a posting list has (doc range), and chunks
-concatenate back in doc order for free.
+``repartitionByRange`` on the composite ``(term, doc_id)`` key (each
+range partition = one segment, globally sorted term dictionary) and
+encoded to binary blobs inside an Arrow ``mapInPandas`` pass — one
+sequential sweep per partition, no per-group shuffle.
+
+Skew (north-rule "salted repartition of hot terms"): the salt IS the
+``doc_id`` dimension of the composite range key.  A hot term whose
+posting list would overflow one partition is split by the range
+partitioner across *adjacent* partitions in doc order — equivalent to
+salting by doc-range bucket, but with zero extra columns and no
+second-stage merge shuffle, because delta-encoded chunks are
+self-contained (each blob restarts from its own first doc) and
+concatenate back in doc order via ``first_doc``.  Within a partition,
+hot terms are additionally *chunked* (``chunk_idx``) so no single row
+exceeds ``max_chunk`` postings.
 
 Block-max metadata (``bm_first``/``bm_max``) stores, per block of
 ``cfg.block_size`` postings, the first doc id and an upper bound on the
@@ -40,7 +48,7 @@ from nil_spark.operators import index as index_ops
 from nil_spark.operators.query import SCORE_DECIMALS, idf_col, query_terms
 
 SEGMENT_SCHEMA = (
-    "term long, chunk_idx int, n_postings long, "
+    "term long, chunk_idx int, first_doc long, n_postings long, "
     "doc_blob binary, tf_blob binary, dl_blob binary, "
     "bm_first array<long>, bm_max array<double>"
 )
@@ -76,6 +84,7 @@ def _encode_group(
             (
                 int(term),
                 ci,
+                int(d[0]),
                 len(d),
                 varint.encode_deltas(d),
                 varint.encode(t.astype(np.uint64)),
@@ -92,18 +101,21 @@ def build_segments(
 ) -> DataFrame:
     """postings (term, doc_id, tf, dl) -> segment rows (SEGMENT_SCHEMA).
 
-    Plan: range-shuffle on term (one exchange), sort within partition by
-    (term, doc_id), then a single sequential Arrow sweep encodes each
-    term run.  Term runs never cross partitions (range is on term only),
-    so partitions are independently encodable and independently
-    checkpointable segments.
+    Plan: range-shuffle on (term, doc_id) (one exchange), sort within
+    partition by (term, doc_id), then a single sequential Arrow sweep
+    encodes each term run.  The composite range key splits hot terms
+    across adjacent partitions in doc order (see module docstring), so
+    no partition can be skewed by a hot term; a term's chunks are
+    reassembled at query time by ascending ``first_doc``.  Partitions
+    are independently encodable and independently checkpointable
+    segments.
     """
-    p = postings.repartitionByRange(cfg.num_segments, "term").sortWithinPartitions(
-        "term", "doc_id"
-    )
+    p = postings.repartitionByRange(
+        cfg.num_segments, "term", "doc_id"
+    ).sortWithinPartitions("term", "doc_id")
 
     def sweep(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = ["term", "chunk_idx", "n_postings", "doc_blob", "tf_blob", "dl_blob", "bm_first", "bm_max"]
+        cols = ["term", "chunk_idx", "first_doc", "n_postings", "doc_blob", "tf_blob", "dl_blob", "bm_first", "bm_max"]
         cur_term = None
         bufs: list[pd.DataFrame] = []
 
@@ -179,7 +191,7 @@ def topk_maxscore(
     qt = qt.select("term", "query_id", "k", idf_col(F.col("df"), n_docs).alias("idf"))
 
     joined = segments.join(F.broadcast(qt), "term", "inner").select(
-        "query_id", "k", "term", "chunk_idx", "idf",
+        "query_id", "k", "term", "first_doc", "idf",
         "doc_blob", "tf_blob", "dl_blob", "bm_first", "bm_max", "n_postings",
     )
 
@@ -199,7 +211,7 @@ def topk_maxscore(
         intersect = False
         for term in order:
             rem -= ubs[term]
-            g = pdf[pdf["term"] == term].sort_values("chunk_idx")
+            g = pdf[pdf["term"] == term].sort_values("first_doc")
             idf = float(g["idf"].iloc[0])
             for _, row in g.iterrows():
                 if intersect and len(acc_docs):

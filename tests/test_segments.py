@@ -56,7 +56,7 @@ def test_segments_decode_exactly(indexed):
     exp = (
         idx["postings"].toPandas().sort_values(["term", "doc_id"]).groupby("term")
     )
-    got_rows = segs.toPandas().sort_values(["term", "chunk_idx"])
+    got_rows = segs.toPandas().sort_values(["term", "first_doc"])
     got = {}
     for term, g in got_rows.groupby("term"):
         ds, tfs, dls = [], [], []
