@@ -105,6 +105,131 @@ def lsh_bucket(df: DataFrame, vec_col: str, n_planes: int = ANN_PLANES) -> DataF
     return sig
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its max-cosine centroid (ties → lowest
+    centroid id).  centroids: (cell_id, cvec), always broadcastable
+    (IVF lists are small by construction)."""
+    scored = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    ).crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "vec",
+        "cell_id",
+        F.round(
+            _dot(F.col("vec"), F.col("cvec")) / (_norm(F.col("vec")) * _norm(F.col("cvec"))),
+            6,
+        ).alias("ccos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cell_id"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "vec", "cell_id")
+    )
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: coarse-quantize vectors into ``n_cells`` inverted lists,
+    probe the query's ``n_probe`` nearest cells, exact cosine rerank
+    within them.
+
+    Centroids are pinned deterministically (the first ``n_cells``
+    vectors by id) — a stand-in for k-means that keeps the operator
+    oracle-checkable; swap in trained centroids at production scale.
+    The scale shape is what matters: the candidate join touches
+    ~n_probe/n_cells of the corpus instead of all of it, and the
+    centroid table is always broadcast.
+    """
+    cents = (
+        embeddings.orderBy(id_col)
+        .limit(n_cells)
+        .select(F.col(id_col).cast("int").alias("cell_id"), F.col(vec_col).alias("cvec"))
+    )
+    assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+
+    # query-side: keep the n_probe best cells per query
+    qs = queries.select("query_id", "qvec").crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "qvec",
+        "cell_id",
+        F.round(
+            _dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+            6,
+        ).alias("ccos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cell_id"))
+    probes = (
+        qs.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= n_probe)
+        .select("query_id", "qvec", "cell_id")
+    )
+
+    scored = assigned.join(F.broadcast(probes), "cell_id").select(
+        "query_id",
+        "vec_id",
+        F.round(
+            _dot(F.col("vec"), F.col("qvec")) / (_norm(F.col("vec")) * _norm(F.col("qvec"))),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    n_planes: int = 4,  # coarser than top-k ANN: recall over candidate cost
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates share an LSH
+    sign-bucket (triangular id1 < id2), verified by exact cosine ≥
+    threshold — the filter-then-verify discipline on the embedding
+    modality.  At scale the bucket self-join replaces the all-pairs
+    crossJoin (N²) with Σ per-bucket²."""
+    b = lsh_bucket(
+        embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")),
+        "vec",
+        n_planes,
+    ).persist()  # both sides of the self-join
+    a1, a2 = b.alias("a"), b.alias("b")
+    return (
+        a1.join(
+            a2,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id1"),
+            F.col("b.vec_id").alias("id2"),
+            F.round(
+                _dot(F.col("a.vec"), F.col("b.vec"))
+                / (_norm(F.col("a.vec")) * _norm(F.col("b.vec"))),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

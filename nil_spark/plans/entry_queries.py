@@ -720,6 +720,178 @@ WHERE a.source = 'src0' AND b.source = 'src1'
 """
 
 
+# ------------------------------------------------------ q: token count
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (training-data pipeline op): whitespace tokens +
+    BPE-ish regex pieces (letter runs / digit runs / single punctuation,
+    the GPT-2 pre-tokenizer shape) + char count."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col("text"), "\\s+"), lambda x: x != "")).alias(
+            "n_ws_tokens"
+        ),
+        F.size(
+            F.expr(r"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)")
+        ).alias("n_bpe_pieces"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+def _token_count_sql() -> str:
+    return r"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::INT AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))::INT AS n_bpe_pieces,
+       length(text)::INT AS n_chars
+FROM documents
+"""
+
+
+# ------------------------------------------- q: exact ngram jaccard
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (dedup family, no MinHash
+    approximation; triangular self-join + df-capped fan-out)."""
+    from nil_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(d, n=3, threshold=0.3, df_cap=1000)
+
+
+def _ngram_jaccard_sql() -> str:
+    return f"""
+WITH {_DOCS_CTE},
+sh0 AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+        FROM docs, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+        WHERE len(toks) >= 3),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1000),
+g AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+          FROM g a JOIN g b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT i.id1, i.id2, i.inter::BIGINT AS inter,
+       round(i.inter / (sa.nsh + sb.nsh - i.inter), 6) AS jaccard
+FROM inter i JOIN sizes sa ON i.id1 = sa.doc_id
+             JOIN sizes sb ON i.id2 = sb.doc_id
+WHERE round(i.inter / (sa.nsh + sb.nsh - i.inter), 6) >= 0.3
+"""
+
+
+# -------------------------------------- q: embedding cosine near-dup
+
+
+def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH sign-bucket candidates,
+    exact cosine ≥ 0.35 verify (dedup on the embedding modality)."""
+    from nil_spark.operators.ann import embedding_neardup_pairs
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup_pairs(e, threshold=0.35)
+
+
+def _emb_neardup_sql() -> str:
+    return """
+WITH planes AS (
+  SELECT p, d,
+         (((('0x' || substr(md5('p:' || p::VARCHAR || ':' || d::VARCHAR), 1, 15))::BIGINT % 2001) - 1000) / 1000.0) AS comp
+  FROM range(4) t1(p), range(64) t2(d)),
+vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+comps AS (SELECT vec_id, p, sum(v[d + 1] * comp) AS dot
+          FROM vecs, planes GROUP BY 1, 2),
+buckets AS (SELECT vec_id, sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)::INT AS bucket
+            FROM comps GROUP BY 1),
+pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2
+          FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT p.id1, p.id2,
+       round(list_dot_product(v1.v, v2.v)
+             / (sqrt(list_dot_product(v1.v, v1.v)) * sqrt(list_dot_product(v2.v, v2.v))), 6) AS cosine
+FROM pairs p JOIN vecs v1 ON p.id1 = v1.vec_id JOIN vecs v2 ON p.id2 = v2.vec_id
+WHERE round(list_dot_product(v1.v, v2.v)
+            / (sqrt(list_dot_product(v1.v, v1.v)) * sqrt(list_dot_product(v2.v, v2.v))), 6) >= 0.35
+"""
+
+
+# --------------------------------------------------------- q: ann ivf
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: 16 pinned coarse cells, probe 4, exact cosine rerank —
+    the inverted-list scale path for similarity search."""
+    from nil_spark.operators.ann import ann_ivf_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ann_ivf_topk(e, q, k=10, n_cells=16, n_probe=4)
+
+
+def _ann_ivf_sql() -> str:
+    return """
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id::INT AS cell_id, v AS cvec FROM vecs ORDER BY vec_id LIMIT 16),
+assign0 AS (
+  SELECT v.vec_id, c.cell_id,
+         round(list_dot_product(v.v, c.cvec)
+               / (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS ccos
+  FROM vecs v CROSS JOIN cents c),
+assigned AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell_id) AS r
+    FROM assign0) WHERE r = 1),
+q AS (SELECT vec_id AS query_id, v AS qvec FROM vecs WHERE vec_id < 5),
+qc AS (
+  SELECT q.query_id, q.qvec, c.cell_id,
+         round(list_dot_product(q.qvec, c.cvec)
+               / (sqrt(list_dot_product(q.qvec, q.qvec)) * sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS ccos
+  FROM q CROSS JOIN cents c),
+probes AS (
+  SELECT query_id, qvec, cell_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, cell_id) AS r
+    FROM qc) WHERE r <= 4),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         round(list_dot_product(v.v, p.qvec)
+               / (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(p.qvec, p.qvec))), 6) AS cosine
+  FROM assigned a JOIN probes p ON a.cell_id = p.cell_id
+       JOIN vecs v ON v.vec_id = a.vec_id)
+SELECT query_id, (row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id))::INT AS rank,
+       vec_id, cosine
+FROM scored QUALIFY rank <= 10
+"""
+
+
+# ------------------------------------------- q: multimodal features
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary payload column -> Arrow-batched
+    mapInPandas feature extraction (deterministic fake decode; real
+    decode stubbed — see operators/multimodal.py)."""
+    from nil_spark.operators.multimodal import extract_features, with_payload
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return extract_features(with_payload(d))
+
+
+def _multimodal_sql() -> str:
+    return """
+SELECT doc_id,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       md5(text) AS content_md5,
+       (('0x' || substr(md5(text), 1, 8))::BIGINT % 512 + 1)::INT AS fake_width,
+       (('0x' || substr(md5(text), 9, 8))::BIGINT % 512 + 1)::INT AS fake_height,
+       (octet_length(encode(text)) // 100 + 1)::INT AS n_frames
+FROM documents
+"""
+
+
 # --------------------------------------------------------- registry
 
 REGISTRY: dict[str, tuple] = {
@@ -740,6 +912,11 @@ REGISTRY: dict[str, tuple] = {
     "sessionize": (q_sessionize, _sessionize_sql()),
     "snapshot_diff": (q_snapshot_diff, _snapshot_diff_sql()),
     "tracking_signature": (q_tracking_signature, _tracking_signature_sql()),
+    "token_count": (q_token_count, _token_count_sql()),
+    "ngram_jaccard_pairs": (q_ngram_jaccard, _ngram_jaccard_sql()),
+    "emb_neardup_pairs": (q_emb_neardup, _emb_neardup_sql()),
+    "ann_ivf_topk": (q_ann_ivf_topk, _ann_ivf_sql()),
+    "multimodal_features": (q_multimodal_features, _multimodal_sql()),
 }
 
 
