@@ -62,7 +62,6 @@ def _encode_group(
     tfs: np.ndarray,
     dls: np.ndarray,
     cfg: EngineConfig,
-    avgdl: float,
     max_chunk: int,
 ) -> list[tuple]:
     k1, b = cfg.bm25_k1, cfg.bm25_b
@@ -71,7 +70,11 @@ def _encode_group(
         d = doc_ids[lo : lo + max_chunk]
         t = tfs[lo : lo + max_chunk]
         dl = dls[lo : lo + max_chunk]
-        tfn = (t * (k1 + 1.0)) / (t + k1 * (1.0 - b + b * dl / avgdl))
+        # avgdl-INDEPENDENT upper bound on the tf normalization
+        # (dl/avgdl -> 0 maximizes it), so block-max metadata stays a
+        # valid bound when the corpus — and hence avgdl — grows after
+        # this segment was written (incremental/streaming builds).
+        tfn = (t * (k1 + 1.0)) / (t + k1 * (1.0 - b))
         bs = cfg.block_size
         nb = (len(d) + bs - 1) // bs
         bm_first = d[::bs].tolist()
@@ -97,7 +100,7 @@ def _encode_group(
 
 
 def build_segments(
-    postings: DataFrame, cfg: EngineConfig, avgdl: float, max_chunk: int = 1 << 20
+    postings: DataFrame, cfg: EngineConfig, max_chunk: int = 1 << 20
 ) -> DataFrame:
     """postings (term, doc_id, tf, dl) -> segment rows (SEGMENT_SCHEMA).
 
@@ -123,7 +126,7 @@ def build_segments(
             docs = np.concatenate([b["doc_id"].to_numpy(np.int64) for b in bufs])
             tfs = np.concatenate([b["tf"].to_numpy(np.float64) for b in bufs])
             dls = np.concatenate([b["dl"].to_numpy(np.float64) for b in bufs])
-            return _encode_group(cur_term, docs, tfs, dls, cfg, avgdl, max_chunk)
+            return _encode_group(cur_term, docs, tfs, dls, cfg, max_chunk)
 
         for pdf in it:
             if len(pdf) == 0:
@@ -366,7 +369,7 @@ class CheckpointedIndexBuilder:
             "termdict", lambda: index_ops.term_dictionary(postings), spark
         )
         segments = self._run_stage(
-            "segments", lambda: build_segments(postings, cfg, avgdl), spark
+            "segments", lambda: build_segments(postings, cfg), spark
         )
         self._save()
         dt.unpersist()

@@ -1,0 +1,135 @@
+"""Incremental (Structured Streaming) index build.
+
+The reference is batch-only (SURVEY.md §2.7), but its longitudinal
+tracking workflow (scripts/nil.sh --batch + per-commit catalogs,
+/root/reference/METHOD_TRACKING.md:44-59) is exactly an
+append-only-corpus pattern: new snapshots arrive, the index must absorb
+them without rebuilding.  Spark-first re-expression: a file-source
+``readStream`` over the transcripts directory, ``foreachBatch``
+appending *segment deltas* — per-batch compressed posting segments plus
+docstats — with batch lineage in a manifest.  Query time unions all
+segments: the MaxScore traversal (segments.topk_maxscore) already
+accepts many chunks per term in any doc order, and block-max bounds are
+avgdl-independent (segments._encode_group), so late batches never
+invalidate earlier ones.
+
+Semantics vs the batch build:
+ * docIDs are dense and stable *per arrival order of batches*, and
+   stable (conv_id, turn_idx)-ordered *within* a batch — the streaming
+   relaxation of the global stable ordering (exact parity with the
+   batch build holds when batches arrive in (conv_id, turn_idx) order,
+   which the test asserts).
+ * df-based stopword pruning moves to query time (a term may be cool in
+   every batch but hot globally) — same cutoff, same result set.
+ * exactly-once: the streaming checkpoint dedupes input files; the
+   manifest records per-batch lineage (rows, id range, wall time).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nil_spark.config import EngineConfig
+from nil_spark.functions.tokenize import with_terms
+from nil_spark.operators import index as index_ops
+from nil_spark.operators.segments import build_segments
+from nil_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+
+class IncrementalIndexer:
+    """Maintains an append-only segment store under ``index_dir`` fed by
+    a Structured Streaming query over ``input_dir``."""
+
+    def __init__(self, index_dir: str, cfg: EngineConfig):
+        self.index_dir = index_dir
+        self.cfg = cfg
+        self.manifest_path = os.path.join(index_dir, "stream_manifest.json")
+        os.makedirs(index_dir, exist_ok=True)
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as f:
+                self.manifest = json.load(f)
+        else:
+            self.manifest = {"next_doc_id": 0, "batches": []}
+
+    def _save(self):
+        with open(self.manifest_path, "w") as f:
+            json.dump(self.manifest, f, indent=2)
+
+    # -- foreachBatch sink -------------------------------------------------
+    def absorb_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        t0 = time.time()
+        offset = self.manifest["next_doc_id"]
+        # stable within-batch ordering; cheap global window is fine here
+        # because a micro-batch is bounded (it is NOT the full corpus)
+        w = Window.orderBy("conv_id", "turn_idx")
+        docs = batch_df.withColumn(
+            "doc_id", F.row_number().over(w).cast("long") + F.lit(offset) - 1
+        )
+        dt = with_terms(docs, self.cfg).persist()
+        docstats = index_ops.doc_stats(dt)
+        postings = index_ops.exploded_postings(dt, self.cfg)
+        segs = build_segments(postings, self.cfg)
+
+        segs.write.mode("append").parquet(os.path.join(self.index_dir, "segments"))
+        docstats.write.mode("append").parquet(os.path.join(self.index_dir, "docstats"))
+        n_rows = docs.count()
+        dt.unpersist()
+        self.manifest["next_doc_id"] = offset + n_rows
+        self.manifest["batches"].append(
+            {
+                "batch_id": int(batch_id),
+                "rows": int(n_rows),
+                "doc_id_range": [offset, offset + n_rows],
+                "wall_s": round(time.time() - t0, 3),
+            }
+        )
+        self._save()
+
+    # -- stream driver -----------------------------------------------------
+    def run_available(self, spark: SparkSession, input_dir: str) -> None:
+        """Process all currently-available input files once
+        (Trigger.AvailableNow) and stop.  The streaming checkpoint under
+        the index dir makes re-runs skip already-absorbed files."""
+        stream = (
+            spark.readStream.schema(TRANSCRIPT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)  # deterministic batch split
+            .parquet(input_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(self.absorb_batch)
+            .option(
+                "checkpointLocation", os.path.join(self.index_dir, "_stream_checkpoint")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # -- query-side view ---------------------------------------------------
+    def load_index(self, spark: SparkSession) -> dict:
+        """Handle dict compatible with segments.topk_maxscore, derived
+        from the union of all absorbed segments (df from segment
+        n_postings — postings are per (term, doc) so Σ n_postings = df),
+        with stopword pruning applied at query time."""
+        segs = spark.read.parquet(os.path.join(self.index_dir, "segments"))
+        docstats = spark.read.parquet(os.path.join(self.index_dir, "docstats"))
+        n_docs, avgdl = index_ops.corpus_stats(docstats)
+        termdict = segs.groupBy("term").agg(
+            F.sum("n_postings").cast("long").alias("df")
+        )
+        cutoff = self.cfg.df_stopword_cutoff
+        if cutoff is not None and cutoff < 1.0:
+            termdict = termdict.filter(F.col("df") <= int(cutoff * n_docs))
+            segs = segs.join(F.broadcast(termdict.select("term")), "term", "inner")
+        return {
+            "segments": segs,
+            "termdict": termdict,
+            "docstats": docstats,
+            "n_docs": n_docs,
+            "avgdl": avgdl,
+        }

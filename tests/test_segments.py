@@ -47,7 +47,7 @@ def indexed(spark, transcripts_1k):
     docs = spark.createDataFrame(transcripts_1k, schema=TRANSCRIPT_SCHEMA)
     docs = assign_doc_ids(docs, ["conv_id", "turn_idx"], num_partitions=4)
     idx = build_index(docs, CFG)
-    segs = build_segments(idx["postings"], CFG, idx["avgdl"], max_chunk=64)
+    segs = build_segments(idx["postings"], CFG, max_chunk=64)
     return docs, idx, segs.persist()
 
 

@@ -1,0 +1,82 @@
+"""Incremental streaming index: absorb batches via Structured
+Streaming, stay rank-identical to the one-shot batch build, skip
+already-absorbed files on re-run."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from nil_spark.config import EngineConfig
+from nil_spark.operators.docids import assign_doc_ids
+from nil_spark.operators.index import build_index
+from nil_spark.operators.query import bm25_topk
+from nil_spark.operators.segments import topk_maxscore
+from nil_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+from nil_spark.streaming.incremental import IncrementalIndexer
+
+CFG = EngineConfig(gram_size=1, num_segments=4, block_size=16)
+
+
+@pytest.fixture(scope="module")
+def stream_built(spark, transcripts_1k, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("stream")
+    input_dir, index_dir = str(tmp / "in"), str(tmp / "idx")
+    os.makedirs(input_dir)
+
+    ordered = transcripts_1k.sort_values(
+        ["conv_id", "turn_idx"], kind="mergesort"
+    ).reset_index(drop=True)
+    half = len(ordered) // 2
+    ix = IncrementalIndexer(index_dir, CFG)
+    # two arrivals: write file, drain stream, write next, drain again
+    for i, part in enumerate((ordered.iloc[:half], ordered.iloc[half:])):
+        spark.createDataFrame(part, schema=TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(input_dir, f"arrival{i}"))
+        ix.run_available(spark, input_dir + "/arrival*")
+    return ix, input_dir, index_dir
+
+
+def test_stream_matches_batch_build(spark, transcripts_1k, queries_1k, stream_built):
+    ix, _, _ = stream_built
+    idx_s = ix.load_index(spark)
+    assert idx_s["n_docs"] == len(transcripts_1k)
+
+    q = spark.createDataFrame(queries_1k, schema="query_id long, text string, k int")
+    got = (
+        topk_maxscore(q, idx_s["segments"], idx_s["termdict"], idx_s["n_docs"], idx_s["avgdl"], CFG)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+
+    docs = assign_doc_ids(
+        spark.createDataFrame(transcripts_1k, schema=TRANSCRIPT_SCHEMA),
+        ["conv_id", "turn_idx"],
+    )
+    idx_b = build_index(docs, CFG)
+    exp = (
+        bm25_topk(q, idx_b, CFG)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert (got["doc_id"].values == exp["doc_id"].values).all()
+    assert np.allclose(got["bm25"].values, exp["bm25"].values, atol=1e-9)
+
+
+def test_stream_lineage_and_exactly_once(spark, stream_built):
+    ix, input_dir, index_dir = stream_built
+    man = json.load(open(os.path.join(index_dir, "stream_manifest.json")))
+    assert len(man["batches"]) == 2
+    ranges = [b["doc_id_range"] for b in man["batches"]]
+    assert ranges[0][1] == ranges[1][0]  # contiguous id ranges
+    assert man["next_doc_id"] == ranges[1][1]
+
+    # re-run with no new files: checkpoint must skip everything
+    ix2 = IncrementalIndexer(index_dir, CFG)
+    ix2.run_available(spark, input_dir + "/arrival*")
+    man2 = json.load(open(os.path.join(index_dir, "stream_manifest.json")))
+    assert len(man2["batches"]) == 2
+    assert man2["next_doc_id"] == man["next_doc_id"]
