@@ -52,31 +52,53 @@ def main() -> None:
         force(fn(spark, sf_dir))
         queries[name] = round(time.perf_counter() - t0, 3)
 
-    # ---- core engine: synthetic transcript corpus ----
+    # ---- core engine: synthetic transcript corpus; the scale paths
+    # (fused shard build + replica-resident serving) ----
+    import glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as SF
+
     from nil_spark.config import EngineConfig
     from nil_spark.operators.docids import assign_doc_ids
-    from nil_spark.operators.index import build_index
-    from nil_spark.operators.query import bm25_topk
+    from nil_spark.operators.segments import (
+        DOCSTAT_SENTINEL,
+        build_partial_segments,
+        topk_replica_resident,
+    )
     from nil_spark.sources.transcripts import gen_queries, gen_transcripts
 
-    cfg = EngineConfig(gram_size=1)
+    cfg = EngineConfig(gram_size=1, num_segments=int(cpus))
     pdf = gen_transcripts(n_turns, seed=42)
     docs = spark.createDataFrame(pdf).repartition(int(cpus))
+    shard_dir = tempfile.mkdtemp(prefix="nil_bench_shards_")
 
     t0 = time.perf_counter()
     docs = assign_doc_ids(docs, ["conv_id", "turn_idx"])
-    idx = build_index(docs, cfg)
-    idx["postings"] = idx["postings"].persist()
-    force(idx["postings"])
+    build_partial_segments(docs, cfg).write.mode("overwrite").parquet(shard_dir)
+    raw = spark.read.parquet(shard_dir)
+    st = (
+        raw.filter(SF.col("term") == DOCSTAT_SENTINEL)
+        .agg(SF.sum("n_postings").alias("n"), SF.sum(SF.element_at("bm_max", 1)).alias("s"))
+        .collect()[0]
+    )
+    n_docs, avgdl = int(st["n"]), float(st["s"]) / int(st["n"])
+    termdict = (
+        raw.filter(SF.col("term") != DOCSTAT_SENTINEL)
+        .groupBy("term").agg(SF.sum("n_postings").cast("long").alias("df"))
+        .filter(SF.col("df") <= int(cfg.df_stopword_cutoff * n_docs))
+    ).toPandas()
     build_s = time.perf_counter() - t0
     queries["engine_index_build"] = round(build_s, 3)
 
     qpdf = gen_queries(pdf, n_queries=n_queries, k=10, seed=43)
-    qdf = spark.createDataFrame(qpdf, schema="query_id long, text string, k int")
+    paths = sorted(glob.glob(shard_dir + "/part-*.parquet"))
     t0 = time.perf_counter()
-    force(bm25_topk(qdf, idx, cfg))
+    force(topk_replica_resident(spark, qpdf, paths, termdict, n_docs, avgdl, cfg))
     query_s = time.perf_counter() - t0
     queries["engine_bm25_batch"] = round(query_s, 3)
+    shutil.rmtree(shard_dir, ignore_errors=True)
 
     total = round(sum(queries.values()), 3)
     print(

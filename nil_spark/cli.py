@@ -1,0 +1,109 @@
+"""spark-submit entry point (north-rule packaging clause).
+
+Mirrors the reference's CLI-config-driven batch surface
+(/root/reference/src/main/kotlin/jp/ac/osaka_u/sdl/nil/NILConfig.kt:23-86)
+as a Spark application.  On a cluster:
+
+    zip -r nil_spark.zip nil_spark
+    spark-submit --master <cluster> --py-files nil_spark.zip \\
+        cli_main.py build --input <transcripts dir/table> --index-dir <dir>
+    spark-submit --master <cluster> --py-files nil_spark.zip \\
+        cli_main.py query --index-dir <dir> --queries <parquet> --out <dir>
+
+(`cli_main.py` is the thin launcher at the repo root; inside the zip the
+same logic is `python -m`-able as ``nil_spark.cli:main``.)
+
+Inputs may be parquet paths or Iceberg table identifiers
+(``--format iceberg``): the reader is gated on the catalog actually
+being configured, since the Iceberg runtime jar is environment-provided.
+In this sandbox only the parquet path is exercised.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from nil_spark.config import EngineConfig
+from nil_spark.operators.docids import assign_doc_ids
+from nil_spark.operators.segments import CheckpointedIndexBuilder, topk_maxscore
+from nil_spark.session import get_spark
+
+
+def read_docs(spark, path: str, fmt: str):
+    """Transcripts source: parquet dir or Iceberg table (gated)."""
+    if fmt == "iceberg":
+        # public API: spark.read.table over an Iceberg catalog table; the
+        # runtime jar + catalog conf must be on the cluster (not bundled)
+        return spark.read.table(path)
+    return spark.read.parquet(path)
+
+
+def cmd_build(args) -> int:
+    spark = get_spark(app="nil_spark_build", master=args.master,
+                      shuffle_partitions=args.shuffle_partitions)
+    cfg = EngineConfig(gram_size=args.gram_size)
+    docs = read_docs(spark, args.input, args.format)
+    docs = assign_doc_ids(docs, ["conv_id", "turn_idx"])
+    builder = CheckpointedIndexBuilder(args.index_dir, cfg)
+    idx = builder.build(docs)
+    print(json.dumps({
+        "n_docs": idx["n_docs"], "avgdl": round(idx["avgdl"], 3),
+        "segments": idx["segments"].count(),
+        "manifest": builder.manifest_path,
+    }))
+    spark.stop()
+    return 0
+
+
+def cmd_query(args) -> int:
+    spark = get_spark(app="nil_spark_query", master=args.master,
+                      shuffle_partitions=args.shuffle_partitions)
+    cfg = EngineConfig(gram_size=args.gram_size)
+    builder = CheckpointedIndexBuilder(args.index_dir, cfg)
+    segs = spark.read.parquet(f"{args.index_dir}/segments")
+    termdict = spark.read.parquet(f"{args.index_dir}/termdict")
+    docstats = spark.read.parquet(f"{args.index_dir}/docstats")
+    from nil_spark.operators.index import corpus_stats
+
+    n_docs, avgdl = corpus_stats(docstats)
+    q = spark.read.parquet(args.queries)
+    if "k" not in q.columns:
+        from pyspark.sql import functions as F
+
+        q = q.withColumn("k", F.lit(args.k))
+    out = topk_maxscore(q, segs, termdict, n_docs, avgdl, cfg)
+    out.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"results": spark.read.parquet(args.out).count(),
+                      "manifest": builder.manifest_path}))
+    spark.stop()
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="nil_spark")
+    ap.add_argument("--master", default="local[*]")
+    ap.add_argument("--shuffle-partitions", type=int, default=32)
+    ap.add_argument("--gram-size", type=int, default=1)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the checkpointed index")
+    b.add_argument("--input", required=True)
+    b.add_argument("--format", choices=["parquet", "iceberg"], default="parquet")
+    b.add_argument("--index-dir", required=True)
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query", help="BM25 top-k over a built index")
+    q.add_argument("--index-dir", required=True)
+    q.add_argument("--queries", required=True, help="parquet with (query_id, text[, k])")
+    q.add_argument("--out", required=True)
+    q.add_argument("-k", type=int, default=10)
+    q.set_defaults(fn=cmd_query)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -78,6 +78,46 @@ def make_tokenize_udf(cfg: EngineConfig):
     return tok
 
 
+def make_term_counts_udf(cfg: EngineConfig):
+    """Scalar pandas UDF: text -> struct(dl int,
+    tcs array<struct<term bigint, tf int>>) — per-doc (term, tf) pairs
+    computed IN the tokenizer (np.unique), so the index build needs no
+    (term, doc_id) hash aggregation at all: the 10^12-row groupBy whose
+    group count ~= its input count (map-side combine useless) vanishes;
+    the only index-build shuffle left is the segment range partition.
+    Terms are emitted term-ascending (np.unique order) — deterministic.
+    """
+
+    @F.pandas_udf("struct<dl:int, tcs:array<struct<term:bigint, tf:int>>>")
+    def tok(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for texts in it:
+            toks = tokenize_series(texts, cfg)
+            dl = toks.map(len).astype("int32")
+
+            def counts(ts: list[str]):
+                th = terms_for_tokens(ts, cfg)
+                if cfg.distinct_ngrams:
+                    return [(int(t), 1) for t in th]  # already unique+sorted
+                u, c = np.unique(th, return_counts=True)
+                return list(zip(u.tolist(), c.tolist()))
+
+            yield pd.DataFrame({"dl": dl, "tcs": toks.map(counts)})
+
+    return tok
+
+
+def with_term_counts(df: DataFrame, cfg: EngineConfig, text_col: str = "text") -> DataFrame:
+    """Append ``dl`` and ``tcs`` (per-doc (term, tf) pairs) with the
+    min-size scan predicates, mirroring :func:`with_terms`."""
+    out = df.withColumn("_tk", make_term_counts_udf(cfg)(F.col(text_col)))
+    out = out.withColumn("dl", F.col("_tk.dl")).withColumn("tcs", F.col("_tk.tcs")).drop("_tk")
+    if cfg.min_chars > 1:
+        out = out.filter(F.length(F.col(text_col)) >= cfg.min_chars)
+    if cfg.min_tokens > 1:
+        out = out.filter(F.col("dl") >= cfg.min_tokens)
+    return out
+
+
 def with_terms(df: DataFrame, cfg: EngineConfig, text_col: str = "text") -> DataFrame:
     """Append ``dl`` (token count) and ``terms`` (array<long> term ids)
     and apply the reference's min-size scan predicates

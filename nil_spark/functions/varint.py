@@ -16,19 +16,24 @@ _LOW7 = np.uint64(0x7F)
 _CONT = np.uint8(0x80)
 
 
+def byte_lengths(values: np.ndarray) -> np.ndarray:
+    """LEB128 bytes needed per value: ceil(bitlen/7), min 1."""
+    a = np.ascontiguousarray(values, dtype=np.uint64)
+    nbytes = np.ones(len(a), dtype=np.int64)
+    rest = a >> _SEVEN
+    while rest.any():
+        nbytes[rest != 0] += 1
+        rest = rest >> _SEVEN
+    return nbytes
+
+
 def encode(values: np.ndarray) -> bytes:
     """uint64 array -> LEB128 bytes."""
     a = np.ascontiguousarray(values, dtype=np.uint64)
     n = len(a)
     if n == 0:
         return b""
-    # bytes needed per value: ceil(bitlen/7), min 1
-    nbytes = np.ones(n, dtype=np.int64)
-    rest = a >> _SEVEN
-    while rest.any():
-        nz = rest != 0
-        nbytes[nz] += 1
-        rest = rest >> _SEVEN
+    nbytes = byte_lengths(a)
     total = int(nbytes.sum())
     out = np.empty(total, dtype=np.uint8)
     # start offset of each value's byte run

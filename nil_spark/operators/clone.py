@@ -95,23 +95,36 @@ def _lcs_udf_factory(cfg: EngineConfig):
     return run
 
 
-def clone_detect(docs: DataFrame, cfg: EngineConfig) -> DataFrame:
-    """Full two-tier pipeline → (id1, id2, ngram_sim, lcs_sim nullable).
+def clone_detect(
+    docs: DataFrame, cfg: EngineConfig, mode: str = "two_tier"
+) -> DataFrame:
+    """Clone pipeline → (id1, id2, ngram_sim, lcs_sim nullable).
 
-    ``lcs_sim`` is null on the tier-1 fast-accept path, mirroring the
-    nullable ``lcsSimilarity`` of ClonePairResult.kt:10-15.
+    ``mode="two_tier"`` (default): tier-1 n-gram fast-accept with null
+    ``lcs_sim`` (nullable ``lcsSimilarity`` of ClonePairResult.kt:10-15,
+    OptimizedCloneDetection.kt:17-56); ``mode="always_lcs"``: every
+    candidate goes through LCS — the reference's single-tier variant
+    (NormalCloneDetection.kt:16-45, present but unwired in NILMain).
     """
     cand = candidate_pairs(docs, cfg)
-    tier1 = (
-        cand.filter(F.col("sim") >= cfg.verification_threshold)
-        .select(
-            "id1",
-            "id2",
+    if mode == "always_lcs":
+        tier1 = cand.filter(F.lit(False)).select(
+            "id1", "id2",
             F.col("sim").alias("ngram_sim"),
             F.lit(None).cast("int").alias("lcs_sim"),
         )
-    )
-    residue = cand.filter(F.col("sim") < cfg.verification_threshold)
+        residue = cand
+    else:
+        tier1 = (
+            cand.filter(F.col("sim") >= cfg.verification_threshold)
+            .select(
+                "id1",
+                "id2",
+                F.col("sim").alias("ngram_sim"),
+                F.lit(None).cast("int").alias("lcs_sim"),
+            )
+        )
+        residue = cand.filter(F.col("sim") < cfg.verification_threshold)
 
     text = docs.select("doc_id", "text")
     joined = (

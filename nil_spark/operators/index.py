@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from nil_spark.config import EngineConfig
-from nil_spark.functions.tokenize import with_terms
+from nil_spark.functions.tokenize import with_term_counts, with_terms
 
 
 def doc_stats(docs_with_terms: DataFrame) -> DataFrame:
@@ -49,12 +49,20 @@ def corpus_stats(docstats: DataFrame) -> tuple[int, float]:
 def exploded_postings(docs_with_terms: DataFrame, cfg: EngineConfig) -> DataFrame:
     """(term, doc_id, tf, dl) — the logical inverted index.
 
-    ``explode`` fans each doc into its term occurrences; the tf
-    aggregation groups on (doc_id, term) so the shuffle key is never
-    skewed by hot terms.  ``dl`` rides along via the grouping key
-    (constant per doc), mirroring the reference's posting-resident
-    ``size`` (InvertedIndex.kt:20).
+    Accepts either tokenizer output: ``tcs`` (per-doc (term, tf) pairs
+    pre-counted inside the Arrow UDF — preferred: a pure narrow explode,
+    NO shuffle) or flat ``terms`` (falls back to a (term, doc_id)
+    groupBy whose group count ≈ input count, so map-side combine buys
+    nothing — measured 2-3x slower at 27M postings).  ``dl`` rides
+    along per row, mirroring the reference's posting-resident ``size``
+    (InvertedIndex.kt:20).
     """
+    if "tcs" in docs_with_terms.columns:
+        ex = docs_with_terms.select("doc_id", "dl", F.explode("tcs").alias("tc"))
+        return ex.select(
+            F.col("tc.term").alias("term"), "doc_id", "dl",
+            F.col("tc.tf").alias("tf"),
+        )
     ex = docs_with_terms.select(
         "doc_id", "dl", F.explode("terms").alias("term")
     )
@@ -93,7 +101,7 @@ def build_index(
     # persist the tokenized view: docstats, postings and termdict all
     # derive from it and would otherwise re-run the tokenizer UDF per
     # consumer (at cluster scale this would be a checkpoint instead)
-    dt = with_terms(docs, cfg, text_col=text_col).persist()
+    dt = with_term_counts(docs, cfg, text_col=text_col).persist()
     docstats = doc_stats(dt)
     postings = exploded_postings(dt, cfg)
     # termdict is re-read by every query batch (idf lookup) — keep it hot

@@ -1,6 +1,22 @@
 """Compressed index segments: delta+varint posting blobs with block-max
-metadata, built by range-partitioned external merge; exact top-k via a
-MaxScore/block-max traversal UDF.
+metadata; three build paths and three query paths, all rank-identical
+to the pure-Python oracle:
+
+build — ``build_segments`` (classic: posting relation -> (term, doc_id)
+range shuffle -> encode sweep), ``build_partial_segments`` (fused: ONE
+Arrow stage does tokenize + per-partition term-major transpose +
+vectorized encode; minimal JVM/Python traffic; NIL's partial indexes),
+``merge_segments`` (vectorized decode-all/re-encode external merge into
+the globally term-sorted store).
+
+query — ``topk_maxscore`` (join segments to the query batch, per-query
+MaxScore traversal with block-max skipping: exact, no index residency
+assumed), ``topk_maxscore_sharded`` (document-sharded scatter/gather:
+shards worker-resident, per-shard top-k, tiny global merge),
+``topk_replica_resident`` (replica model: whole decoded index cached
+per reused Python worker, query batch partitioned, dense vectorized
+scoring — the highest-throughput path when a shard group fits node
+memory).
 
 Reference analog: the partial inverted indexes of the partition loop
 (/root/reference/src/main/kotlin/jp/ac/osaka_u/sdl/nil/NILMain.kt:71-119
@@ -33,13 +49,14 @@ query time without touching doc stats.
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nil_spark.config import EngineConfig
@@ -150,6 +167,254 @@ def build_segments(
             yield pd.DataFrame(flush(), columns=cols)
 
     return p.mapInPandas(sweep, schema=SEGMENT_SCHEMA)
+
+
+DOCSTAT_SENTINEL = -1  # term ids are md5-prefix63 hashes, always >= 0
+
+
+def _encode_run_table(
+    terms: np.ndarray,
+    docs: np.ndarray,
+    tfs: np.ndarray,
+    dlv: np.ndarray,
+    cfg: EngineConfig,
+    max_chunk: int,
+) -> dict:
+    """Vectorized chunk/blob/block-max construction over a whole posting
+    table at once — one numpy pass, no per-term Python (SURVEY.md §7
+    hard part (b)).  Sorts by (term, doc) internally; returns a
+    column->values dict in SEGMENT_SCHEMA order."""
+    order = np.lexsort((docs, terms))
+    terms, tfs, docs, dlv = terms[order], tfs[order], docs[order], dlv[order]
+    cuts = np.flatnonzero(np.diff(terms)) + 1
+    starts = np.concatenate(([0], cuts))
+    ends = np.concatenate((cuts, [len(terms)]))
+
+    run_lens = ends - starts
+    reps = (run_lens + max_chunk - 1) // max_chunk
+    rep_off = np.concatenate(([0], np.cumsum(reps)[:-1]))
+    chunk_run = np.repeat(np.arange(len(starts)), reps)
+    pos_in_run = np.arange(len(chunk_run)) - rep_off[chunk_run]
+    c_starts = starts[chunk_run] + pos_in_run * max_chunk
+    c_ends = np.minimum(c_starts + max_chunk, ends[chunk_run])
+    n_post = c_ends - c_starts
+    nc = len(c_starts)
+
+    # delta gaps, reset to absolute at every chunk start (negative
+    # diffs at run boundaries wrap as uint64 but are overwritten)
+    gaps = np.empty(len(docs), dtype=np.uint64)
+    gaps[1:] = (docs[1:] - docs[:-1]).astype(np.uint64)
+    gaps[c_starts] = docs[c_starts].astype(np.uint64)
+
+    def bufs_and_offsets(vals: np.ndarray):
+        off = np.zeros(len(vals) + 1, dtype=np.int64)
+        off[1:] = np.cumsum(varint.byte_lengths(vals))
+        return varint.encode(vals), off
+
+    doc_buf, doc_off = bufs_and_offsets(gaps)
+    tf_buf, tf_off = bufs_and_offsets(tfs.astype(np.uint64))
+    dl_buf, dl_off = bufs_and_offsets(dlv.astype(np.uint64))
+
+    k1, b = cfg.bm25_k1, cfg.bm25_b
+    bs = cfg.block_size
+    bpc = (n_post + bs - 1) // bs
+    b_off = np.concatenate(([0], np.cumsum(bpc)))
+    blk_chunk = np.repeat(np.arange(nc), bpc)
+    pos_in_chunk = np.arange(len(blk_chunk)) - b_off[:-1][blk_chunk]
+    blk_starts = c_starts[blk_chunk] + pos_in_chunk * bs
+    tfn = (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b))
+    bmax = np.nextafter(np.maximum.reduceat(tfn, blk_starts), np.inf)
+    bfirst = docs[blk_starts]
+
+    return {
+        "term": terms[c_starts],
+        "chunk_idx": pos_in_run.astype(np.int32),
+        "first_doc": docs[c_starts],
+        "n_postings": n_post,
+        "doc_blob": [doc_buf[doc_off[s]:doc_off[e]] for s, e in zip(c_starts, c_ends)],
+        "tf_blob": [tf_buf[tf_off[s]:tf_off[e]] for s, e in zip(c_starts, c_ends)],
+        "dl_blob": [dl_buf[dl_off[s]:dl_off[e]] for s, e in zip(c_starts, c_ends)],
+        "bm_first": [bfirst[b_off[i]:b_off[i + 1]].tolist() for i in range(nc)],
+        "bm_max": [bmax[b_off[i]:b_off[i + 1]].tolist() for i in range(nc)],
+    }
+
+
+def _decode_chunk_table(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized inverse of :func:`_encode_run_table` over a chunk-row
+    table: one concatenated varint decode per stream, then a segmented
+    cumsum converts gap streams back to absolute doc ids.  Returns
+    per-posting (terms, docs, tfs, dls)."""
+    n_post = pdf["n_postings"].to_numpy(np.int64)
+    c_off = np.concatenate(([0], np.cumsum(n_post)))
+    doc_buf = b"".join(bytes(x) for x in pdf["doc_blob"])
+    tf_buf = b"".join(bytes(x) for x in pdf["tf_blob"])
+    dl_buf = b"".join(bytes(x) for x in pdf["dl_blob"])
+    gaps = varint.decode(doc_buf).astype(np.int64)
+    tfs = varint.decode(tf_buf).astype(np.float64)
+    dls = varint.decode(dl_buf).astype(np.float64)
+    csum = np.cumsum(gaps)
+    cs = c_off[:-1]
+    # per chunk: docs = first_doc + (csum - csum[cs]); gaps[cs] is the
+    # absolute first doc, so correction = csum[cs] - gaps[cs]
+    corr = np.repeat(csum[cs] - gaps[cs], n_post)
+    docs = csum - corr
+    terms = np.repeat(pdf["term"].to_numpy(np.int64), n_post)
+    return terms, docs, tfs, dls
+
+
+def merge_segments(
+    chunked: DataFrame, cfg: EngineConfig, max_chunk: int = 1 << 20
+) -> DataFrame:
+    """External merge of self-contained chunks into consolidated
+    term-runs: range-partition by (term, first_doc) — the globally
+    term-sorted store — then per partition decode-all + re-encode in
+    one vectorized pass (reference analog: the partition-loop merge of
+    NILMain.kt:71-119).  Consolidation matters for query latency:
+    fan-in from P partial builds leaves ~P chunks per term, and the
+    per-chunk overhead of the MaxScore traversal is per-row Python."""
+    p = chunked.repartitionByRange(
+        cfg.num_segments, "term", "first_doc"
+    ).sortWithinPartitions("term", "first_doc")
+
+    def msweep(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [pdf for pdf in it if len(pdf)]
+        if not parts:
+            return
+        whole = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        terms, docs, tfs, dls = _decode_chunk_table(whole)
+        yield pd.DataFrame(_encode_run_table(terms, docs, tfs, dls, cfg, max_chunk))
+
+    return p.mapInPandas(msweep, schema=SEGMENT_SCHEMA)
+
+
+def build_partial_segments(
+    docs_with_ids: DataFrame, cfg: EngineConfig, max_chunk: int = 1 << 20
+) -> DataFrame:
+    """Single-pass fused build: text -> tokenize -> per-partition
+    term-major transpose -> compressed chunk rows, in ONE Arrow stage.
+
+    Reference analog: the per-partition partial inverted indexes of
+    NILMain.kt:71-87 / InvertedIndex.kt:10-23, built in one sweep of the
+    partition's docs.  Compared to the explode -> shuffle -> encode
+    pipeline, the only bytes that cross the JVM/Python boundary are the
+    input text and the compressed output blobs (~5-10x less Arrow
+    traffic), and the pre-Python posting shuffle disappears entirely —
+    on hosts/clusters where the Python channel is the scarce resource
+    this is the difference between a flat and a scaling build.
+
+    Output: SEGMENT_SCHEMA rows, many chunks per term (one per doc
+    partition it occurs in; chunks are self-contained and doc-disjoint
+    ONLY if the input is doc-range partitioned — topk_maxscore does not
+    require disjointness).  One sentinel row per partition
+    (term = DOCSTAT_SENTINEL) carries the partition's docstats:
+    n_postings = n_docs, doc_blob = varint doc ids, dl_blob = varint
+    dls, bm_max = [sum dl] — so corpus stats need no second pass.
+    """
+    from nil_spark.functions.tokenize import terms_for_tokens, tokenize_series
+
+    cols = [
+        "term", "chunk_idx", "first_doc", "n_postings",
+        "doc_blob", "tf_blob", "dl_blob", "bm_first", "bm_max",
+    ]
+
+    def sweep(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_docs: list[np.ndarray] = []
+        all_terms: list[np.ndarray] = []
+        all_tfs: list[np.ndarray] = []
+        all_dls: list[np.ndarray] = []
+        part_docs: list[np.ndarray] = []
+        part_dls: list[np.ndarray] = []
+
+        for pdf in it:
+            toks = tokenize_series(pdf["text"], cfg)
+            ids = pdf["doc_id"].to_numpy(np.int64)
+            dls = np.empty(len(pdf), dtype=np.int64)
+            for i, ts in enumerate(toks):
+                dls[i] = len(ts)
+                th = terms_for_tokens(ts, cfg)
+                if cfg.distinct_ngrams:
+                    u, c = th, np.ones(len(th), dtype=np.int64)
+                else:
+                    u, c = np.unique(th, return_counts=True)
+                all_terms.append(u)
+                all_tfs.append(c)
+                all_docs.append(np.full(len(u), ids[i], dtype=np.int64))
+                all_dls.append(np.full(len(u), dls[i], dtype=np.int64))
+            part_docs.append(ids)
+            part_dls.append(dls)
+
+        if not all_terms:
+            return
+        terms = np.concatenate(all_terms)
+        tfs = np.concatenate(all_tfs).astype(np.float64)
+        docs = np.concatenate(all_docs)
+        dlv = np.concatenate(all_dls).astype(np.float64)
+        rows = _encode_run_table(terms, docs, tfs, dlv, cfg, max_chunk)
+        # partition docstats sentinel
+        pdocs = np.concatenate(part_docs)
+        pdls = np.concatenate(part_dls)
+        o = np.argsort(pdocs, kind="stable")
+        pdocs, pdls = pdocs[o], pdls[o]
+        sentinel = pd.DataFrame(
+            [
+                (
+                    DOCSTAT_SENTINEL,
+                    0,
+                    int(pdocs[0]) if len(pdocs) else 0,
+                    len(pdocs),
+                    varint.encode_deltas(pdocs),
+                    b"",
+                    varint.encode(pdls.astype(np.uint64)),
+                    [],
+                    [float(pdls.sum())],
+                )
+            ],
+            columns=cols,
+        )
+        yield pd.concat([pd.DataFrame(rows, columns=cols), sentinel], ignore_index=True)
+
+    return docs_with_ids.select("doc_id", "text").mapInPandas(
+        sweep, schema=SEGMENT_SCHEMA
+    )
+
+
+def build_index_fused(docs_with_ids: DataFrame, cfg: EngineConfig) -> dict:
+    """Fused single-Python-pass index build + JVM-only external merge.
+
+    Returns the same handle shape topk_maxscore consumes:
+    {segments, termdict, docstats(blobs), n_docs, avgdl}.  The external
+    merge into a globally term-sorted store is a pure-JVM
+    repartitionByRange over self-contained chunk rows — no decode, no
+    second Python pass (reference analog: the partition-loop merge of
+    NILMain.kt:71-119 as a sort of compressed runs).
+    """
+    raw = build_partial_segments(docs_with_ids, cfg).persist()
+    sent = raw.filter(F.col("term") == DOCSTAT_SENTINEL)
+    segs = raw.filter(F.col("term") != DOCSTAT_SENTINEL)
+
+    stats = sent.agg(
+        F.sum("n_postings").alias("n"), F.sum(F.element_at("bm_max", 1)).alias("s")
+    ).collect()[0]
+    n_docs = int(stats["n"])
+    avgdl = float(stats["s"]) / max(n_docs, 1)
+
+    termdict = segs.groupBy("term").agg(
+        F.sum("n_postings").cast("long").alias("df")
+    ).persist()
+
+    cutoff = cfg.df_stopword_cutoff
+    if cutoff is not None and cutoff < 1.0:
+        stop = termdict.filter(F.col("df") > int(cutoff * n_docs)).select("term")
+        segs = segs.join(F.broadcast(stop), "term", "left_anti")
+
+    merged = merge_segments(segs, cfg)
+    return {
+        "segments": merged,
+        "termdict": termdict,
+        "docstats_blobs": sent,
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+    }
 
 
 def decode_postings(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -270,6 +535,267 @@ def topk_maxscore(
 # ------------------------------------------------- checkpointed build
 
 
+# ---------------------------------------------- sharded query engine
+
+# per-worker shard cache: (path, scoring key) -> {term: (docs int64,
+# tfn float64)} with the BM25 tf-normalization PRE-computed at load, so
+# a query-term touch is one slice + one multiply.  Python workers are
+# reused across jobs (spark.python.worker.reuse=true), so a shard is
+# read and decoded ONCE per worker per index version — the Spark analog
+# of an index shard resident on its search node.
+_SHARD_CACHE: dict = {}
+
+
+def _load_shard(path: str, avgdl: float, k1: float, b: float) -> dict:
+    key = (path, round(avgdl, 9), k1, b)
+    ent = _SHARD_CACHE.get(key)
+    if ent is not None:
+        return ent
+    import pyarrow.parquet as pq
+
+    pdf = pq.read_table(
+        path, columns=["term", "n_postings", "doc_blob", "tf_blob", "dl_blob"]
+    ).to_pandas()
+    pdf = pdf[pdf["term"] != DOCSTAT_SENTINEL].reset_index(drop=True)
+    terms, docs, tfs, dls = _decode_chunk_table(pdf)
+    tfn = (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+    # one vectorized (term, doc) sort, then per-term views
+    order = np.lexsort((docs, terms))
+    terms, docs, tfn = terms[order], docs[order], tfn[order]
+    cuts = np.flatnonzero(np.diff(terms)) + 1
+    starts = np.concatenate(([0], cuts))
+    ends = np.concatenate((cuts, [len(terms)]))
+    shard = {
+        int(terms[s]): (docs[s:e], tfn[s:e]) for s, e in zip(starts, ends)
+    }
+    if len(_SHARD_CACHE) > 64:
+        _SHARD_CACHE.clear()
+    _SHARD_CACHE[key] = shard
+    return shard
+
+
+def topk_maxscore_sharded(
+    spark: SparkSession,
+    queries_pdf: pd.DataFrame,
+    shard_paths: list[str],
+    termdict_pdf: pd.DataFrame,
+    n_docs: int,
+    avgdl: float,
+    cfg: EngineConfig,
+) -> DataFrame:
+    """Document-sharded BM25 top-k: scatter the query batch to every
+    shard, per-shard MaxScore top-k against the worker-resident shard,
+    gather with a tiny global merge.
+
+    This is the classic document-partitioned search topology (each doc
+    lives in exactly one shard, so per-doc scores are exact with global
+    idf; the union of per-shard top-k contains the global top-k).  The
+    only shuffle is shards×k result rows — query execution never moves
+    or duplicates posting data, unlike the join-based topk_maxscore.
+
+    queries_pdf: (query_id, text, k) pandas; termdict_pdf: (term, df)
+    GLOBAL df (already stopword-pruned).  shard_paths: parquet files of
+    build_partial_segments output (one file = one doc shard).
+    """
+    from nil_spark.functions.tokenize import terms_for_tokens, tokenize_series
+
+    k1, b = cfg.bm25_k1, cfg.bm25_b
+    df_map = dict(zip(termdict_pdf["term"].astype(np.int64), termdict_pdf["df"].astype(np.int64)))
+
+    # query-side tokenize once on the driver (query batch is small)
+    qtoks = tokenize_series(queries_pdf["text"], cfg)
+    queries = []
+    for (qid, kk), ts in zip(zip(queries_pdf["query_id"], queries_pdf["k"]), qtoks):
+        th = np.unique(terms_for_tokens(ts, cfg))
+        terms = [
+            (int(t), math.log(1.0 + (n_docs - df_map[int(t)] + 0.5) / (df_map[int(t)] + 0.5)))
+            for t in th
+            if int(t) in df_map
+        ]
+        if terms:
+            queries.append((int(qid), int(kk), terms))
+
+    shards_df = spark.createDataFrame(
+        [(p,) for p in shard_paths], "path string"
+    ).repartition(len(shard_paths))
+
+    def per_shard(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for path in pdf["path"]:
+                shard = _load_shard(path, avgdl, k1, b)
+                out_q, out_d, out_s = [], [], []
+                for qid, kk, terms in queries:
+                    hits = [(shard[t], idf) for t, idf in terms if t in shard]
+                    if not hits:
+                        continue
+                    alld = np.concatenate([e[0] for e, _ in hits])
+                    allc = np.concatenate([e[1] * idf for e, idf in hits])
+                    docs, inv = np.unique(alld, return_inverse=True)
+                    scores = np.zeros(len(docs), dtype=np.float64)
+                    np.add.at(scores, inv, allc)
+                    scores = np.round(scores, SCORE_DECIMALS)
+                    top = np.lexsort((docs, -scores))[:kk]
+                    out_q.extend([qid] * len(top))
+                    out_d.extend(docs[top].tolist())
+                    out_s.extend(scores[top].tolist())
+                yield pd.DataFrame(
+                    {"query_id": out_q, "doc_id": out_d, "bm25": out_s}
+                )
+
+    partial = shards_df.mapInPandas(
+        per_shard, schema="query_id long, doc_id long, bm25 double"
+    )
+    kdf = F.broadcast(
+        spark.createDataFrame(
+            [(int(q), int(kk)) for q, kk, _ in queries], "query_id long, k int"
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    return (
+        partial.join(kdf, "query_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", "bm25")
+    )
+
+
+# replica cache: one merged decoded index per worker (term -> (docs,
+# tfn)).  Keyed by the sorted path tuple + scoring constants.
+_REPLICA_CACHE: dict = {}
+
+
+def _load_replica(paths: tuple, avgdl: float, k1: float, b: float) -> dict:
+    key = (paths, round(avgdl, 9), k1, b)
+    ent = _REPLICA_CACHE.get(key)
+    if ent is not None:
+        return ent
+    pieces: dict[int, list] = {}
+    for p in paths:
+        shard = _load_shard(p, avgdl, k1, b)
+        for t, dv in shard.items():
+            pieces.setdefault(t, []).append(dv)
+    merged = {
+        t: (
+            np.concatenate([d for d, _ in vs]),
+            np.concatenate([c for _, c in vs]),
+        )
+        if len(vs) > 1
+        else vs[0]
+        for t, vs in pieces.items()
+    }
+    _REPLICA_CACHE.clear()  # one live replica per worker
+    _REPLICA_CACHE[key] = merged
+    return merged
+
+
+def topk_replica_resident(
+    spark: SparkSession,
+    queries_pdf: pd.DataFrame,
+    shard_paths: list[str],
+    termdict_pdf: pd.DataFrame,
+    n_docs: int,
+    avgdl: float,
+    cfg: EngineConfig,
+    n_splits: int | None = None,
+) -> DataFrame:
+    """Replica-resident BM25 top-k: the decoded index lives in every
+    Python worker (loaded once, reused across jobs); the QUERY batch is
+    what Spark partitions.  Scoring is a dense ``np.bincount`` over doc
+    ids per query — O(touched postings), no sort — with top-k via
+    ``argpartition``.
+
+    Serving-topology note (100 TB): this is the replica model — right
+    when the index fits node memory (as here).  When it doesn't, use
+    :func:`topk_maxscore_sharded` (document-sharded scatter/gather) or
+    partition the term space; the query-side code is identical either
+    way because shard files are self-contained.
+    """
+    from nil_spark.functions.tokenize import terms_for_tokens, tokenize_series
+
+    k1, b = cfg.bm25_k1, cfg.bm25_b
+    df_map = dict(zip(termdict_pdf["term"].astype(np.int64), termdict_pdf["df"].astype(np.int64)))
+    qtoks = tokenize_series(queries_pdf["text"], cfg)
+    queries = []
+    for (qid, kk), ts in zip(zip(queries_pdf["query_id"], queries_pdf["k"]), qtoks):
+        th = np.unique(terms_for_tokens(ts, cfg))
+        terms = [
+            (int(t), math.log(1.0 + (n_docs - df_map[int(t)] + 0.5) / (df_map[int(t)] + 0.5)))
+            for t in th
+            if int(t) in df_map
+        ]
+        if terms:
+            queries.append((int(qid), int(kk), terms))
+
+    paths = tuple(sorted(shard_paths))
+    n_splits = n_splits or max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1
+    )
+    qdf = spark.createDataFrame(
+        [(i % n_splits, qid, kk, json.dumps(terms)) for i, (qid, kk, terms) in enumerate(queries)],
+        "split int, query_id long, k int, terms_json string",
+    ).repartition(n_splits, "split")
+
+    def per_split(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        replica = None
+        scores = None
+        mask = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if replica is None:
+                replica = _load_replica(paths, avgdl, k1, b)
+                scores = np.zeros(n_docs, dtype=np.float64)
+                mask = np.zeros(n_docs, dtype=bool)
+            out_q, out_d, out_s = [], [], []
+            for qid, kk, tj in zip(pdf["query_id"], pdf["k"], pdf["terms_json"]):
+                hits = [
+                    (replica[t], idf) for t, idf in json.loads(tj) if t in replica
+                ]
+                if not hits:
+                    continue
+                # dense accumulate: doc lists within a term are unique,
+                # so fancy-index += is safe per term
+                for e, idf in hits:
+                    scores[e[0]] += idf * e[1]
+                    mask[e[0]] = True
+                # extract over touched candidates only (not the whole
+                # corpus-sized array); flatnonzero over the packed bool
+                # mask yields them pre-sorted for ~1/8 the bandwidth of
+                # scanning the float array.  Round BEFORE ranking
+                # (rank-identity pin).
+                touched = np.flatnonzero(mask)
+                sc = np.round(scores[touched], SCORE_DECIMALS)
+                kk = min(int(kk), len(touched))
+                part = np.argpartition(-sc, kk - 1)[:kk] if kk < len(sc) else np.arange(len(sc))
+                # include the whole kth tie-group so doc_id breaks ties
+                # exactly like the oracle
+                kth = sc[part].min()
+                cand = np.flatnonzero(sc >= kth)
+                top = cand[np.lexsort((touched[cand], -sc[cand]))][:kk]
+                out_q.extend([int(qid)] * len(top))
+                out_d.extend(touched[top].tolist())
+                out_s.extend(sc[top].tolist())
+                scores[touched] = 0.0  # reset only touched slots
+                mask[touched] = False
+            yield pd.DataFrame({"query_id": out_q, "doc_id": out_d, "bm25": out_s})
+
+    partial = qdf.mapInPandas(
+        per_split, schema="query_id long, doc_id long, bm25 double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    kdf = F.broadcast(
+        spark.createDataFrame(
+            [(int(q), int(kk)) for q, kk, _ in queries], "query_id long, k int"
+        )
+    )
+    return (
+        partial.join(kdf, "query_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", "bm25")
+    )
+
+
 def _cfg_fingerprint(cfg: EngineConfig) -> str:
     import hashlib
 
@@ -343,12 +869,12 @@ class CheckpointedIndexBuilder:
 
     def build(self, docs: DataFrame) -> dict:
         """docs must carry doc_id + text.  Returns index handle dict."""
-        from nil_spark.functions.tokenize import with_terms
+        from nil_spark.functions.tokenize import with_term_counts
 
         spark = docs.sparkSession
         cfg = self.cfg
 
-        dt = with_terms(docs, cfg).persist()
+        dt = with_term_counts(docs, cfg).persist()
         docstats = self._run_stage(
             "docstats", lambda: index_ops.doc_stats(dt), spark
         )

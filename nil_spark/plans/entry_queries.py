@@ -892,6 +892,80 @@ FROM documents
 """
 
 
+# ------------------------------------------- q: formatted pair output
+
+
+def q_pairs_formatted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result-shaping sink (SURVEY §2 S7/O2/O3 + P5): overlap candidate
+    pairs deduped by unordered key (unique_clone_analyzer.py:47-110),
+    broadcast-joined with the doc catalog (Format.kt:13-34) and
+    projected to the full-path style output (BCEFormat.kt:27-31)."""
+    pairs = q_overlap_candidates(spark, sf_dir)
+    # unordered-pair dedup (defensive: candidates are already id1<id2)
+    pairs = pairs.withColumn(
+        "pk", F.sort_array(F.array("id1", "id2"))
+    ).dropDuplicates(["pk"]).drop("pk")
+    cat = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    c1 = cat.select(
+        F.col("doc_id").alias("id1"), F.col("lang").alias("lang1"),
+        F.col("source").alias("src1"), F.col("n_chars").alias("chars1"),
+    )
+    c2 = cat.select(
+        F.col("doc_id").alias("id2"), F.col("lang").alias("lang2"),
+        F.col("source").alias("src2"), F.col("n_chars").alias("chars2"),
+    )
+    return (
+        pairs.join(F.broadcast(c1), "id1")
+        .join(F.broadcast(c2), "id2")
+        .select("id1", "id2", "sim", "lang1", "src1", "chars1", "lang2", "src2", "chars2")
+    )
+
+
+def _pairs_formatted_sql() -> str:
+    return f"""
+WITH {_DOCS_CTE},
+sh AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+       FROM docs, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+       WHERE len(toks) >= 3),
+g AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS nsh FROM g GROUP BY 1),
+inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+          FROM g a JOIN g b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pairs AS (
+  SELECT id1, id2, floor(inter * 100 / least(sa.nsh, sb.nsh))::BIGINT AS sim
+  FROM inter JOIN sizes sa ON inter.id1 = sa.doc_id
+             JOIN sizes sb ON inter.id2 = sb.doc_id
+  WHERE floor(inter * 100 / least(sa.nsh, sb.nsh)) >= 10)
+SELECT p.id1, p.id2, p.sim,
+       d1.lang AS lang1, d1.source AS src1, d1.n_chars AS chars1,
+       d2.lang AS lang2, d2.source AS src2, d2.n_chars AS chars2
+FROM pairs p JOIN documents d1 ON p.id1 = d1.doc_id
+             JOIN documents d2 ON p.id2 = d2.doc_id
+"""
+
+
+# ---------------------------------------------- q: two-tier clone pairs
+
+
+def q_clone_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's primary pipeline end-to-end (SURVEY §2.4 Q1-Q7):
+    candidate location → overlap filtration → tier-1 n-gram verify with
+    short-circuit → Hunt-Szymanski LCS verify on the residue.
+
+    No SQL oracle (LCS is not SQL-expressible — driver records the
+    rows-only check); exactness vs a naive-DP pure-Python oracle is
+    covered by tests/test_clone_detect.py."""
+    from nil_spark.config import EngineConfig
+    from nil_spark.operators.clone import clone_detect
+
+    cfg = EngineConfig(gram_size=3, filtration_threshold=10, verification_threshold=70)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return clone_detect(d, cfg)
+
+
 # --------------------------------------------------------- registry
 
 REGISTRY: dict[str, tuple] = {
@@ -917,6 +991,8 @@ REGISTRY: dict[str, tuple] = {
     "emb_neardup_pairs": (q_emb_neardup, _emb_neardup_sql()),
     "ann_ivf_topk": (q_ann_ivf_topk, _ann_ivf_sql()),
     "multimodal_features": (q_multimodal_features, _multimodal_sql()),
+    "clone_pairs": (q_clone_pairs, None),
+    "pairs_formatted": (q_pairs_formatted, _pairs_formatted_sql()),
 }
 
 

@@ -26,7 +26,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("NIL_SPARK_DRIVER_MEM", "16g"))
+        # local mode: one JVM hosts everything — size the heap for the
+        # machine (128 GiB here) or 32 threads of shuffle/sort/cache
+        # will spill and GC-thrash (observed: warm runs slower than cold)
+        .config("spark.driver.memory", os.environ.get("NIL_SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
     )

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nil_spark.config import EngineConfig
-from nil_spark.functions.tokenize import with_terms
+from nil_spark.functions.tokenize import with_term_counts
 from nil_spark.operators import index as index_ops
 from nil_spark.operators.segments import build_segments
 from nil_spark.sources.transcripts import TRANSCRIPT_SCHEMA
@@ -70,7 +70,7 @@ class IncrementalIndexer:
         docs = batch_df.withColumn(
             "doc_id", F.row_number().over(w).cast("long") + F.lit(offset) - 1
         )
-        dt = with_terms(docs, self.cfg).persist()
+        dt = with_term_counts(docs, self.cfg).persist()
         docstats = index_ops.doc_stats(dt)
         postings = index_ops.exploded_postings(dt, self.cfg)
         segs = build_segments(postings, self.cfg)

@@ -52,3 +52,29 @@ def test_clone_pairs_match_oracle(spark, transcripts_1k):
     # both tiers must be exercised
     assert got["lcs_sim"].isna().any(), "tier-1 short-circuit path unused"
     assert got["lcs_sim"].notna().any(), "tier-2 LCS path unused"
+
+
+def test_always_lcs_mode(spark, transcripts_1k):
+    """Single-tier variant (NormalCloneDetection.kt:16-45): every pair
+    carries an LCS similarity >= delta; pair set = candidates whose LCS
+    passes, computed from the oracle kernels."""
+    docs = spark.createDataFrame(transcripts_1k, schema=TRANSCRIPT_SCHEMA)
+    docs = assign_doc_ids(docs, ["conv_id", "turn_idx"], num_partitions=4)
+    got = (
+        clone_detect(docs, CFG, mode="always_lcs")
+        .toPandas()
+        .sort_values(["id1", "id2"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    assert got["lcs_sim"].notna().all(), "single-tier must always verify by LCS"
+    assert (got["lcs_sim"] >= CFG.verification_threshold).all()
+
+    # cross-check against the two-tier run: the tier-2 (residue) pairs
+    # of two_tier appear identically here, and every always_lcs pair is
+    # a filtration-surviving candidate
+    two = clone_detect(docs, CFG).toPandas()
+    residue = two[two["lcs_sim"].notna()].sort_values(["id1", "id2"])
+    merged = residue.merge(got, on=["id1", "id2"], suffixes=("_t", "_a"))
+    assert len(merged) == len(residue)
+    assert (merged["lcs_sim_t"].values == merged["lcs_sim_a"].values).all()

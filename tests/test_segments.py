@@ -149,3 +149,123 @@ def test_checkpoint_resume(spark, transcripts_1k, queries_1k, tmp_path):
     oracle = oracle.sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert (got["doc_id"].values == oracle["doc_id"].values).all()
     assert np.allclose(got["bm25"].values, oracle["bm25"].values, atol=1e-6)
+
+
+def test_fused_build_rank_identical(spark, transcripts_1k, queries_1k):
+    """Fused single-pass build (build_index_fused) must answer queries
+    rank-identically to the oracle and to the classic pipeline."""
+    from nil_spark.operators.segments import build_index_fused
+
+    docs = spark.createDataFrame(transcripts_1k, schema=TRANSCRIPT_SCHEMA)
+    docs = assign_doc_ids(docs, ["conv_id", "turn_idx"], num_partitions=4)
+    idx = build_index_fused(docs.repartition(5), CFG)
+    assert idx["n_docs"] == len(transcripts_1k)
+
+    q = spark.createDataFrame(queries_1k, schema="query_id long, text string, k int")
+    got = (
+        topk_maxscore(q, idx["segments"], idx["termdict"], idx["n_docs"], idx["avgdl"], CFG)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    oracle = OracleIndex(transcripts_1k, CFG).topk_frame(queries_1k)
+    oracle = oracle.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(got) == len(oracle)
+    assert (got["doc_id"].values == oracle["doc_id"].values).all()
+    assert np.allclose(got["bm25"].values, oracle["bm25"].values, atol=1e-6)
+
+    # docstats sentinels reconstruct the corpus exactly
+    import pandas as _pd
+    from nil_spark.functions import varint as _v
+
+    sent = idx["docstats_blobs"].toPandas()
+    all_ids = np.sort(np.concatenate([_v.decode_deltas(bytes(b)) for b in sent["doc_blob"]]))
+    assert (all_ids == np.arange(len(transcripts_1k))).all()
+
+
+def test_sharded_topk_rank_identical(spark, transcripts_1k, queries_1k, tmp_path):
+    """Document-sharded scatter/gather top-k must equal the oracle."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from nil_spark.operators.segments import (
+        DOCSTAT_SENTINEL,
+        build_partial_segments,
+        topk_maxscore_sharded,
+    )
+
+    docs = spark.createDataFrame(transcripts_1k, schema=TRANSCRIPT_SCHEMA)
+    docs = assign_doc_ids(docs, ["conv_id", "turn_idx"], num_partitions=4)
+    shard_dir = str(tmp_path / "shards")
+    raw = build_partial_segments(docs.repartition(6), CFG)
+    raw.write.parquet(shard_dir)
+
+    raw2 = spark.read.parquet(shard_dir)
+    sent = raw2.filter(F.col("term") == DOCSTAT_SENTINEL)
+    stats = sent.agg(
+        F.sum("n_postings").alias("n"), F.sum(F.element_at("bm_max", 1)).alias("s")
+    ).collect()[0]
+    n_docs, avgdl = int(stats["n"]), float(stats["s"]) / int(stats["n"])
+    termdict = (
+        raw2.filter(F.col("term") != DOCSTAT_SENTINEL)
+        .groupBy("term").agg(F.sum("n_postings").cast("long").alias("df"))
+    )
+    if CFG.df_stopword_cutoff < 1.0:
+        termdict = termdict.filter(F.col("df") <= int(CFG.df_stopword_cutoff * n_docs))
+    paths = sorted(glob.glob(shard_dir + "/part-*.parquet"))
+    assert len(paths) >= 2
+
+    got = (
+        topk_maxscore_sharded(
+            spark, queries_1k, paths, termdict.toPandas(), n_docs, avgdl, CFG
+        )
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    oracle = OracleIndex(transcripts_1k, CFG).topk_frame(queries_1k)
+    oracle = oracle.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(got) == len(oracle)
+    assert (got["doc_id"].values == oracle["doc_id"].values).all()
+    assert np.allclose(got["bm25"].values, oracle["bm25"].values, atol=1e-6)
+
+
+def test_replica_topk_rank_identical(spark, transcripts_1k, queries_1k, tmp_path):
+    """Replica-resident dense-scoring top-k must equal the oracle."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from nil_spark.operators.segments import (
+        DOCSTAT_SENTINEL,
+        build_partial_segments,
+        topk_replica_resident,
+    )
+
+    docs = spark.createDataFrame(transcripts_1k, schema=TRANSCRIPT_SCHEMA)
+    docs = assign_doc_ids(docs, ["conv_id", "turn_idx"], num_partitions=4)
+    shard_dir = str(tmp_path / "rshards")
+    build_partial_segments(docs.repartition(6), CFG).write.parquet(shard_dir)
+
+    raw2 = spark.read.parquet(shard_dir)
+    sent = raw2.filter(F.col("term") == DOCSTAT_SENTINEL)
+    stats = sent.agg(
+        F.sum("n_postings").alias("n"), F.sum(F.element_at("bm_max", 1)).alias("s")
+    ).collect()[0]
+    n_docs, avgdl = int(stats["n"]), float(stats["s"]) / int(stats["n"])
+    termdict = (
+        raw2.filter(F.col("term") != DOCSTAT_SENTINEL)
+        .groupBy("term").agg(F.sum("n_postings").cast("long").alias("df"))
+    )
+    if CFG.df_stopword_cutoff < 1.0:
+        termdict = termdict.filter(F.col("df") <= int(CFG.df_stopword_cutoff * n_docs))
+    paths = sorted(glob.glob(shard_dir + "/part-*.parquet"))
+
+    got = (
+        topk_replica_resident(
+            spark, queries_1k, paths, termdict.toPandas(), n_docs, avgdl, CFG
+        )
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    oracle = OracleIndex(transcripts_1k, CFG).topk_frame(queries_1k)
+    oracle = oracle.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(got) == len(oracle)
+    assert (got["doc_id"].values == oracle["doc_id"].values).all()
+    assert np.allclose(got["bm25"].values, oracle["bm25"].values, atol=1e-6)
