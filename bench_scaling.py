@@ -39,7 +39,8 @@ import sys
 import time
 
 TURNS = int(os.environ.get("NIL_SCALE_TURNS", "1500000"))
-QUERIES = int(os.environ.get("NIL_SCALE_QUERIES", "8000"))
+QUERIES = int(os.environ.get("NIL_SCALE_QUERIES", "16000"))
+CUTOFF = float(os.environ.get("NIL_SCALE_CUTOFF", "0.2"))
 DOC_PARTITIONS = 32  # fixed across parallelism levels: identical work
 CORPUS_DIR = os.environ.get("NIL_SCALE_CORPUS", f"/tmp/nil_scale_corpus_{TURNS}")
 
@@ -91,7 +92,7 @@ def worker(cores: int) -> None:
     def force(df):
         df.write.format("noop").mode("overwrite").save()
 
-    cfg = EngineConfig(gram_size=1, num_segments=DOC_PARTITIONS)
+    cfg = EngineConfig(gram_size=1, num_segments=DOC_PARTITIONS, df_stopword_cutoff=CUTOFF)
     materialize_corpus()
     qpdf = gen_queries(gen_transcripts(TURNS, seed=42), n_queries=QUERIES, k=10, seed=43)
     shard_dir = f"/tmp/nil_scale_shards_c{cores}"
