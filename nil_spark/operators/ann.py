@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from nil_spark.functions.hashing import md5_prefix64_col
+from nil_spark.functions.hashing import md5_prefix64_py
 
 ANN_PLANES = 8  # LSH hyperplanes → 2^8 buckets
 
@@ -70,39 +70,34 @@ def cosine_topk(
     )
 
 
-def hyperplane_component(plane: F.Column, dim: F.Column) -> F.Column:
+def hyperplane_component_py(plane: int, dim: int) -> float:
     """Pinned pseudo-random hyperplane component in [-1, 1):
-    (md5_prefix64('p:<plane>:<dim>') % 2001 - 1000) / 1000."""
-    key = F.concat_ws(":", F.lit("p"), plane.cast("string"), dim.cast("string"))
-    return (md5_prefix64_col(key) % 2001 - 1000) / 1000.0
+    (md5_prefix64('p:<plane>:<dim>') % 2001 - 1000) / 1000.  Computed
+    driver-side; the SQL oracle computes the identical expression
+    (integer %/−, then IEEE754 divide by 1000.0 in both runtimes)."""
+    return (md5_prefix64_py(f"p:{plane}:{dim}") % 2001 - 1000) / 1000.0
 
 
-def lsh_bucket(df: DataFrame, vec_col: str, n_planes: int = ANN_PLANES) -> DataFrame:
+def lsh_bucket(
+    df: DataFrame, vec_col: str, n_planes: int = ANN_PLANES, dims: int | None = None
+) -> DataFrame:
     """Append an int bucket = sign bits of <vec, plane_p> for each pinned
-    hyperplane."""
-    spark = df.sparkSession
-    dims = df.select(F.size(vec_col).alias("d")).limit(1).collect()[0]["d"]
-    planes = spark.range(n_planes).select(
-        F.col("id").cast("int").alias("plane"),
-        F.array(
-            *[hyperplane_component(F.col("id"), F.lit(j)) for j in range(dims)]
-        ).alias("pvec"),
-    )
-    sig = (
-        df.crossJoin(F.broadcast(planes))
-        .select(
-            *df.columns,
-            F.when(
-                _dot(F.col(vec_col), F.col("pvec")) > 0,
-                F.expr("shiftleft(CAST(1 AS BIGINT), plane)"),
-            )
-            .otherwise(F.lit(0).cast("long"))
-            .alias("bit"),
+    hyperplane — ONE codegen'd projection per row.  Plane vectors are
+    pinned literals computed driver-side, so there is no crossJoin, no
+    groupBy-on-the-vector-column, and no shuffle (the round-1 shape
+    hashed full 64-dim arrays through an exchange just to reassemble
+    rows it already had)."""
+    if dims is None:
+        dims = df.select(F.size(vec_col).alias("d")).limit(1).collect()[0]["d"]
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        pvec = F.array(
+            *[F.lit(hyperplane_component_py(p, j)) for j in range(dims)]
         )
-        .groupBy(*df.columns)
-        .agg(F.sum("bit").cast("int").alias("bucket"))
-    )
-    return sig
+        bucket = bucket + F.when(
+            _dot(F.col(vec_col), pvec) > 0, F.lit(1 << p).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return df.withColumn("bucket", bucket.cast("int"))
 
 
 def ivf_assign(

@@ -10,9 +10,11 @@ All hashes here are the *cross-system* md5-prefix family
 (functions/hashing.py) so every operator has an exact DuckDB SQL oracle.
 Pure JVM expressions throughout — no Python in the hot path.
 
-Scale notes: minhash signatures aggregate on (doc_id, perm_id) — never
-skewed; the LSH bucket self-join fans out only within buckets, and a
-``bucket_cap`` guards degenerate buckets (the df-cutoff analog).
+Scale notes: minhash signatures are one groupBy(doc_id) carrying k
+literal-permutation min aggregates (each shingle crosses the exchange
+once — no perm fan-out before the shuffle); the LSH bucket self-join
+fans out only within buckets, and a ``bucket_cap`` guards degenerate
+buckets (the df-cutoff analog).
 """
 
 from __future__ import annotations
@@ -65,37 +67,60 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return h.join(groups, "h").select("doc_id", "canon_id", "group_size")
 
 
-def minhash_signatures(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """(doc_id, perm_id, mh) — min over shingles of (a·(h64%P)+b) % P."""
-    spark = sh.sparkSession
-    perms = spark.createDataFrame(minhash_perms(k), "perm_id int, a long, b long")
+def minhash_signatures_wide(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, mh0..mh{k-1}) — ONE groupBy(doc_id) with k literal-perm
+    min aggregates.  Each shingle row crosses the exchange exactly once;
+    the earlier perm-crossJoin shape multiplied every shingle ×k before
+    the shuffle (the round-1 bench's dominant cost)."""
     hp = sh.select(
         "doc_id", (md5_prefix64_col(F.col("shingle")) % MINHASH_P).alias("hp")
     )
-    return (
-        hp.crossJoin(F.broadcast(perms))
-        .groupBy("doc_id", "perm_id")
-        .agg(F.min((F.col("a") * F.col("hp") + F.col("b")) % MINHASH_P).alias("mh"))
+    aggs = [
+        F.min((F.lit(a) * F.col("hp") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+        for i, a, b in minhash_perms(k)
+    ]
+    return hp.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, perm_id, mh) — narrow view of the wide aggregate (a
+    post-shuffle stack projection; no extra exchange)."""
+    wide = minhash_signatures_wide(sh, k)
+    pairs = ", ".join(f"{i}, mh{i}" for i in range(k))
+    return wide.select(
+        "doc_id", F.expr(f"stack({k}, {pairs}) AS (perm_id, mh)")
     )
+
+
+def lsh_band_keys(
+    wide: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+) -> DataFrame:
+    """(doc_id, band, band_key) from wide signatures — pure projection +
+    explode, no shuffle (band_key = mh values in perm order, '-'-joined,
+    matching the SQL oracle's string_agg ORDER BY perm_id)."""
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "-", *[F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    return wide.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key"))
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS, bucket_cap: int = 10_000
+    sigs_wide: DataFrame,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    bucket_cap: int = 10_000,
 ) -> DataFrame:
-    """(id1, id2) distinct — pairs sharing at least one LSH band."""
-    banded = (
-        sigs.withColumn("band", (F.col("perm_id") / rows).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("perm_id", "mh"))),
-                    lambda x: x["mh"].cast("string"),
-                ),
-                "-",
-            ).alias("band_key")
-        )
-    )
+    """(id1, id2) distinct — pairs sharing at least one LSH band.
+    Takes *wide* signatures (``minhash_signatures_wide``)."""
+    banded = lsh_band_keys(sigs_wide, bands, rows)
     # guard degenerate buckets (hot-bucket analog of df stopword pruning)
     sizes = banded.groupBy("band", "band_key").agg(F.count("*").alias("bsz"))
     banded = banded.join(
@@ -154,7 +179,7 @@ def minhash_dedup(
     both so the DAG doesn't re-derive them per branch (cluster analog:
     checkpoint)."""
     sh = shingles(df, n).persist()
-    sigs = minhash_signatures(sh, k)
+    sigs = minhash_signatures_wide(sh, k)
     cand = lsh_candidate_pairs(sigs, bands, rows)
     return jaccard_verify(cand, sh).filter(F.col("jaccard") >= threshold)
 

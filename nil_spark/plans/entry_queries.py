@@ -424,7 +424,7 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     sh = dedup.shingles(d, 3).persist()  # 3 consumers: sigs + verify join (x2)
-    sigs = dedup.minhash_signatures(sh)
+    sigs = dedup.minhash_signatures_wide(sh)
     cand = dedup.lsh_candidate_pairs(sigs)
     return dedup.jaccard_verify(cand, sh).select(
         "id1", "id2", "inter", "jaccard"
@@ -647,8 +647,8 @@ WITH g AS (
               THEN 1 ELSE 0 END AS new_sess
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 s AS (SELECT user_id, ts,
-             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_id
+             (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
       FROM g)
 SELECT user_id, session_id, count(*)::BIGINT AS n_events,
        min(ts) AS session_start, max(ts) AS session_end
