@@ -966,6 +966,162 @@ def q_clone_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clone_detect(d, cfg)
 
 
+# ---------------------------------------------- q: tracking cascade
+
+
+def q_tracking_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 similarity-tracking cascade (method_tracker.py:239-375),
+    SQL-expressible tier-1 variant: src0 (old snapshot) vs src1 (new),
+    exact signature (lang, token count) → content-hash on the residue →
+    mutual-best n-gram similarity (≥10%) on what is left.  The full
+    variant with the LCS stage is pytest-oracled
+    (tests/test_tracking.py); this registers the cascade's composition
+    and residue plumbing under the driver's DuckDB gate."""
+    from nil_spark.config import EngineConfig
+    from nil_spark.operators.tracking import track_snapshots
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.filter(F.split(F.lower("text"), TOKEN_SPLIT), lambda x: x != "")
+    base = d.select("doc_id", "text", "lang", "source", F.size(toks).alias("n_toks"))
+    old = base.filter(F.col("source") == "src0").drop("source")
+    new = base.filter(F.col("source") == "src1").drop("source")
+
+    def shingle_terms(df: DataFrame, idc: str) -> DataFrame:
+        t = df.select(
+            idc,
+            F.filter(F.split(F.lower("text"), TOKEN_SPLIT), lambda x: x != "").alias(
+                "toks"
+            ),
+        )
+        sh = F.when(
+            F.size("toks") >= 3,
+            F.expr(
+                "transform(sequence(0, size(toks) - 3),"
+                " i -> concat_ws(' ', slice(toks, i + 1, 3)))"
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return t.select(idc, F.array_distinct(sh).alias("terms"))
+
+    out = track_snapshots(
+        old,
+        new,
+        EngineConfig(filtration_threshold=10),
+        sig_cols=["lang", "n_toks"],
+        use_lcs=False,
+        terms_fn=shingle_terms,
+    )
+    return out.select(
+        "id_old",
+        "id_new",
+        "stage",
+        F.coalesce("ngram_sim", F.lit(100)).cast("long").alias("sim"),
+    )
+
+
+def _tracking_cascade_sql() -> str:
+    return """
+WITH d0 AS (SELECT doc_id, text, lang,
+                   len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '')) AS n_toks, source
+            FROM documents WHERE source IN ('src0', 'src1')),
+old0 AS (SELECT doc_id AS id_old, text, lang, n_toks FROM d0 WHERE source = 'src0'),
+new0 AS (SELECT doc_id AS id_new, text, lang, n_toks FROM d0 WHERE source = 'src1'),
+ea AS (SELECT id_old, lang, n_toks,
+              row_number() OVER (PARTITION BY lang, n_toks ORDER BY id_old) AS rnk FROM old0),
+eb AS (SELECT id_new, lang, n_toks,
+              row_number() OVER (PARTITION BY lang, n_toks ORDER BY id_new) AS rnk FROM new0),
+exact AS (SELECT ea.id_old, eb.id_new FROM ea JOIN eb
+          ON ea.lang = eb.lang AND ea.n_toks = eb.n_toks AND ea.rnk = eb.rnk),
+old1 AS (SELECT * FROM old0 WHERE id_old NOT IN (SELECT id_old FROM exact)),
+new1 AS (SELECT * FROM new0 WHERE id_new NOT IN (SELECT id_new FROM exact)),
+ha AS (SELECT id_old, md5(text) AS h,
+              row_number() OVER (PARTITION BY md5(text) ORDER BY id_old) AS rnk FROM old1),
+hb AS (SELECT id_new, md5(text) AS h,
+              row_number() OVER (PARTITION BY md5(text) ORDER BY id_new) AS rnk FROM new1),
+chash AS (SELECT ha.id_old, hb.id_new FROM ha JOIN hb ON ha.h = hb.h AND ha.rnk = hb.rnk),
+old2 AS (SELECT * FROM old1 WHERE id_old NOT IN (SELECT id_old FROM chash)),
+new2 AS (SELECT * FROM new1 WHERE id_new NOT IN (SELECT id_new FROM chash)),
+tka AS (SELECT id_old, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS toks FROM old2),
+tkb AS (SELECT id_new, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS toks FROM new2),
+ga AS (SELECT DISTINCT id_old, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+       FROM tka, unnest(generate_series(1, len(toks) - 2)) AS u(i) WHERE len(toks) >= 3),
+gb AS (SELECT DISTINCT id_new, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+       FROM tkb, unnest(generate_series(1, len(toks) - 2)) AS u(i) WHERE len(toks) >= 3),
+nd AS (SELECT (SELECT count(*) FROM old2) + (SELECT count(*) FROM new2) AS n),
+hot AS (SELECT shingle FROM (
+          SELECT shingle, count(*) AS df FROM (
+            SELECT id_old AS id, shingle FROM ga
+            UNION ALL SELECT id_new, shingle FROM gb) GROUP BY 1)
+        WHERE df > (SELECT floor(0.5 * n)::BIGINT FROM nd)),
+gaf AS (SELECT * FROM ga WHERE shingle NOT IN (SELECT shingle FROM hot)),
+gbf AS (SELECT * FROM gb WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sa AS (SELECT id_old, count(*) AS n1 FROM ga GROUP BY 1),
+sb AS (SELECT id_new, count(*) AS n2 FROM gb GROUP BY 1),
+inter AS (SELECT a.id_old, b.id_new, count(*) AS inter
+          FROM gaf a JOIN gbf b ON a.shingle = b.shingle GROUP BY 1, 2),
+cand AS (SELECT i.id_old, i.id_new,
+                floor(i.inter * 100 / least(sa.n1, sb.n2))::INT AS ngram_sim
+         FROM inter i JOIN sa ON i.id_old = sa.id_old
+                      JOIN sb ON i.id_new = sb.id_new
+         WHERE floor(i.inter * 100 / least(sa.n1, sb.n2)) >= 10),
+ranked AS (SELECT id_old, id_new, ngram_sim,
+                  row_number() OVER (PARTITION BY id_old ORDER BY ngram_sim DESC, id_new) AS ro,
+                  row_number() OVER (PARTITION BY id_new ORDER BY ngram_sim DESC, id_old) AS rn
+           FROM cand),
+simm AS (SELECT id_old, id_new, ngram_sim FROM ranked WHERE ro = 1 AND rn = 1)
+SELECT id_old, id_new, 'exact' AS stage, 100::BIGINT AS sim FROM exact
+UNION ALL SELECT id_old, id_new, 'content_hash', 100 FROM chash
+UNION ALL SELECT id_old, id_new, 'similarity', ngram_sim::BIGINT FROM simm
+"""
+
+
+# ------------------------------------------ q: clone tier-1 (SQL gate)
+
+
+def q_clone_tier1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-1 slice of the clone pipeline — location + filtration(10) +
+    n-gram fast-accept (>=70), pure SQL-expressible so the clone path
+    has a driver-green oracle row alongside the pytest-oracled full
+    pipeline (clone_pairs, whose LCS stage is not SQL)."""
+    from nil_spark.config import EngineConfig
+    from nil_spark.operators.clone import candidate_pairs
+
+    cfg = EngineConfig(gram_size=3, filtration_threshold=10)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        candidate_pairs(d, cfg)
+        .filter(F.col("sim") >= 70)
+        .select("id1", "id2", F.col("sim").cast("long").alias("ngram_sim"))
+    )
+
+
+def _clone_tier1_sql() -> str:
+    # candidate_pairs uses pinned 63-bit hashed token 3-grams; distinct
+    # hashed-window counts equal distinct string-shingle counts (no
+    # collisions at oracle scale), so the string form mirrors it exactly.
+    return f"""
+WITH {_DOCS_CTE},
+sh AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+       FROM docs, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+       WHERE len(toks) >= 3),
+g AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS nsh FROM g GROUP BY 1),
+nd AS (SELECT count(*) AS n FROM sizes),
+hot AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM g GROUP BY 1)
+        WHERE df > (SELECT floor(0.5 * n)::BIGINT FROM nd)),
+gf AS (SELECT * FROM g WHERE shingle NOT IN (SELECT shingle FROM hot)),
+inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+          FROM gf a JOIN gf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id1, id2, floor(inter * 100 / least(sa.nsh, sb.nsh))::BIGINT AS ngram_sim
+FROM inter JOIN sizes sa ON inter.id1 = sa.doc_id
+           JOIN sizes sb ON inter.id2 = sb.doc_id
+WHERE floor(inter * 100 / least(sa.nsh, sb.nsh)) >= 70
+"""
+
+
 # --------------------------------------------------------- registry
 
 REGISTRY: dict[str, tuple] = {
@@ -992,6 +1148,8 @@ REGISTRY: dict[str, tuple] = {
     "ann_ivf_topk": (q_ann_ivf_topk, _ann_ivf_sql()),
     "multimodal_features": (q_multimodal_features, _multimodal_sql()),
     "clone_pairs": (q_clone_pairs, None),
+    "clone_candidates_tier1": (q_clone_tier1, _clone_tier1_sql()),
+    "tracking_cascade": (q_tracking_cascade, _tracking_cascade_sql()),
     "pairs_formatted": (q_pairs_formatted, _pairs_formatted_sql()),
 }
 

@@ -148,6 +148,118 @@ def naive_lcs(a: list[int], b: list[int]) -> int:
     return prev[n]
 
 
+def track_cascade(
+    old: pd.DataFrame,
+    new: pd.DataFrame,
+    cfg: EngineConfig,
+    sig_cols: list[str],
+    use_lcs: bool = True,
+) -> list[tuple[int, int, str, int | None, int | None]]:
+    """Pure-Python oracle for operators/tracking.track_snapshots —
+    the P4 cascade (method_tracker.py:239-375) with the repo's pinned
+    determinism rules: positional (rank-by-id) pairing within equal-key
+    groups, and mutual-best assignment for the similarity stage.
+
+    ``old``/``new`` carry doc_id, text and the signature columns.
+    Returns [(id_old, id_new, stage, ngram_sim, lcs_sim)].
+    """
+    import hashlib
+
+    out: list[tuple[int, int, str, int | None, int | None]] = []
+    mo: set[int] = set()
+    mn: set[int] = set()
+
+    def positional(stage: str, keyfn, o_df, n_df):
+        go: dict = defaultdict(list)
+        gn: dict = defaultdict(list)
+        for r in o_df.sort_values("doc_id").itertuples():
+            go[keyfn(r)].append(int(r.doc_id))
+        for r in n_df.sort_values("doc_id").itertuples():
+            gn[keyfn(r)].append(int(r.doc_id))
+        for key, olds in go.items():
+            for a, b in zip(olds, gn.get(key, [])):
+                out.append((a, b, stage, None, None))
+                mo.add(a)
+                mn.add(b)
+
+    if sig_cols:
+        positional("exact", lambda r: tuple(getattr(r, c) for c in sig_cols), old, new)
+    old1 = old[~old["doc_id"].isin(mo)]
+    new1 = new[~new["doc_id"].isin(mn)]
+    positional(
+        "content_hash",
+        lambda r: hashlib.md5((r.text or "").encode("utf-8")).hexdigest(),
+        old1,
+        new1,
+    )
+    old2 = old1[~old1["doc_id"].isin(mo)]
+    new2 = new1[~new1["doc_id"].isin(mn)]
+
+    dcfg = cfg.with_(distinct_ngrams=True)
+    ot = {int(r.doc_id): set(terms_of(r.text, dcfg)) for r in old2.itertuples()}
+    nt = {int(r.doc_id): set(terms_of(r.text, dcfg)) for r in new2.itertuples()}
+    # df-based hot-term pruning over the union vocabulary (mirrors
+    # bipartite_candidates: sizes from full term sets, inter over pruned)
+    pruned: set[int] = set()
+    cutoff = cfg.df_stopword_cutoff
+    if cutoff is not None and cutoff < 1.0:
+        n_docs = len(ot) + len(nt)
+        dfc: Counter = Counter()
+        for ts in list(ot.values()) + list(nt.values()):
+            dfc.update(ts)
+        lim = int(cutoff * n_docs)
+        pruned = {t for t, c in dfc.items() if c > lim}
+
+    inv: dict[int, list[int]] = defaultdict(list)
+    for nid, ts in nt.items():
+        for t in ts - pruned:
+            inv[t].append(nid)
+    tok_old = {
+        int(r.doc_id): [fnv1a64(t) for t in tokenize(r.text, cfg)]
+        for r in old2.itertuples()
+    }
+    tok_new = {
+        int(r.doc_id): [fnv1a64(t) for t in tokenize(r.text, cfg)]
+        for r in new2.itertuples()
+    }
+    cands: list[tuple[int, int, int, int | None]] = []
+    for oid, ts in ot.items():
+        if not ts:
+            continue
+        counts: Counter = Counter()
+        for t in ts - pruned:
+            for nid in inv[t]:
+                counts[nid] += 1
+        for nid, inter in counts.items():
+            if not nt[nid]:
+                continue
+            sim = inter * 100 // min(len(ts), len(nt[nid]))
+            if sim < cfg.filtration_threshold:
+                continue
+            if use_lcs:
+                ls = lcs_similarity(tok_old[oid], tok_new[nid])
+                if ls < cfg.verification_threshold:
+                    continue
+                cands.append((oid, nid, sim, ls))
+            else:
+                cands.append((oid, nid, sim, None))
+
+    def order(c):  # (lcs desc, ngram desc) then id tiebreaks per side
+        return (-(c[3] or 0), -c[2]) if use_lcs else (-c[2],)
+
+    best_o = {}
+    best_n = {}
+    for c in cands:
+        if c[0] not in best_o or (order(c), c[1]) < (order(best_o[c[0]]), best_o[c[0]][1]):
+            best_o[c[0]] = c
+        if c[1] not in best_n or (order(c), c[0]) < (order(best_n[c[1]]), best_n[c[1]][0]):
+            best_n[c[1]] = c
+    for c in cands:
+        if best_o.get(c[0]) is c and best_n.get(c[1]) is c:
+            out.append((c[0], c[1], "similarity", c[2], c[3]))
+    return sorted(out)
+
+
 def clone_pairs(index: OracleIndex) -> list[tuple[int, int, int, int | None]]:
     """Two-tier filter-then-verify self-detection over the corpus —
     oracle for the reference's OptimizedCloneDetection.kt:17-56 pipeline:
