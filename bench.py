@@ -94,9 +94,15 @@ def main() -> None:
 
     qpdf = gen_queries(pdf, n_queries=n_queries, k=10, seed=43)
     paths = sorted(glob.glob(shard_dir + "/part-*.parquet"))
-    # untimed pass: per-worker replica load + codegen (steady-state qps
-    # is the metric; a long-lived serving job pays the load once)
+    # timed warm-up pass: per-worker replica load + codegen.  Reported
+    # separately as the COLD number so round-over-round comparisons see
+    # both the one-time load cost and the steady-state qps (a long-lived
+    # serving job pays the load once; engine_bm25_batch is the warm,
+    # replica-resident measurement).
+    t0 = time.perf_counter()
     force(topk_replica_resident(spark, qpdf.iloc[:20], paths, termdict, n_docs, avgdl, cfg))
+    cold_s = time.perf_counter() - t0
+    queries["engine_bm25_cold_load"] = round(cold_s, 3)
     t0 = time.perf_counter()
     force(topk_replica_resident(spark, qpdf, paths, termdict, n_docs, avgdl, cfg))
     query_s = time.perf_counter() - t0
@@ -114,6 +120,7 @@ def main() -> None:
                 "sf": sf,
                 "index_build_turns_per_sec": round(n_turns / build_s, 1),
                 "query_qps": round(n_queries / query_s, 1),
+                "query_qps_cold": round(20 / cold_s, 1),
                 "bench_turns": n_turns,
                 "bench_queries": n_queries,
                 "cpus": int(cpus),

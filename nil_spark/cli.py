@@ -62,6 +62,21 @@ def cmd_query(args) -> int:
                       shuffle_partitions=args.shuffle_partitions)
     cfg = EngineConfig(gram_size=args.gram_size)
     builder = CheckpointedIndexBuilder(args.index_dir, cfg)
+    # fail fast on config drift: querying with a tokenization/scoring
+    # config that differs from the one the index was built with would
+    # silently tokenize queries differently and return wrong results
+    from nil_spark.operators.segments import _cfg_fingerprint
+
+    built_fp = builder.manifest.get("config_fingerprint")
+    if built_fp and built_fp != _cfg_fingerprint(cfg):
+        print(json.dumps({
+            "error": "config mismatch",
+            "index_fingerprint": built_fp,
+            "query_fingerprint": _cfg_fingerprint(cfg),
+            "hint": "pass the same --gram-size (and cfg) the index was built with",
+        }), file=sys.stderr)
+        spark.stop()
+        return 2
     segs = spark.read.parquet(f"{args.index_dir}/segments")
     termdict = spark.read.parquet(f"{args.index_dir}/termdict")
     docstats = spark.read.parquet(f"{args.index_dir}/docstats")

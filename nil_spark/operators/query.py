@@ -50,8 +50,12 @@ def tf_norm_col(tf: Column, dl: Column, avgdl: float, cfg: EngineConfig) -> Colu
 def query_terms(queries: DataFrame, cfg: EngineConfig) -> DataFrame:
     """(query_id, k, term, idf-ready) — distinct query terms (pinned:
     query-side tf collapsed to 1, mirroring the reference's distinct
-    n-grams, entity/TokenSequence.kt:11)."""
-    qt = with_terms(queries, cfg, text_col="text")
+    n-grams, entity/TokenSequence.kt:11).
+
+    The min-size scan predicates (T4/T5) apply to *indexed docs* only
+    (AntlrTransformer.kt:41-47 filters blocks at preprocess time) —
+    a short query is still a valid query, so they are disabled here."""
+    qt = with_terms(queries, cfg.with_(min_chars=1, min_tokens=1), text_col="text")
     return (
         qt.select("query_id", "k", F.explode("terms").alias("term"))
         .dropDuplicates(["query_id", "term"])

@@ -52,6 +52,7 @@ import json
 import math
 import os
 import time
+from collections import OrderedDict
 from typing import Iterator
 
 import numpy as np
@@ -326,11 +327,21 @@ def build_partial_segments(
         part_dls: list[np.ndarray] = []
 
         for pdf in it:
+            if cfg.min_chars > 1:  # same scan predicate as with_term_counts
+                pdf = pdf[pdf["text"].fillna("").str.len() >= cfg.min_chars]
             toks = tokenize_series(pdf["text"], cfg)
             ids = pdf["doc_id"].to_numpy(np.int64)
-            dls = np.empty(len(pdf), dtype=np.int64)
-            for i, ts in enumerate(toks):
-                dls[i] = len(ts)
+            dls = np.fromiter(
+                (len(ts) for ts in toks), dtype=np.int64, count=len(pdf)
+            )
+            keep = (
+                np.flatnonzero(dls >= cfg.min_tokens)
+                if cfg.min_tokens > 1
+                else range(len(pdf))
+            )
+            toks_list = toks.tolist()
+            for i in keep:
+                ts = toks_list[i]
                 th = terms_for_tokens(ts, cfg)
                 if cfg.distinct_ngrams:
                     u, c = th, np.ones(len(th), dtype=np.int64)
@@ -340,8 +351,15 @@ def build_partial_segments(
                 all_tfs.append(c)
                 all_docs.append(np.full(len(u), ids[i], dtype=np.int64))
                 all_dls.append(np.full(len(u), dls[i], dtype=np.int64))
-            part_docs.append(ids)
-            part_dls.append(dls)
+            # docstats sentinel covers only docs that pass the min-size
+            # predicates (mirrors with_term_counts: filtered docs must
+            # not inflate n_docs/avgdl)
+            if cfg.min_tokens > 1:
+                part_docs.append(ids[dls >= cfg.min_tokens])
+                part_dls.append(dls[dls >= cfg.min_tokens])
+            else:
+                part_docs.append(ids)
+                part_dls.append(dls)
 
         if not all_terms:
             return
@@ -466,11 +484,14 @@ def topk_maxscore(
     def per_query(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(key[0])
         k = int(pdf["k"].iloc[0])
-        # group chunks per term, order terms by descending upper bound
-        ubs = {}
-        for term, g in pdf.groupby("term"):
-            idf = float(g["idf"].iloc[0])
-            ubs[term] = idf * max(max(bm) for bm in g["bm_max"])
+        # group chunks per term ONCE (a per-term boolean-mask rescan is
+        # O(T^2) in query terms), order terms by descending upper bound
+        groups = {term: g for term, g in pdf.groupby("term")}
+        idfs = {term: float(g["idf"].iloc[0]) for term, g in groups.items()}
+        ubs = {
+            term: idfs[term] * max(max(bm) for bm in g["bm_max"])
+            for term, g in groups.items()
+        }
         order = sorted(ubs, key=lambda t: -ubs[t])
         rem = sum(ubs.values())
 
@@ -479,18 +500,18 @@ def topk_maxscore(
         intersect = False
         for term in order:
             rem -= ubs[term]
-            g = pdf[pdf["term"] == term].sort_values("first_doc")
-            idf = float(g["idf"].iloc[0])
-            for _, row in g.iterrows():
+            g = groups[term].sort_values("first_doc")
+            idf = idfs[term]
+            for row in g.itertuples():
                 if intersect and len(acc_docs):
                     # chunk skip: no accumulated doc in this chunk's range
-                    first = row["bm_first"][0]
+                    first = row.bm_first[0]
                     lo = np.searchsorted(acc_docs, first)
                     if lo == len(acc_docs):
                         continue
-                d = varint.decode_deltas(bytes(row["doc_blob"]))
-                tf = varint.decode(bytes(row["tf_blob"])).astype(np.float64)
-                dl = varint.decode(bytes(row["dl_blob"])).astype(np.float64)
+                d = varint.decode_deltas(bytes(row.doc_blob))
+                tf = varint.decode(bytes(row.tf_blob)).astype(np.float64)
+                dl = varint.decode(bytes(row.dl_blob)).astype(np.float64)
                 contrib = idf * (tf * (k1 + 1.0)) / (
                     tf + k1 * (1.0 - b + b * dl / avgdl)
                 )
@@ -542,15 +563,16 @@ def topk_maxscore(
 # a query-term touch is one slice + one multiply.  Python workers are
 # reused across jobs (spark.python.worker.reuse=true), so a shard is
 # read and decoded ONCE per worker per index version — the Spark analog
-# of an index shard resident on its search node.
-_SHARD_CACHE: dict = {}
+# of an index shard resident on its search node.  LRU with per-entry
+# eviction (an earlier wholesale clear() evicted still-hot shards).
+_SHARD_CACHE: OrderedDict = OrderedDict()
+_SHARD_CACHE_MAX = 64
 
 
-def _load_shard(path: str, avgdl: float, k1: float, b: float) -> dict:
-    key = (path, round(avgdl, 9), k1, b)
-    ent = _SHARD_CACHE.get(key)
-    if ent is not None:
-        return ent
+def _decode_shard(path: str, avgdl: float, k1: float, b: float) -> dict:
+    """Read + decode one shard file — no caching (used transiently by
+    the replica loader so a worker never holds both the per-shard dicts
+    and the merged replica)."""
     import pyarrow.parquet as pq
 
     pdf = pq.read_table(
@@ -565,12 +587,19 @@ def _load_shard(path: str, avgdl: float, k1: float, b: float) -> dict:
     cuts = np.flatnonzero(np.diff(terms)) + 1
     starts = np.concatenate(([0], cuts))
     ends = np.concatenate((cuts, [len(terms)]))
-    shard = {
-        int(terms[s]): (docs[s:e], tfn[s:e]) for s, e in zip(starts, ends)
-    }
-    if len(_SHARD_CACHE) > 64:
-        _SHARD_CACHE.clear()
+    return {int(terms[s]): (docs[s:e], tfn[s:e]) for s, e in zip(starts, ends)}
+
+
+def _load_shard(path: str, avgdl: float, k1: float, b: float) -> dict:
+    key = (path, round(avgdl, 9), k1, b)
+    ent = _SHARD_CACHE.get(key)
+    if ent is not None:
+        _SHARD_CACHE.move_to_end(key)
+        return ent
+    shard = _decode_shard(path, avgdl, k1, b)
     _SHARD_CACHE[key] = shard
+    while len(_SHARD_CACHE) > _SHARD_CACHE_MAX:
+        _SHARD_CACHE.popitem(last=False)
     return shard
 
 
@@ -671,7 +700,9 @@ def _load_replica(paths: tuple, avgdl: float, k1: float, b: float) -> dict:
         return ent
     pieces: dict[int, list] = {}
     for p in paths:
-        shard = _load_shard(p, avgdl, k1, b)
+        # transient decode: do NOT populate the per-shard cache — that
+        # would leave ~2x the decoded index resident per worker
+        shard = _decode_shard(p, avgdl, k1, b)
         for t, dv in shard.items():
             pieces.setdefault(t, []).append(dv)
     merged = {

@@ -21,8 +21,15 @@ Semantics vs the batch build:
    which the test asserts).
  * df-based stopword pruning moves to query time (a term may be cool in
    every batch but hot globally) — same cutoff, same result set.
- * exactly-once: the streaming checkpoint dedupes input files; the
-   manifest records per-batch lineage (rows, id range, wall time).
+ * exactly-once: foreachBatch is at-least-once, so the sink itself is
+   idempotent on ``batch_id`` — each batch writes its segments/docstats
+   under a batch_id-keyed partition directory with mode("overwrite"),
+   and a batch whose id is already recorded in the manifest is skipped
+   entirely on redelivery.  Crash between write and manifest-record →
+   the retry overwrites the same directories (no duplicates); crash
+   between record and checkpoint-commit → the retry skips (files are
+   complete, id lineage intact).  The manifest records per-batch
+   lineage (rows, id range, wall time).
 """
 
 from __future__ import annotations
@@ -63,6 +70,10 @@ class IncrementalIndexer:
     # -- foreachBatch sink -------------------------------------------------
     def absorb_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         t0 = time.time()
+        # idempotence on redelivery (foreachBatch is at-least-once): a
+        # batch whose id is already recorded was fully written — skip it
+        if any(b["batch_id"] == int(batch_id) for b in self.manifest["batches"]):
+            return
         offset = self.manifest["next_doc_id"]
         # stable within-batch ordering; cheap global window is fine here
         # because a micro-batch is bounded (it is NOT the full corpus)
@@ -75,8 +86,14 @@ class IncrementalIndexer:
         postings = index_ops.exploded_postings(dt, self.cfg)
         segs = build_segments(postings, self.cfg)
 
-        segs.write.mode("append").parquet(os.path.join(self.index_dir, "segments"))
-        docstats.write.mode("append").parquet(os.path.join(self.index_dir, "docstats"))
+        # batch_id-keyed partition dirs + overwrite: a retried partial
+        # write replaces itself instead of appending duplicates
+        segs.write.mode("overwrite").parquet(
+            os.path.join(self.index_dir, "segments", f"batch_id={int(batch_id)}")
+        )
+        docstats.write.mode("overwrite").parquet(
+            os.path.join(self.index_dir, "docstats", f"batch_id={int(batch_id)}")
+        )
         n_rows = docs.count()
         dt.unpersist()
         self.manifest["next_doc_id"] = offset + n_rows

@@ -55,12 +55,21 @@ class OracleIndex:
         self.tokens = [tokenize(x, cfg) for x in self.doc_text]
         self.dl = [len(x) for x in self.tokens]
         self.terms = [terms_of(x, cfg) for x in self.doc_text]
+        # min-size scan predicates (reference T4/T5: minLine/minToken,
+        # AntlrTransformer.kt:41-47) — filtered docs keep their ids but
+        # are absent from postings AND docstats
+        self.kept = [
+            did
+            for did in range(len(self.doc_text))
+            if len(self.doc_text[did] or "") >= cfg.min_chars
+            and self.dl[did] >= cfg.min_tokens
+        ]
         self.postings: dict[int, dict[int, int]] = defaultdict(dict)
-        for did, ts in enumerate(self.terms):
-            for term, tf in Counter(ts).items():
+        for did in self.kept:
+            for term, tf in Counter(self.terms[did]).items():
                 self.postings[term][did] = tf
-        self.n_docs = len(self.doc_text)
-        self.avgdl = sum(self.dl) / max(1, self.n_docs)
+        self.n_docs = len(self.kept)
+        self.avgdl = sum(self.dl[d] for d in self.kept) / max(1, self.n_docs)
         # df-based stopword pruning, identical to the engine
         cutoff = cfg.df_stopword_cutoff
         if cutoff is not None and cutoff < 1.0:
@@ -271,11 +280,11 @@ def clone_pairs(index: OracleIndex) -> list[tuple[int, int, int, int | None]]:
     # sequences, not n-grams: OptimizedCloneDetection.kt:36-53)
     tok_hashes = [[fnv1a64(t) for t in toks] for toks in index.tokens]
     inv: dict[int, list[int]] = defaultdict(list)
-    for did, ts in enumerate(term_sets):
-        for term in ts:
+    for did in index.kept:
+        for term in term_sets[did]:
             inv[term].append(did)
     out = []
-    for did in range(index.n_docs):
+    for did in index.kept:
         counts: Counter = Counter()
         for term in term_sets[did]:
             for other in inv[term]:

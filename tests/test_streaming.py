@@ -80,3 +80,48 @@ def test_stream_lineage_and_exactly_once(spark, stream_built):
     man2 = json.load(open(os.path.join(index_dir, "stream_manifest.json")))
     assert len(man2["batches"]) == 2
     assert man2["next_doc_id"] == man["next_doc_id"]
+
+
+def test_stream_retry_idempotent(spark, transcripts_1k, queries_1k, stream_built):
+    """foreachBatch is at-least-once: redelivery of a batch — both after
+    a clean commit and after a simulated crash between the parquet write
+    and the checkpoint commit — must not duplicate postings, docstats,
+    or doc-id lineage."""
+    ix, _, index_dir = stream_built
+    man_path = os.path.join(index_dir, "stream_manifest.json")
+    man = json.load(open(man_path))
+    ordered = transcripts_1k.sort_values(
+        ["conv_id", "turn_idx"], kind="mergesort"
+    ).reset_index(drop=True)
+    second = ordered.iloc[len(ordered) // 2 :]
+    df2 = spark.createDataFrame(second, schema=TRANSCRIPT_SCHEMA)
+
+    n_stats_before = spark.read.parquet(os.path.join(index_dir, "docstats")).count()
+
+    # redelivery of a recorded batch: pure no-op
+    ix.absorb_batch(df2, 1)
+    assert json.load(open(man_path)) == man
+    assert (
+        spark.read.parquet(os.path.join(index_dir, "docstats")).count()
+        == n_stats_before
+    )
+
+    # crash-before-record replay: roll the manifest back to post-batch-0
+    # (files for batch 1 are still on disk — the partial-write case)
+    rolled = {
+        "next_doc_id": man["batches"][0]["doc_id_range"][1],
+        "batches": man["batches"][:1],
+    }
+    json.dump(rolled, open(man_path, "w"))
+    ix2 = IncrementalIndexer(index_dir, CFG)
+    ix2.absorb_batch(df2, 1)
+
+    man2 = json.load(open(man_path))
+    assert len(man2["batches"]) == 2
+    assert man2["next_doc_id"] == man["next_doc_id"]
+    assert man2["batches"][1]["doc_id_range"] == man["batches"][1]["doc_id_range"]
+
+    idx_s = ix2.load_index(spark)
+    assert idx_s["n_docs"] == len(transcripts_1k)
+    ds = spark.read.parquet(os.path.join(index_dir, "docstats"))
+    assert ds.count() == ds.select("doc_id").distinct().count() == len(transcripts_1k)
