@@ -966,6 +966,68 @@ def q_clone_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clone_detect(d, cfg)
 
 
+# ------------------------------------------------ q: BCE pair output
+
+
+def q_pairs_bce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BCE-style split-location projection (SURVEY §2 O3,
+    BCEFormat.kt:27-31): the reference splits each side's path into
+    (dir, file, start, end).  Transcript/doc analog: (source, doc_id,
+    1, token_count) per side — the containing collection, the unit id,
+    and the token span."""
+    pairs = q_overlap_candidates(spark, sf_dir).select("id1", "id2", "sim")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.filter(F.split(F.lower("text"), TOKEN_SPLIT), lambda x: x != "")
+    cat = d.select(
+        "doc_id", F.col("source"), F.size(toks).cast("long").alias("n_toks")
+    )
+    c1 = cat.select(
+        F.col("doc_id").alias("id1"), F.col("source").alias("dir1"),
+        F.col("n_toks").alias("end1"),
+    )
+    c2 = cat.select(
+        F.col("doc_id").alias("id2"), F.col("source").alias("dir2"),
+        F.col("n_toks").alias("end2"),
+    )
+    return (
+        pairs.join(F.broadcast(c1), "id1")
+        .join(F.broadcast(c2), "id2")
+        .select(
+            F.col("dir1"), F.col("id1").alias("file1"),
+            F.lit(1).cast("long").alias("start1"), "end1",
+            F.col("dir2"), F.col("id2").alias("file2"),
+            F.lit(1).cast("long").alias("start2"), "end2",
+            "sim",
+        )
+    )
+
+
+def _pairs_bce_sql() -> str:
+    return f"""
+WITH {_DOCS_CTE},
+sh AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+       FROM docs, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+       WHERE len(toks) >= 3),
+g AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS nsh FROM g GROUP BY 1),
+inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+          FROM g a JOIN g b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pairs AS (
+  SELECT id1, id2, floor(inter * 100 / least(sa.nsh, sb.nsh))::BIGINT AS sim
+  FROM inter JOIN sizes sa ON inter.id1 = sa.doc_id
+             JOIN sizes sb ON inter.id2 = sb.doc_id
+  WHERE floor(inter * 100 / least(sa.nsh, sb.nsh)) >= 10),
+cat AS (SELECT d.doc_id, d.source, len(t.toks)::BIGINT AS n_toks
+        FROM documents d JOIN docs t ON d.doc_id = t.doc_id)
+SELECT c1.source AS dir1, p.id1 AS file1, 1::BIGINT AS start1, c1.n_toks AS end1,
+       c2.source AS dir2, p.id2 AS file2, 1::BIGINT AS start2, c2.n_toks AS end2,
+       p.sim
+FROM pairs p JOIN cat c1 ON p.id1 = c1.doc_id
+             JOIN cat c2 ON p.id2 = c2.doc_id
+"""
+
+
 # ---------------------------------------------- q: tracking cascade
 
 
@@ -1151,6 +1213,7 @@ REGISTRY: dict[str, tuple] = {
     "clone_candidates_tier1": (q_clone_tier1, _clone_tier1_sql()),
     "tracking_cascade": (q_tracking_cascade, _tracking_cascade_sql()),
     "pairs_formatted": (q_pairs_formatted, _pairs_formatted_sql()),
+    "pairs_bce": (q_pairs_bce, _pairs_bce_sql()),
 }
 
 
