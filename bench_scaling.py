@@ -79,6 +79,7 @@ def worker(cores: int) -> None:
     from nil_spark.operators.segments import (
         DOCSTAT_SENTINEL,
         build_partial_segments,
+        build_partial_segments_from_files,
         topk_replica_resident,
     )
     from nil_spark.session import get_spark
@@ -98,12 +99,7 @@ def worker(cores: int) -> None:
     shard_dir = f"/tmp/nil_scale_shards_c{cores}"
     shutil.rmtree(shard_dir, ignore_errors=True)
 
-    def build(dir_: str, files_glob: str):
-        docs = assign_doc_ids(
-            spark.read.parquet(files_glob).repartition(DOC_PARTITIONS),
-            ["conv_id", "turn_idx"],
-        )
-        build_partial_segments(docs, cfg).write.parquet(dir_)
+    def derive_stats(dir_: str):
         raw = spark.read.parquet(dir_)
         # ONE aggregation yields term dictionary AND corpus stats (the
         # sentinel rows roll up to n_docs / sum dl under the same keys)
@@ -123,6 +119,25 @@ def worker(cores: int) -> None:
         ][["term", "df"]]
         return n_docs, avgdl, termdict
 
+    def build(dir_: str, files_glob: str):
+        """Arrow-channel fused build: JVM scan → docID shuffle → text
+        crosses the JVM→Python channel into the fused encode stage."""
+        docs = assign_doc_ids(
+            spark.read.parquet(files_glob).repartition(DOC_PARTITIONS),
+            ["conv_id", "turn_idx"],
+        )
+        build_partial_segments(docs, cfg).write.parquet(dir_)
+        return derive_stats(dir_)
+
+    def build_fd(dir_: str, files: list):
+        """File-direct fused build: workers read the range-sorted
+        parquet files with pyarrow — zero text bytes on the JVM→Python
+        channel; only compressed blobs come back."""
+        build_partial_segments_from_files(spark, files, cfg).write.parquet(dir_)
+        return derive_stats(dir_)
+
+    corpus_files = sorted(glob.glob(os.path.join(CORPUS_DIR, "part-*.parquet")))
+
     # ---- warm-up: full pipeline at 1/8 scale, untimed (JIT, codegen,
     # Python worker spawn on every core) ----
     wdir = shard_dir + "_warm"
@@ -134,17 +149,27 @@ def worker(cores: int) -> None:
             spark, wq, sorted(glob.glob(wdir + "/part-*.parquet")), wtd, wn, wavg, cfg
         )
     )
+    shutil.rmtree(wdir, ignore_errors=True)
+    build_fd(wdir, corpus_files[:4])  # warm the file-direct shapes too
 
-    # ---- timed: index build (scan -> fused partial segments -> shard
-    # store + term dictionary + corpus stats).  Best of 2: the host VM's
-    # sustained-CPU delivery drifts minute to minute (see calibration),
-    # so single samples under-report steady-state throughput. ----
+    # ---- timed: index build.  Two variants of the same fused encode:
+    # (a) Arrow-channel (JVM scan + docID shuffle + text over the
+    # channel) and (b) file-direct (workers read the range-sorted files
+    # themselves; the channel carries only compressed blobs). ----
     shutil.rmtree(shard_dir, ignore_errors=True)
     t0 = time.perf_counter()
     n_docs, avgdl, termdict = build(
         shard_dir, os.path.join(CORPUS_DIR, "part-*.parquet")
     )
     build_s = time.perf_counter() - t0
+
+    fd_dir = shard_dir + "_fd"
+    shutil.rmtree(fd_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    fd_stats = build_fd(fd_dir, corpus_files)
+    build_fd_s = time.perf_counter() - t0
+    assert fd_stats[0] == n_docs
+    shutil.rmtree(fd_dir, ignore_errors=True)
 
     paths = sorted(glob.glob(shard_dir + "/part-*.parquet"))
 
@@ -172,6 +197,8 @@ def worker(cores: int) -> None:
                 "queries": QUERIES,
                 "build_s": round(build_s, 3),
                 "build_turns_per_sec": round(TURNS / build_s, 1),
+                "build_fd_s": round(build_fd_s, 3),
+                "build_fd_turns_per_sec": round(TURNS / build_fd_s, 1),
                 "query_cold_s": round(query_cold_s, 3),
                 "query_warm_s": round(query_warm_s, 3),
                 "qps_cold": round(QUERIES / query_cold_s, 1),
@@ -261,10 +288,11 @@ def main() -> None:
 
     def agg_level(level: int) -> dict:
         r = dict(samples[level][0])
-        for k in ("build_turns_per_sec", "qps_warm", "qps_cold"):
+        for k in ("build_turns_per_sec", "build_fd_turns_per_sec", "qps_warm", "qps_cold"):
             r[k] = best(level, k)
         # keep the times consistent with the best throughputs
         r["build_s"] = round(r["turns"] / r["build_turns_per_sec"], 3)
+        r["build_fd_s"] = round(r["turns"] / r["build_fd_turns_per_sec"], 3)
         r["query_warm_s"] = round(r["queries"] / r["qps_warm"], 3)
         r["query_cold_s"] = round(r["queries"] / r["qps_cold"], 3)
         return r
@@ -290,6 +318,7 @@ def main() -> None:
         "4N": r_4n,
         "samples": samples,
         "efficiency_build": eff("build_turns_per_sec"),
+        "efficiency_build_fd": eff("build_fd_turns_per_sec"),
         "efficiency_query_warm": eff("qps_warm"),
         "efficiency_query_cold": eff("qps_cold"),
     }
@@ -306,11 +335,14 @@ Efficiency = (throughput_4N / throughput_N) / 4.
 **Pipelines measured** (the engine's scale paths):
 *build* = parquet scan → dense docID assignment → fused single-pass
 tokenize+partial-segment encode (Arrow UDF) → parquet shard store +
-global term dictionary + corpus stats.  *query* = replica-resident
-serving: decoded shards cached per reused Python worker, query batch
-partitioned across workers, dense vectorized BM25 scoring, global
-merge window (rank-identical to the pure-Python oracle —
-tests/test_segments.py).
+global term dictionary + corpus stats.  *build (file-direct)* = same
+fused encode, but each Python worker reads its range-sorted input file
+directly (pyarrow) — zero text bytes on the shared JVM→Python channel,
+as an executor would read the object store on a real cluster.
+*query* = replica-resident serving: decoded shards cached per reused
+Python worker, query batch partitioned across workers, dense vectorized
+BM25 scoring, global merge window (rank-identical to the pure-Python
+oracle — tests/test_segments.py).
 
 ## Why N=2 vs 4N=8 on this sandbox
 
@@ -323,15 +355,16 @@ the host ceiling every engine flattens; a real 4× cluster adds whole
 nodes.  N=2 vs 4N=8 is the largest pair inside the host's linear
 region.
 
-| run | master | index build | build turns/sec | query (warm) | qps (warm) | qps (cold) |
-|---|---|---|---|---|---|---|
-| N | `local[{n}]` | {r_n['build_s']} s | {r_n['build_turns_per_sec']:,} | {r_n['query_warm_s']} s | {r_n['qps_warm']:,} | {r_n['qps_cold']:,} |
-| 4N | `local[{n4}]` | {r_4n['build_s']} s | {r_4n['build_turns_per_sec']:,} | {r_4n['query_warm_s']} s | {r_4n['qps_warm']:,} | {r_4n['qps_cold']:,} |
+| run | master | build | build turns/sec | build-fd | build-fd turns/sec | query (warm) | qps (warm) | qps (cold) |
+|---|---|---|---|---|---|---|---|---|
+| N | `local[{n}]` | {r_n['build_s']} s | {r_n['build_turns_per_sec']:,} | {r_n['build_fd_s']} s | {r_n['build_fd_turns_per_sec']:,} | {r_n['query_warm_s']} s | {r_n['qps_warm']:,} | {r_n['qps_cold']:,} |
+| 4N | `local[{n4}]` | {r_4n['build_s']} s | {r_4n['build_turns_per_sec']:,} | {r_4n['build_fd_s']} s | {r_4n['build_fd_turns_per_sec']:,} | {r_4n['query_warm_s']} s | {r_4n['qps_warm']:,} | {r_4n['qps_cold']:,} |
 
 | metric | scaling efficiency (target ≥ 0.8) |
 |---|---|
 | host calibration (pure CPU, no Spark) | {calib['host_efficiency']} |
-| index-build turns/sec | **{result['efficiency_build']}** |
+| index-build turns/sec (Arrow-channel path) | **{result['efficiency_build']}** |
+| index-build turns/sec (file-direct path) | **{result['efficiency_build_fd']}** |
 | BM25 query qps (warm) | **{result['efficiency_query_warm']}** |
 | BM25 query qps (cold, incl. per-worker replica load) | {result['efficiency_query_cold']} |
 

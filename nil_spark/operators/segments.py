@@ -311,89 +311,154 @@ def build_partial_segments(
     n_postings = n_docs, doc_blob = varint doc ids, dl_blob = varint
     dls, bm_max = [sum dl] — so corpus stats need no second pass.
     """
-    from nil_spark.functions.tokenize import terms_for_tokens, tokenize_series
-
-    cols = [
-        "term", "chunk_idx", "first_doc", "n_postings",
-        "doc_blob", "tf_blob", "dl_blob", "bm_first", "bm_max",
-    ]
-
     def sweep(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_docs: list[np.ndarray] = []
-        all_terms: list[np.ndarray] = []
-        all_tfs: list[np.ndarray] = []
-        all_dls: list[np.ndarray] = []
-        part_docs: list[np.ndarray] = []
-        part_dls: list[np.ndarray] = []
-
-        for pdf in it:
-            if cfg.min_chars > 1:  # same scan predicate as with_term_counts
-                pdf = pdf[pdf["text"].fillna("").str.len() >= cfg.min_chars]
-            toks = tokenize_series(pdf["text"], cfg)
-            ids = pdf["doc_id"].to_numpy(np.int64)
-            dls = np.fromiter(
-                (len(ts) for ts in toks), dtype=np.int64, count=len(pdf)
-            )
-            keep = (
-                np.flatnonzero(dls >= cfg.min_tokens)
-                if cfg.min_tokens > 1
-                else range(len(pdf))
-            )
-            toks_list = toks.tolist()
-            for i in keep:
-                ts = toks_list[i]
-                th = terms_for_tokens(ts, cfg)
-                if cfg.distinct_ngrams:
-                    u, c = th, np.ones(len(th), dtype=np.int64)
-                else:
-                    u, c = np.unique(th, return_counts=True)
-                all_terms.append(u)
-                all_tfs.append(c)
-                all_docs.append(np.full(len(u), ids[i], dtype=np.int64))
-                all_dls.append(np.full(len(u), dls[i], dtype=np.int64))
-            # docstats sentinel covers only docs that pass the min-size
-            # predicates (mirrors with_term_counts: filtered docs must
-            # not inflate n_docs/avgdl)
-            if cfg.min_tokens > 1:
-                part_docs.append(ids[dls >= cfg.min_tokens])
-                part_dls.append(dls[dls >= cfg.min_tokens])
-            else:
-                part_docs.append(ids)
-                part_dls.append(dls)
-
-        if not all_terms:
+        parts = [p for p in it if len(p)]
+        if not parts:
             return
-        terms = np.concatenate(all_terms)
-        tfs = np.concatenate(all_tfs).astype(np.float64)
-        docs = np.concatenate(all_docs)
-        dlv = np.concatenate(all_dls).astype(np.float64)
-        rows = _encode_run_table(terms, docs, tfs, dlv, cfg, max_chunk)
-        # partition docstats sentinel
-        pdocs = np.concatenate(part_docs)
-        pdls = np.concatenate(part_dls)
-        o = np.argsort(pdocs, kind="stable")
-        pdocs, pdls = pdocs[o], pdls[o]
-        sentinel = pd.DataFrame(
-            [
-                (
-                    DOCSTAT_SENTINEL,
-                    0,
-                    int(pdocs[0]) if len(pdocs) else 0,
-                    len(pdocs),
-                    varint.encode_deltas(pdocs),
-                    b"",
-                    varint.encode(pdls.astype(np.uint64)),
-                    [],
-                    [float(pdls.sum())],
-                )
-            ],
-            columns=cols,
-        )
-        yield pd.concat([pd.DataFrame(rows, columns=cols), sentinel], ignore_index=True)
+        whole = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        out = _fused_partition_frame(whole, cfg, max_chunk)
+        if out is not None:
+            yield out
 
     return docs_with_ids.select("doc_id", "text").mapInPandas(
         sweep, schema=SEGMENT_SCHEMA
     )
+
+
+_SEG_COLS = [
+    "term", "chunk_idx", "first_doc", "n_postings",
+    "doc_blob", "tf_blob", "dl_blob", "bm_first", "bm_max",
+]
+
+
+def _fused_partition_frame(
+    pdf: pd.DataFrame, cfg: EngineConfig, max_chunk: int
+) -> pd.DataFrame | None:
+    """The fused-build kernel over one in-memory doc partition
+    ``(doc_id, text)``: min-size scan predicates → tokenize →
+    term-major transpose → vectorized encode + docstats sentinel.
+    Shared by the Arrow-channel path (build_partial_segments) and the
+    file-direct path (build_partial_segments_from_files)."""
+    from nil_spark.functions.tokenize import terms_for_tokens, tokenize_series
+
+    if cfg.min_chars > 1:  # same scan predicate as with_term_counts
+        pdf = pdf[pdf["text"].fillna("").str.len() >= cfg.min_chars]
+    toks = tokenize_series(pdf["text"], cfg)
+    ids = pdf["doc_id"].to_numpy(np.int64)
+    dls = np.fromiter((len(ts) for ts in toks), dtype=np.int64, count=len(pdf))
+    keep = (
+        np.flatnonzero(dls >= cfg.min_tokens)
+        if cfg.min_tokens > 1
+        else range(len(pdf))
+    )
+    all_terms: list[np.ndarray] = []
+    all_tfs: list[np.ndarray] = []
+    all_docs: list[np.ndarray] = []
+    all_dls: list[np.ndarray] = []
+    toks_list = toks.tolist()
+    for i in keep:
+        ts = toks_list[i]
+        th = terms_for_tokens(ts, cfg)
+        if cfg.distinct_ngrams:
+            u, c = th, np.ones(len(th), dtype=np.int64)
+        else:
+            u, c = np.unique(th, return_counts=True)
+        all_terms.append(u)
+        all_tfs.append(c)
+        all_docs.append(np.full(len(u), ids[i], dtype=np.int64))
+        all_dls.append(np.full(len(u), dls[i], dtype=np.int64))
+    if not all_terms:
+        return None
+    terms = np.concatenate(all_terms)
+    tfs = np.concatenate(all_tfs).astype(np.float64)
+    docs = np.concatenate(all_docs)
+    dlv = np.concatenate(all_dls).astype(np.float64)
+    rows = _encode_run_table(terms, docs, tfs, dlv, cfg, max_chunk)
+    # docstats sentinel covers only docs that pass the min-size
+    # predicates (filtered docs must not inflate n_docs/avgdl)
+    kmask = dls >= cfg.min_tokens if cfg.min_tokens > 1 else slice(None)
+    pdocs, pdls = ids[kmask], dls[kmask]
+    o = np.argsort(pdocs, kind="stable")
+    pdocs, pdls = pdocs[o], pdls[o]
+    sentinel = pd.DataFrame(
+        [
+            (
+                DOCSTAT_SENTINEL,
+                0,
+                int(pdocs[0]) if len(pdocs) else 0,
+                len(pdocs),
+                varint.encode_deltas(pdocs),
+                b"",
+                varint.encode(pdls.astype(np.uint64)),
+                [],
+                [float(pdls.sum())],
+            )
+        ],
+        columns=_SEG_COLS,
+    )
+    return pd.concat(
+        [pd.DataFrame(rows, columns=_SEG_COLS), sentinel], ignore_index=True
+    )
+
+
+def build_partial_segments_from_files(
+    spark: SparkSession,
+    file_paths: list[str],
+    cfg: EngineConfig,
+    max_chunk: int = 1 << 20,
+    order_cols: tuple = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """File-direct fused build: ONE task per input parquet file; the
+    Python worker reads the file itself (pyarrow), so no text ever
+    crosses the JVM→Python Arrow channel — the only channel traffic is
+    the compressed segment blobs coming back.  On a real cluster each
+    worker reads its file straight from the object store, exactly like
+    an Iceberg scan task.
+
+    Precondition (checked by the caller's layout, not at runtime): the
+    files are globally range-sorted on ``order_cols`` — file i holds a
+    contiguous key range below file i+1's (the standard sorted-write /
+    Iceberg sort-order layout).  Doc ids are then
+    ``file_row_offset + within-file rank``, bit-identical to
+    ``assign_doc_ids`` over the same ordering; rows inside a file are
+    sorted here, so only the file-level range layout is assumed.
+
+    Reference analog: the partition loop building partial inverted
+    indexes per doc range (NILMain.kt:71-87) with the doc range = one
+    input file.
+    """
+    import pyarrow.parquet as pq
+
+    offsets = []
+    acc = 0
+    for p in file_paths:  # footer-only metadata reads — no data I/O
+        offsets.append(acc)
+        acc += pq.ParquetFile(p).metadata.num_rows
+    meta = spark.createDataFrame(
+        [(p, o) for p, o in zip(file_paths, offsets)], "path string, offset long"
+    ).repartition(len(file_paths), "path")
+
+    ocols = list(order_cols)
+
+    def sweep(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for mpdf in it:
+            for path, off in zip(mpdf["path"], mpdf["offset"]):
+                t = (
+                    pq.read_table(path, columns=[*ocols, "text"])
+                    .to_pandas()
+                    .sort_values(ocols, kind="mergesort")
+                )
+                part = pd.DataFrame(
+                    {
+                        "doc_id": np.arange(off, off + len(t), dtype=np.int64),
+                        "text": t["text"].to_numpy(),
+                    }
+                )
+                out = _fused_partition_frame(part, cfg, max_chunk)
+                if out is not None:
+                    yield out
+
+    return meta.mapInPandas(sweep, schema=SEGMENT_SCHEMA)
 
 
 def build_index_fused(docs_with_ids: DataFrame, cfg: EngineConfig) -> dict:
@@ -406,7 +471,15 @@ def build_index_fused(docs_with_ids: DataFrame, cfg: EngineConfig) -> dict:
     second Python pass (reference analog: the partition-loop merge of
     NILMain.kt:71-119 as a sort of compressed runs).
     """
-    raw = build_partial_segments(docs_with_ids, cfg).persist()
+    return index_from_partial_segments(
+        build_partial_segments(docs_with_ids, cfg).persist(), cfg
+    )
+
+
+def index_from_partial_segments(raw: DataFrame, cfg: EngineConfig) -> dict:
+    """Partial-segment rows (with docstat sentinels) → queryable index
+    handle: corpus stats from the sentinels, term dictionary, stopword
+    pruning, external merge."""
     sent = raw.filter(F.col("term") == DOCSTAT_SENTINEL)
     segs = raw.filter(F.col("term") != DOCSTAT_SENTINEL)
 

@@ -181,6 +181,53 @@ def test_fused_build_rank_identical(spark, transcripts_1k, queries_1k):
     assert (all_ids == np.arange(len(transcripts_1k))).all()
 
 
+def test_filedirect_build_rank_identical(spark, transcripts_1k, queries_1k, tmp_path):
+    """File-direct fused build (workers read range-sorted parquet files
+    directly; zero JVM→Python text traffic) must produce the same doc
+    ids, corpus stats, and rank-identical results as the oracle."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nil_spark.operators.segments import (
+        build_partial_segments_from_files,
+        index_from_partial_segments,
+    )
+
+    ordered = transcripts_1k.sort_values(
+        ["conv_id", "turn_idx"], kind="mergesort"
+    ).reset_index(drop=True)
+    files = []
+    step = (len(ordered) + 7) // 8
+    for i in range(8):  # contiguous key ranges = the sorted-write layout
+        chunk = ordered.iloc[i * step : (i + 1) * step]
+        f = str(tmp_path / f"part-{i:05d}.parquet")
+        pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False), f)
+        files.append(f)
+
+    raw = build_partial_segments_from_files(spark, files, CFG).persist()
+    idx = index_from_partial_segments(raw, CFG)
+    assert idx["n_docs"] == len(transcripts_1k)
+
+    from nil_spark.functions import varint as _v
+
+    sent = idx["docstats_blobs"].toPandas()
+    all_ids = np.sort(
+        np.concatenate([_v.decode_deltas(bytes(b)) for b in sent["doc_blob"]])
+    )
+    assert (all_ids == np.arange(len(transcripts_1k))).all()
+
+    q = spark.createDataFrame(queries_1k, schema="query_id long, text string, k int")
+    got = (
+        topk_maxscore(q, idx["segments"], idx["termdict"], idx["n_docs"], idx["avgdl"], CFG)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    oracle = OracleIndex(transcripts_1k, CFG).topk_frame(queries_1k)
+    oracle = oracle.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(got) == len(oracle)
+    assert (got["doc_id"].values == oracle["doc_id"].values).all()
+    assert np.allclose(got["bm25"].values, oracle["bm25"].values, atol=1e-6)
+
+
 def test_sharded_topk_rank_identical(spark, transcripts_1k, queries_1k, tmp_path):
     """Document-sharded scatter/gather top-k must equal the oracle."""
     import glob
