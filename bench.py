@@ -92,6 +92,34 @@ def main() -> None:
     build_s = time.perf_counter() - t0
     queries["engine_index_build"] = round(build_s, 3)
 
+    # file-direct build variant: corpus written (untimed) as range-sorted
+    # parquet slices, then built with workers reading the files directly
+    # (zero text bytes over the JVM->Python channel)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nil_spark.operators.segments import build_partial_segments_from_files
+
+    corpus_dir = tempfile.mkdtemp(prefix="nil_bench_corpus_")
+    step = (len(pdf) + int(cpus) - 1) // int(cpus)
+    fd_files = []
+    for i in range(int(cpus)):
+        chunk = pdf.iloc[i * step : (i + 1) * step]
+        if not len(chunk):
+            continue
+        fp = f"{corpus_dir}/part-{i:05d}.parquet"
+        pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False), fp)
+        fd_files.append(fp)
+    fd_dir = tempfile.mkdtemp(prefix="nil_bench_fd_")
+    t_fd = time.perf_counter()
+    build_partial_segments_from_files(spark, fd_files, cfg).write.mode(
+        "overwrite"
+    ).parquet(fd_dir)
+    fd_s = time.perf_counter() - t_fd
+    queries["engine_index_build_filedirect"] = round(fd_s, 3)
+    shutil.rmtree(fd_dir, ignore_errors=True)
+    shutil.rmtree(corpus_dir, ignore_errors=True)
+
     qpdf = gen_queries(pdf, n_queries=n_queries, k=10, seed=43)
     paths = sorted(glob.glob(shard_dir + "/part-*.parquet"))
     # timed warm-up pass: per-worker replica load + codegen.  Reported
@@ -107,6 +135,26 @@ def main() -> None:
     force(topk_replica_resident(spark, qpdf, paths, termdict, n_docs, avgdl, cfg))
     query_s = time.perf_counter() - t0
     queries["engine_bm25_batch"] = round(query_s, 3)
+
+    # long-query MaxScore case: 20 queries x ~50-60 terms each, via the
+    # join-based segment traversal (exercises the per-term chunk-group
+    # path that was O(T^2) in query terms in round 1)
+    from nil_spark.operators.segments import topk_maxscore
+
+    lq = [
+        (
+            100000 + i,
+            " ".join(qpdf["text"].iloc[(i * 7 + j) % len(qpdf)] for j in range(7)),
+            10,
+        )
+        for i in range(20)
+    ]
+    lqdf = spark.createDataFrame(lq, "query_id long, text string, k int")
+    segs = raw.filter(SF.col("term") != DOCSTAT_SENTINEL)
+    td_df = spark.createDataFrame(termdict)
+    t0 = time.perf_counter()
+    force(topk_maxscore(lqdf, segs, td_df, n_docs, avgdl, cfg))
+    queries["engine_maxscore_longq"] = round(time.perf_counter() - t0, 3)
     shutil.rmtree(shard_dir, ignore_errors=True)
 
     total = round(sum(queries.values()), 3)
@@ -119,6 +167,7 @@ def main() -> None:
                 "queries": queries,
                 "sf": sf,
                 "index_build_turns_per_sec": round(n_turns / build_s, 1),
+                "index_build_fd_turns_per_sec": round(n_turns / fd_s, 1),
                 "query_qps": round(n_queries / query_s, 1),
                 "query_qps_cold": round(20 / cold_s, 1),
                 "bench_turns": n_turns,

@@ -1,0 +1,87 @@
+"""Connected components over near-duplicate pair lists — the group
+assignment stage of a dedup pipeline (pairs → clusters → one canonical
+doc per cluster).
+
+The reference's unique-clone analysis dedupes pairs but never forms
+groups (/root/reference/analysis/unique_clone_analyzer.py:47-110); at
+training-data scale the pair relation must be collapsed to components
+so each near-dup cluster keeps exactly one representative.
+
+Algorithm: iterative min-label propagation — each vertex repeatedly
+adopts the smallest label in its closed neighborhood until a fixpoint.
+Every iteration is one join + one groupBy (all JVM-side); rounds needed
+= graph diameter.  Near-dup clusters are small and dense (diameter ≤ a
+few hops), so this converges in 2-4 rounds; for adversarial
+long-diameter graphs swap in the large-star/small-star contraction
+(Kiveris et al., "Connected Components in MapReduce", SoCC'14) — same
+operator surface.
+
+Convergence is checked with a count aggregate per round (a scalar to
+the driver, not data), and ``max_iter`` bounds the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, component) — component = min vertex id reachable through
+    ``edges`` (id1, id2).  Vertices absent from edges are their own
+    singleton components."""
+    verts = vertices.select(F.col(id_col).cast("long").alias("id")).distinct()
+    sym = (
+        edges.select(F.col("id1").cast("long").alias("src"), F.col("id2").cast("long").alias("dst"))
+        .unionByName(
+            edges.select(
+                F.col("id2").cast("long").alias("src"), F.col("id1").cast("long").alias("dst")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    # localCheckpoint per round truncates the iterative lineage —
+    # without it Catalyst re-analyzes an exponentially deepening plan
+    # (the standard pitfall of iterative DataFrame algorithms)
+    labels = verts.withColumn("comp", F.col("id")).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # smallest label in the closed neighborhood
+        neigh = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .select(F.col("src").alias("id"), "comp")
+            .unionByName(labels.select("id", "comp"))
+            .groupBy("id")
+            .agg(F.min("comp").alias("new_comp"))
+        )
+        nxt = neigh.select("id", F.col("new_comp").alias("comp")).localCheckpoint(
+            eager=True
+        )
+        changed = (
+            labels.join(nxt.withColumnRenamed("comp", "c2"), "id")
+            .filter(F.col("comp") != F.col("c2"))
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component"))
+
+
+def dedup_groups(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, component, is_canonical) — canonical = the component's
+    min id; downstream keeps ``is_canonical`` rows only."""
+    comp = connected_components(docs.select(id_col), pairs, id_col=id_col)
+    return comp.select(
+        id_col,
+        "component",
+        (F.col(id_col) == F.col("component")).alias("is_canonical"),
+    )

@@ -180,13 +180,16 @@ def _encode_run_table(
     dlv: np.ndarray,
     cfg: EngineConfig,
     max_chunk: int,
+    presorted: bool = False,
 ) -> dict:
     """Vectorized chunk/blob/block-max construction over a whole posting
     table at once — one numpy pass, no per-term Python (SURVEY.md §7
-    hard part (b)).  Sorts by (term, doc) internally; returns a
-    column->values dict in SEGMENT_SCHEMA order."""
-    order = np.lexsort((docs, terms))
-    terms, tfs, docs, dlv = terms[order], tfs[order], docs[order], dlv[order]
+    hard part (b)).  Sorts by (term, doc) internally unless the caller
+    guarantees that order (``presorted``); returns a column->values
+    dict in SEGMENT_SCHEMA order."""
+    if not presorted:
+        order = np.lexsort((docs, terms))
+        terms, tfs, docs, dlv = terms[order], tfs[order], docs[order], dlv[order]
     cuts = np.flatnonzero(np.diff(terms)) + 1
     starts = np.concatenate(([0], cuts))
     ends = np.concatenate((cuts, [len(terms)]))
@@ -331,53 +334,101 @@ _SEG_COLS = [
 ]
 
 
+def _transpose_tokens(
+    toks_list: list, ids: np.ndarray, dls: np.ndarray, cfg: EngineConfig
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Fully vectorized token → (term, doc, tf, dl) posting transpose.
+
+    One ``pd.factorize`` over the flat token stream (each *unique*
+    token is hashed exactly once — the vocabulary is Zipfian, so this
+    replaces millions of per-token cache lookups with thousands), a
+    globally vectorized rolling n-gram hash with doc-boundary masking,
+    and ONE (term, doc) lexsort that both aggregates tf and leaves the
+    arrays in the exact order ``_encode_run_table`` needs.  Replaces a
+    per-doc Python loop (np.unique + np.full per doc) that dominated
+    the build kernel profile.
+    """
+    from itertools import chain
+
+    from nil_spark.functions.tokenize import _hash_token
+
+    flat = np.asarray(list(chain.from_iterable(toks_list)), dtype=object)
+    if len(flat) == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z.astype(np.float64), z.astype(np.float64)
+    codes, uniques = pd.factorize(flat)
+    uh = np.fromiter(
+        (_hash_token(u) for u in uniques), dtype=np.int64, count=len(uniques)
+    )
+    doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64), dls)
+    tok_h = uh[codes]
+    n = cfg.gram_size
+    if n > 1:
+        # rolling polynomial hash over the flat stream; windows that
+        # cross a doc boundary are masked out (identical math to
+        # ngram_hashes_np, uint64 wraparound)
+        from nil_spark.functions.hashing import MASK63, POLY_P
+
+        m = len(tok_h) - n + 1
+        if m <= 0:
+            z = np.empty(0, dtype=np.int64)
+            return z, z, z.astype(np.float64), z.astype(np.float64)
+        with np.errstate(over="ignore"):
+            acc = np.zeros(m, dtype=np.uint64)
+            p = np.uint64(POLY_P)
+            th64 = tok_h.astype(np.uint64)
+            for i in range(n):
+                acc = acc * p + th64[i : i + m]
+        valid = doc_idx[:m] == doc_idx[n - 1 :]
+        tok_h = (acc & np.uint64(MASK63)).astype(np.int64)[valid]
+        doc_idx = doc_idx[:m][valid]
+    if len(tok_h) == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z.astype(np.float64), z.astype(np.float64)
+    # one global (term-major, doc within term) sort = tf aggregation AND
+    # the exact ordering _encode_run_table requires
+    order = np.lexsort((doc_idx, tok_h))
+    t2, d2 = tok_h[order], doc_idx[order]
+    newgrp = np.empty(len(t2), dtype=bool)
+    newgrp[0] = True
+    newgrp[1:] = (t2[1:] != t2[:-1]) | (d2[1:] != d2[:-1])
+    starts = np.flatnonzero(newgrp)
+    tf = np.diff(np.append(starts, len(t2))).astype(np.float64)
+    if cfg.distinct_ngrams:
+        tf = np.ones(len(starts), dtype=np.float64)
+    gd = d2[starts]
+    return t2[starts], ids[gd], tf, dls[gd].astype(np.float64)
+
+
 def _fused_partition_frame(
     pdf: pd.DataFrame, cfg: EngineConfig, max_chunk: int
 ) -> pd.DataFrame | None:
     """The fused-build kernel over one in-memory doc partition
     ``(doc_id, text)``: min-size scan predicates → tokenize →
-    term-major transpose → vectorized encode + docstats sentinel.
-    Shared by the Arrow-channel path (build_partial_segments) and the
-    file-direct path (build_partial_segments_from_files)."""
-    from nil_spark.functions.tokenize import terms_for_tokens, tokenize_series
+    vectorized term-major transpose → vectorized encode + docstats
+    sentinel.  Shared by the Arrow-channel path (build_partial_segments)
+    and the file-direct path (build_partial_segments_from_files)."""
+    from nil_spark.functions.tokenize import tokenize_series
 
     if cfg.min_chars > 1:  # same scan predicate as with_term_counts
         pdf = pdf[pdf["text"].fillna("").str.len() >= cfg.min_chars]
     toks = tokenize_series(pdf["text"], cfg)
     ids = pdf["doc_id"].to_numpy(np.int64)
     dls = np.fromiter((len(ts) for ts in toks), dtype=np.int64, count=len(pdf))
-    keep = (
-        np.flatnonzero(dls >= cfg.min_tokens)
-        if cfg.min_tokens > 1
-        else range(len(pdf))
-    )
-    all_terms: list[np.ndarray] = []
-    all_tfs: list[np.ndarray] = []
-    all_docs: list[np.ndarray] = []
-    all_dls: list[np.ndarray] = []
     toks_list = toks.tolist()
-    for i in keep:
-        ts = toks_list[i]
-        th = terms_for_tokens(ts, cfg)
-        if cfg.distinct_ngrams:
-            u, c = th, np.ones(len(th), dtype=np.int64)
-        else:
-            u, c = np.unique(th, return_counts=True)
-        all_terms.append(u)
-        all_tfs.append(c)
-        all_docs.append(np.full(len(u), ids[i], dtype=np.int64))
-        all_dls.append(np.full(len(u), dls[i], dtype=np.int64))
-    if not all_terms:
+    if cfg.min_tokens > 1:
+        keep = dls >= cfg.min_tokens
+        toks_list = [t for t, k in zip(toks_list, keep) if k]
+        kids, kdls = ids[keep], dls[keep]
+    else:
+        kids, kdls = ids, dls
+    terms, docs, tfs, dlv = _transpose_tokens(toks_list, kids, kdls, cfg)
+    if len(terms) == 0 and len(kids) == 0:
         return None
-    terms = np.concatenate(all_terms)
-    tfs = np.concatenate(all_tfs).astype(np.float64)
-    docs = np.concatenate(all_docs)
-    dlv = np.concatenate(all_dls).astype(np.float64)
-    rows = _encode_run_table(terms, docs, tfs, dlv, cfg, max_chunk)
+    rows = _encode_run_table(terms, docs, tfs, dlv, cfg, max_chunk, presorted=True)
     # docstats sentinel covers only docs that pass the min-size
     # predicates (filtered docs must not inflate n_docs/avgdl)
-    kmask = dls >= cfg.min_tokens if cfg.min_tokens > 1 else slice(None)
-    pdocs, pdls = ids[kmask], dls[kmask]
+    pdocs, pdls = kids, kdls
     o = np.argsort(pdocs, kind="stable")
     pdocs, pdls = pdocs[o], pdls[o]
     sentinel = pd.DataFrame(

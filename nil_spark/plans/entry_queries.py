@@ -783,6 +783,52 @@ WHERE round(i.inter / (sa.nsh + sb.nsh - i.inter), 6) >= 0.3
 """
 
 
+# ------------------------------------------ q: near-dup components
+
+
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup group assignment: connected components over the exact
+    n-gram Jaccard near-dup pairs — every doc labeled with its
+    cluster's min doc_id and whether it is the canonical survivor
+    (the stage a training-data dedup pipeline runs after pair
+    generation; operators/components.py)."""
+    from nil_spark.operators.components import dedup_groups
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = q_ngram_jaccard(spark, sf_dir).select("id1", "id2")
+    return dedup_groups(d.select("doc_id"), pairs).select(
+        "doc_id", F.col("component").cast("long").alias("component"), "is_canonical"
+    )
+
+
+def _neardup_components_sql() -> str:
+    return f"""
+WITH RECURSIVE {_DOCS_CTE},
+sh0 AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+        FROM docs, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+        WHERE len(toks) >= 3),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1000),
+g AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+          FROM g a JOIN g b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pairs AS (SELECT i.id1, i.id2
+          FROM inter i JOIN sizes sa ON i.id1 = sa.doc_id
+                       JOIN sizes sb ON i.id2 = sb.doc_id
+          WHERE round(i.inter / (sa.nsh + sb.nsh - i.inter), 6) >= 0.3),
+edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+          UNION SELECT id2, id1 FROM pairs),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+SELECT a AS doc_id, min(b)::BIGINT AS component, (a = min(b)) AS is_canonical
+FROM reach GROUP BY a
+"""
+
+
 # -------------------------------------- q: embedding cosine near-dup
 
 
@@ -1206,6 +1252,7 @@ REGISTRY: dict[str, tuple] = {
     "tracking_signature": (q_tracking_signature, _tracking_signature_sql()),
     "token_count": (q_token_count, _token_count_sql()),
     "ngram_jaccard_pairs": (q_ngram_jaccard, _ngram_jaccard_sql()),
+    "neardup_components": (q_neardup_components, _neardup_components_sql()),
     "emb_neardup_pairs": (q_emb_neardup, _emb_neardup_sql()),
     "ann_ivf_topk": (q_ann_ivf_topk, _ann_ivf_sql()),
     "multimodal_features": (q_multimodal_features, _multimodal_sql()),

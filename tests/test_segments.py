@@ -181,6 +181,29 @@ def test_fused_build_rank_identical(spark, transcripts_1k, queries_1k):
     assert (all_ids == np.arange(len(transcripts_1k))).all()
 
 
+def test_fused_build_ngram5_rank_identical(spark, transcripts_1k, queries_1k):
+    """The fused build's globally-vectorized rolling n-gram hash (with
+    doc-boundary masking) must be bit-identical to the per-doc oracle
+    hashing at gram_size=5 + distinct set semantics."""
+    from nil_spark.operators.segments import build_index_fused
+
+    cfg = EngineConfig(gram_size=5, distinct_ngrams=True, num_segments=4)
+    docs = spark.createDataFrame(transcripts_1k, schema=TRANSCRIPT_SCHEMA)
+    docs = assign_doc_ids(docs, ["conv_id", "turn_idx"], num_partitions=4)
+    idx = build_index_fused(docs.repartition(5), cfg)
+    assert idx["n_docs"] == len(transcripts_1k)
+    q = spark.createDataFrame(queries_1k, schema="query_id long, text string, k int")
+    got = (
+        topk_maxscore(q, idx["segments"], idx["termdict"], idx["n_docs"], idx["avgdl"], cfg)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    oracle = OracleIndex(transcripts_1k, cfg).topk_frame(queries_1k)
+    oracle = oracle.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(got) == len(oracle)
+    assert (got["doc_id"].values == oracle["doc_id"].values).all()
+    assert np.allclose(got["bm25"].values, oracle["bm25"].values, atol=1e-6)
+
+
 def test_filedirect_build_rank_identical(spark, transcripts_1k, queries_1k, tmp_path):
     """File-direct fused build (workers read range-sorted parquet files
     directly; zero JVM→Python text traffic) must produce the same doc
