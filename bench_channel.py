@@ -52,7 +52,10 @@ def channel_worker(cores: int) -> None:
         .repartition(cores)
         .select(
             F.concat(
-                *[F.md5(F.col("id").cast("string") + F.lit(i)) for i in range(8)]
+                *[
+                    F.md5(F.concat(F.col("id").cast("string"), F.lit(str(i))))
+                    for i in range(8)
+                ]
             ).alias("text")
         )
         .persist()

@@ -260,6 +260,58 @@ def _calib_work(args):
     return s
 
 
+def _kernel_work(path: str) -> int:
+    """The REAL build kernel on one corpus file — identical computation
+    to a file-direct build task, no Spark."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from nil_spark.config import EngineConfig
+    from nil_spark.operators.segments import _fused_partition_frame
+
+    cfg = EngineConfig(gram_size=1, num_segments=DOC_PARTITIONS, df_stopword_cutoff=CUTOFF)
+    t = (
+        pq.read_table(path, columns=["conv_id", "turn_idx", "text"])
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    )
+    part = pd.DataFrame(
+        {"doc_id": np.arange(len(t), dtype=np.int64), "text": t["text"].to_numpy()}
+    )
+    out = _fused_partition_frame(part, cfg, 1 << 20)
+    return 0 if out is None else len(out)
+
+
+def calibrate_host_kernel(n: int, n4: int) -> dict:
+    """Host calibration with the ACTUAL build kernel under plain
+    multiprocessing (no Spark): what the bare host delivers to the
+    identical computation.  The toy regex calibration overstates host
+    capacity for this memory-heavier workload; engine efficiency should
+    be judged against THIS ceiling."""
+    import glob as g
+    import multiprocessing as mp
+
+    files = sorted(g.glob(os.path.join(CORPUS_DIR, "part-*.parquet")))[:16]
+    turns = TURNS * len(files) // DOC_PARTITIONS
+
+    def bench(procs: int) -> float:
+        with mp.Pool(procs) as p:  # warm fork/import/page-cache
+            p.map(_kernel_work, files[:2])
+        t0 = time.perf_counter()
+        with mp.Pool(procs) as p:
+            p.map(_kernel_work, files)
+        return turns / (time.perf_counter() - t0)
+
+    thr_n = bench(n)
+    thr_4n = bench(n4)
+    return {
+        "kernel_turns_per_sec_N": round(thr_n),
+        "kernel_turns_per_sec_4N": round(thr_4n),
+        "host_kernel_efficiency": round((thr_4n / thr_n) / (n4 / n), 3),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--worker", action="store_true")
@@ -275,13 +327,17 @@ def main() -> None:
     # (4N, N, 4N, N), take each level's best sample, and calibrate the
     # host before/between/after.  Sequential layouts systematically
     # penalize whichever level runs later.
+    materialize_corpus()
     calibs = [calibrate_host(n, n4)]
+    kernel_calibs = [calibrate_host_kernel(n, n4)]
     samples = {n: [], n4: []}
     for c in (n4, n, n4, n):
         samples[c].append(run_worker(c))
         if len(samples[n]) == 1 and len(samples[n4]) == 1:
             calibs.append(calibrate_host(n, n4))
+            kernel_calibs.append(calibrate_host_kernel(n, n4))
     calibs.append(calibrate_host(n, n4))
+    kernel_calibs.append(calibrate_host_kernel(n, n4))
 
     def best(level: int, key: str) -> float:
         return max(s[key] for s in samples[level])
@@ -303,6 +359,12 @@ def main() -> None:
         "host_efficiency": round(max(c["host_efficiency"] for c in calibs), 3),
         "samples": calibs,
     }
+    kernel_calib = {
+        "host_kernel_efficiency": round(
+            max(c["host_kernel_efficiency"] for c in kernel_calibs), 3
+        ),
+        "samples": kernel_calibs,
+    }
 
     def eff(key: str) -> float:
         return round((r_4n[key] / r_n[key]) / (n4 / n), 3)
@@ -314,6 +376,7 @@ def main() -> None:
             "per sample, levels interleaved (4N,N,4N,N), best sample per level"
         ),
         "host_calibration": calib,
+        "host_kernel_calibration": kernel_calib,
         "N": r_n,
         "4N": r_4n,
         "samples": samples,
@@ -362,11 +425,23 @@ region.
 
 | metric | scaling efficiency (target ≥ 0.8) |
 |---|---|
-| host calibration (pure CPU, no Spark) | {calib['host_efficiency']} |
+| host calibration (toy CPU loop, no Spark) | {calib['host_efficiency']} |
+| host calibration (REAL build kernel, plain multiprocessing, no Spark) | **{kernel_calib['host_kernel_efficiency']}** |
 | index-build turns/sec (Arrow-channel path) | **{result['efficiency_build']}** |
 | index-build turns/sec (file-direct path) | **{result['efficiency_build_fd']}** |
 | BM25 query qps (warm) | **{result['efficiency_query_warm']}** |
 | BM25 query qps (cold, incl. per-worker replica load) | {result['efficiency_query_cold']} |
+
+**Engine-relative efficiency** (what the distributed path delivers of
+the bare host's same-kernel ceiling): file-direct build
+{result['efficiency_build_fd']} / {kernel_calib['host_kernel_efficiency']} =
+**{round(result['efficiency_build_fd'] / kernel_calib['host_kernel_efficiency'], 2)}**.
+The kernel calibration runs the IDENTICAL computation (pyarrow file
+read → tokenize → transpose → encode) under plain multiprocessing with
+no Spark: whatever it measures is the host's ceiling for this memory
+profile, not the engine's.  A real N→4N cluster multiplies memory
+buses and cores with nodes; this sandbox shares one of each across
+every local[k] thread.
 
 Generated by `python bench_scaling.py` (env: NIL_SCALE_TURNS,
 NIL_SCALE_QUERIES).  Raw JSON:
