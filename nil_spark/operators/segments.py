@@ -852,12 +852,20 @@ def topk_replica_resident(
     avgdl: float,
     cfg: EngineConfig,
     n_splits: int | None = None,
+    tokenize_on: str = "driver",
 ) -> DataFrame:
     """Replica-resident BM25 top-k: the decoded index lives in every
     Python worker (loaded once, reused across jobs); the QUERY batch is
     what Spark partitions.  Scoring is a dense ``np.bincount`` over doc
     ids per query — O(touched postings), no sort — with top-k via
     ``argpartition``.
+
+    ``tokenize_on="driver"`` (default) tokenizes the batch up front and
+    ships (term, idf) lists — fine for thousands of queries.
+    ``tokenize_on="worker"`` ships raw text and tokenizes inside each
+    split with the term→df map distributed as a Spark broadcast
+    variable — the shape for millions of queries, where driver-side
+    tokenization would serialize the whole batch through one core.
 
     Serving-topology note (100 TB): this is the replica model — right
     when the index fits node memory (as here).  When it doesn't, use
@@ -869,26 +877,44 @@ def topk_replica_resident(
 
     k1, b = cfg.bm25_k1, cfg.bm25_b
     df_map = dict(zip(termdict_pdf["term"].astype(np.int64), termdict_pdf["df"].astype(np.int64)))
-    qtoks = tokenize_series(queries_pdf["text"], cfg)
-    queries = []
-    for (qid, kk), ts in zip(zip(queries_pdf["query_id"], queries_pdf["k"]), qtoks):
+
+    def _qterms(ts: list, dfm: dict) -> list:
         th = np.unique(terms_for_tokens(ts, cfg))
-        terms = [
-            (int(t), math.log(1.0 + (n_docs - df_map[int(t)] + 0.5) / (df_map[int(t)] + 0.5)))
+        return [
+            (int(t), math.log(1.0 + (n_docs - dfm[int(t)] + 0.5) / (dfm[int(t)] + 0.5)))
             for t in th
-            if int(t) in df_map
+            if int(t) in dfm
         ]
-        if terms:
-            queries.append((int(qid), int(kk), terms))
 
     paths = tuple(sorted(shard_paths))
     n_splits = n_splits or max(
         int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1
     )
-    qdf = spark.createDataFrame(
-        [(i % n_splits, qid, kk, json.dumps(terms)) for i, (qid, kk, terms) in enumerate(queries)],
-        "split int, query_id long, k int, terms_json string",
-    ).repartition(n_splits, "split")
+    if tokenize_on == "worker":
+        df_bc = spark.sparkContext.broadcast(df_map)
+        rows = [
+            (i % n_splits, int(q), int(kk), t)
+            for i, (q, kk, t) in enumerate(
+                zip(queries_pdf["query_id"], queries_pdf["k"], queries_pdf["text"])
+            )
+        ]
+        qdf = spark.createDataFrame(
+            rows, "split int, query_id long, k int, text string"
+        ).repartition(n_splits, "split")
+        kdf_rows = [(int(q), int(kk)) for q, kk in zip(queries_pdf["query_id"], queries_pdf["k"])]
+    else:
+        df_bc = None
+        qtoks = tokenize_series(queries_pdf["text"], cfg)
+        queries = []
+        for (qid, kk), ts in zip(zip(queries_pdf["query_id"], queries_pdf["k"]), qtoks):
+            terms = _qterms(ts, df_map)
+            if terms:
+                queries.append((int(qid), int(kk), terms))
+        qdf = spark.createDataFrame(
+            [(i % n_splits, qid, kk, json.dumps(terms)) for i, (qid, kk, terms) in enumerate(queries)],
+            "split int, query_id long, k int, terms_json string",
+        ).repartition(n_splits, "split")
+        kdf_rows = [(int(q), int(kk)) for q, kk, _ in queries]
 
     def per_split(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         replica = None
@@ -902,10 +928,13 @@ def topk_replica_resident(
                 scores = np.zeros(n_docs, dtype=np.float64)
                 mask = np.zeros(n_docs, dtype=bool)
             out_q, out_d, out_s = [], [], []
-            for qid, kk, tj in zip(pdf["query_id"], pdf["k"], pdf["terms_json"]):
-                hits = [
-                    (replica[t], idf) for t, idf in json.loads(tj) if t in replica
-                ]
+            if df_bc is not None:  # worker-side tokenize
+                toks = tokenize_series(pdf["text"], cfg)
+                tlists = [_qterms(ts, df_bc.value) for ts in toks]
+            else:
+                tlists = [json.loads(tj) for tj in pdf["terms_json"]]
+            for qid, kk, tl in zip(pdf["query_id"], pdf["k"], tlists):
+                hits = [(replica[t], idf) for t, idf in tl if t in replica]
                 if not hits:
                     continue
                 # dense accumulate: doc lists within a term are unique,
@@ -939,9 +968,7 @@ def topk_replica_resident(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
     kdf = F.broadcast(
-        spark.createDataFrame(
-            [(int(q), int(kk)) for q, kk, _ in queries], "query_id long, k int"
-        )
+        spark.createDataFrame(kdf_rows, "query_id long, k int")
     )
     return (
         partial.join(kdf, "query_id")

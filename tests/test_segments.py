@@ -328,14 +328,19 @@ def test_replica_topk_rank_identical(spark, transcripts_1k, queries_1k, tmp_path
         termdict = termdict.filter(F.col("df") <= int(CFG.df_stopword_cutoff * n_docs))
     paths = sorted(glob.glob(shard_dir + "/part-*.parquet"))
 
-    got = (
-        topk_replica_resident(
-            spark, queries_1k, paths, termdict.toPandas(), n_docs, avgdl, CFG
-        )
-        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
-    )
     oracle = OracleIndex(transcripts_1k, CFG).topk_frame(queries_1k)
     oracle = oracle.sort_values(["query_id", "rank"]).reset_index(drop=True)
-    assert len(got) == len(oracle)
-    assert (got["doc_id"].values == oracle["doc_id"].values).all()
-    assert np.allclose(got["bm25"].values, oracle["bm25"].values, atol=1e-6)
+    td_pdf = termdict.toPandas()
+    # both tokenization placements (driver-side list shipping and
+    # worker-side broadcast-df tokenize) must be rank-identical
+    for mode in ("driver", "worker"):
+        got = (
+            topk_replica_resident(
+                spark, queries_1k, paths, td_pdf, n_docs, avgdl, CFG,
+                tokenize_on=mode,
+            )
+            .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        assert len(got) == len(oracle), mode
+        assert (got["doc_id"].values == oracle["doc_id"].values).all(), mode
+        assert np.allclose(got["bm25"].values, oracle["bm25"].values, atol=1e-6), mode
