@@ -626,32 +626,36 @@ def topk_maxscore(
             rem -= ubs[term]
             g = groups[term].sort_values("first_doc")
             idf = idfs[term]
-            for row in g.itertuples():
-                if intersect and len(acc_docs):
-                    # chunk skip: no accumulated doc in this chunk's range
-                    first = row.bm_first[0]
-                    lo = np.searchsorted(acc_docs, first)
-                    if lo == len(acc_docs):
-                        continue
-                d = varint.decode_deltas(bytes(row.doc_blob))
-                tf = varint.decode(bytes(row.tf_blob)).astype(np.float64)
-                dl = varint.decode(bytes(row.dl_blob)).astype(np.float64)
-                contrib = idf * (tf * (k1 + 1.0)) / (
-                    tf + k1 * (1.0 - b + b * dl / avgdl)
+            if intersect and len(acc_docs):
+                # chunk skip: drop chunks whose doc range starts past
+                # every accumulated doc — no candidate can live there
+                firsts = np.fromiter(
+                    (bf[0] for bf in g["bm_first"]), dtype=np.int64, count=len(g)
                 )
-                if intersect:
-                    # only already-seen docs may still matter
-                    pos = np.searchsorted(acc_docs, d)
-                    pos_ok = pos < len(acc_docs)
-                    hit = np.zeros(len(d), dtype=bool)
-                    hit[pos_ok] = acc_docs[pos[pos_ok]] == d[pos_ok]
-                    np.add.at(acc_scores, pos[hit], contrib[hit])
-                else:
-                    all_docs = np.concatenate((acc_docs, d))
-                    all_sc = np.concatenate((acc_scores, contrib))
-                    acc_docs, inv = np.unique(all_docs, return_inverse=True)
-                    acc_scores = np.zeros(len(acc_docs), dtype=np.float64)
-                    np.add.at(acc_scores, inv, all_sc)
+                g = g[firsts <= acc_docs[-1]]
+                if len(g) == 0:
+                    continue
+            # ONE batched decode for all surviving chunks of this term
+            # (concatenated varint streams + segmented cumsum) instead
+            # of a per-chunk Python loop; (term, doc) pairs are unique
+            # across chunks, so a single accumulate is exact
+            _, d, tf, dl = _decode_chunk_table(g)
+            contrib = idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * dl / avgdl)
+            )
+            if intersect:
+                # only already-seen docs may still matter
+                pos = np.searchsorted(acc_docs, d)
+                pos_ok = pos < len(acc_docs)
+                hit = np.zeros(len(d), dtype=bool)
+                hit[pos_ok] = acc_docs[pos[pos_ok]] == d[pos_ok]
+                np.add.at(acc_scores, pos[hit], contrib[hit])
+            else:
+                all_docs = np.concatenate((acc_docs, d))
+                all_sc = np.concatenate((acc_scores, contrib))
+                acc_docs, inv = np.unique(all_docs, return_inverse=True)
+                acc_scores = np.zeros(len(acc_docs), dtype=np.float64)
+                np.add.at(acc_scores, inv, all_sc)
             if not intersect and len(acc_docs) >= k:
                 kth = np.partition(acc_scores, -k)[-k]
                 if rem + MAXSCORE_MARGIN < kth:
