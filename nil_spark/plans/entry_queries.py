@@ -783,6 +783,87 @@ WHERE round(i.inter / (sa.nsh + sb.nsh - i.inter), 6) >= 0.3
 """
 
 
+# -------------------------------------------- q: doc repetition score
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition scoring (Gopher-style quality signal:
+    fraction of token 3-grams that are duplicates inside the doc) —
+    high repetition marks degenerate/boilerplate text for filtering."""
+    docs = _docs_toks(spark, sf_dir)
+    sh = F.when(
+        F.size("toks") >= 3,
+        F.expr(
+            "transform(sequence(0, size(toks) - 3),"
+            " i -> concat_ws(' ', slice(toks, i + 1, 3)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select("doc_id", F.explode(sh).alias("shingle"))
+    per = g.groupBy("doc_id", "shingle").agg(F.count("*").alias("tf"))
+    agg = per.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_shingles"),
+        F.sum(F.when(F.col("tf") > 1, F.col("tf")).otherwise(0))
+        .cast("long")
+        .alias("n_dup"),
+    )
+    base = docs.select("doc_id")
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+        F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+        F.round(
+            F.coalesce(F.col("n_dup") / F.nullif(F.col("n_shingles"), F.lit(0)), F.lit(0.0)),
+            6,
+        ).alias("dup_fraction"),
+    )
+
+
+def _doc_repetition_sql() -> str:
+    return f"""
+WITH {_DOCS_CTE},
+sh AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+       FROM docs, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+       WHERE len(toks) >= 3),
+per AS (SELECT doc_id, shingle, count(*) AS tf FROM sh GROUP BY 1, 2),
+agg AS (SELECT doc_id, sum(tf)::BIGINT AS n_shingles,
+               sum(CASE WHEN tf > 1 THEN tf ELSE 0 END)::BIGINT AS n_dup
+        FROM per GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(a.n_shingles, 0) AS n_shingles,
+       coalesce(a.n_dup, 0) AS n_dup,
+       round(coalesce(a.n_dup / nullif(a.n_shingles, 0), 0.0), 6) AS dup_fraction
+FROM docs d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
+# ------------------------------------------------ q: hash sampling
+
+
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based sampling (training-data pipeline op):
+    every doc labeled with its pinned md5 bucket and a 25% keep flag —
+    reproducible across runs/clusters, unlike rand()-based sampling,
+    and consistent for the same doc across pipeline stages."""
+    from nil_spark.functions.hashing import md5_prefix64_col
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bucket = md5_prefix64_col(F.concat(F.lit("s:"), F.col("doc_id").cast("string"))) % 10000
+    return d.select(
+        "doc_id",
+        bucket.cast("long").alias("bucket"),
+        (bucket < 2500).alias("sampled"),
+    )
+
+
+def _sample_hash_sql() -> str:
+    return """
+SELECT doc_id,
+       (('0x' || substr(md5('s:' || doc_id::VARCHAR), 1, 15))::BIGINT % 10000) AS bucket,
+       ((('0x' || substr(md5('s:' || doc_id::VARCHAR), 1, 15))::BIGINT % 10000) < 2500) AS sampled
+FROM documents
+"""
+
+
 # ------------------------------------------ q: near-dup components
 
 
@@ -1253,6 +1334,8 @@ REGISTRY: dict[str, tuple] = {
     "token_count": (q_token_count, _token_count_sql()),
     "ngram_jaccard_pairs": (q_ngram_jaccard, _ngram_jaccard_sql()),
     "neardup_components": (q_neardup_components, _neardup_components_sql()),
+    "doc_repetition": (q_doc_repetition, _doc_repetition_sql()),
+    "sample_hash": (q_sample_hash, _sample_hash_sql()),
     "emb_neardup_pairs": (q_emb_neardup, _emb_neardup_sql()),
     "ann_ivf_topk": (q_ann_ivf_topk, _ann_ivf_sql()),
     "multimodal_features": (q_multimodal_features, _multimodal_sql()),
