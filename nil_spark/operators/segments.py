@@ -1053,6 +1053,50 @@ class CheckpointedIndexBuilder:
         self._save()
         return written
 
+    def build_fused(self, docs: DataFrame) -> dict:
+        """Checkpointed FUSED build: partial segments (one Arrow stage)
+        → termdict → external merge, each stage parquet-checkpointed
+        with per-partition lineage; a re-run (resume after failure)
+        skips completed stages via the manifest fingerprint exactly like
+        the classic path."""
+        spark = docs.sparkSession
+        cfg = self.cfg
+
+        partial = self._run_stage(
+            "partial_segments", lambda: build_partial_segments(docs, cfg), spark
+        )
+        sent = partial.filter(F.col("term") == DOCSTAT_SENTINEL)
+        segs = partial.filter(F.col("term") != DOCSTAT_SENTINEL)
+        stats = sent.agg(
+            F.sum("n_postings").alias("n"), F.sum(F.element_at("bm_max", 1)).alias("s")
+        ).collect()[0]
+        n_docs = int(stats["n"])
+        avgdl = float(stats["s"]) / max(n_docs, 1)
+        self.manifest["corpus"] = {"n_docs": n_docs, "avgdl": avgdl}
+
+        termdict = self._run_stage(
+            "termdict",
+            lambda: segs.groupBy("term").agg(
+                F.sum("n_postings").cast("long").alias("df")
+            ),
+            spark,
+        )
+        cutoff = cfg.df_stopword_cutoff
+        if cutoff is not None and cutoff < 1.0:
+            stop = termdict.filter(F.col("df") > int(cutoff * n_docs)).select("term")
+            segs = segs.join(F.broadcast(stop), "term", "left_anti")
+        segments = self._run_stage(
+            "segments", lambda: merge_segments(segs, cfg), spark
+        )
+        self._save()
+        return {
+            "segments": segments,
+            "termdict": termdict,
+            "docstats_blobs": sent,
+            "n_docs": n_docs,
+            "avgdl": avgdl,
+        }
+
     def build(self, docs: DataFrame) -> dict:
         """docs must carry doc_id + text.  Returns index handle dict."""
         from nil_spark.functions.tokenize import with_term_counts

@@ -151,6 +151,46 @@ def test_checkpoint_resume(spark, transcripts_1k, queries_1k, tmp_path):
     assert np.allclose(got["bm25"].values, oracle["bm25"].values, atol=1e-6)
 
 
+def test_checkpoint_resume_fused(spark, transcripts_1k, queries_1k, tmp_path):
+    """The fused build path is checkpoint-resumable too: wipe the merge
+    stage, resume, earlier stages skipped, results rank-identical."""
+    import shutil
+
+    docs = spark.createDataFrame(transcripts_1k, schema=TRANSCRIPT_SCHEMA)
+    docs = assign_doc_ids(docs, ["conv_id", "turn_idx"], num_partitions=4)
+    path = str(tmp_path / "fidx")
+
+    b1 = CheckpointedIndexBuilder(path, CFG)
+    b1.build_fused(docs.repartition(5))
+    man1 = json.load(open(os.path.join(path, "manifest.json")))
+    shutil.rmtree(os.path.join(path, "segments"))
+    man1["stages"].pop("segments")
+    json.dump(man1, open(os.path.join(path, "manifest.json"), "w"))
+
+    b2 = CheckpointedIndexBuilder(path, CFG)
+    idx2 = b2.build_fused(docs.repartition(5))
+    man2 = json.load(open(os.path.join(path, "manifest.json")))
+    for stage in ("partial_segments", "termdict"):
+        assert (
+            man2["stages"][stage]["finished_at"]
+            == man1["stages"][stage]["finished_at"]
+        ), f"stage {stage} was rebuilt instead of resumed"
+    assert "segments" in man2["stages"]
+
+    q = spark.createDataFrame(queries_1k, schema="query_id long, text string, k int")
+    got = (
+        topk_maxscore(
+            q, idx2["segments"], idx2["termdict"], idx2["n_docs"], idx2["avgdl"], CFG
+        )
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    oracle = OracleIndex(transcripts_1k, CFG).topk_frame(queries_1k)
+    oracle = oracle.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(got) == len(oracle)
+    assert (got["doc_id"].values == oracle["doc_id"].values).all()
+    assert np.allclose(got["bm25"].values, oracle["bm25"].values, atol=1e-6)
+
+
 def test_fused_build_rank_identical(spark, transcripts_1k, queries_1k):
     """Fused single-pass build (build_index_fused) must answer queries
     rank-identically to the oracle and to the classic pipeline."""
