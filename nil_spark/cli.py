@@ -47,7 +47,7 @@ def cmd_build(args) -> int:
     docs = read_docs(spark, args.input, args.format)
     docs = assign_doc_ids(docs, ["conv_id", "turn_idx"])
     builder = CheckpointedIndexBuilder(args.index_dir, cfg)
-    idx = builder.build(docs)
+    idx = builder.build_fused(docs) if args.build_path == "fused" else builder.build(docs)
     print(json.dumps({
         "n_docs": idx["n_docs"], "avgdl": round(idx["avgdl"], 3),
         "segments": idx["segments"].count(),
@@ -77,12 +77,17 @@ def cmd_query(args) -> int:
         }), file=sys.stderr)
         spark.stop()
         return 2
+    import os
+
     segs = spark.read.parquet(f"{args.index_dir}/segments")
     termdict = spark.read.parquet(f"{args.index_dir}/termdict")
-    docstats = spark.read.parquet(f"{args.index_dir}/docstats")
-    from nil_spark.operators.index import corpus_stats
+    if os.path.isdir(f"{args.index_dir}/docstats"):  # classic layout
+        from nil_spark.operators.index import corpus_stats
 
-    n_docs, avgdl = corpus_stats(docstats)
+        n_docs, avgdl = corpus_stats(spark.read.parquet(f"{args.index_dir}/docstats"))
+    else:  # fused layout: corpus scalars recorded in the manifest
+        c = builder.manifest["corpus"]
+        n_docs, avgdl = int(c["n_docs"]), float(c["avgdl"])
     q = spark.read.parquet(args.queries)
     if "k" not in q.columns:
         from pyspark.sql import functions as F
@@ -107,6 +112,9 @@ def main(argv=None) -> int:
     b.add_argument("--input", required=True)
     b.add_argument("--format", choices=["parquet", "iceberg"], default="parquet")
     b.add_argument("--index-dir", required=True)
+    b.add_argument("--build-path", choices=["fused", "classic"], default="fused",
+                   help="fused = single-Arrow-stage build (fast path); "
+                        "classic = explode/shuffle pipeline")
     b.set_defaults(fn=cmd_build)
 
     q = sub.add_parser("query", help="BM25 top-k over a built index")

@@ -1,0 +1,79 @@
+"""spark-submit surface end-to-end: build (fused checkpointed path) then
+query via the cli in subprocesses (fresh JVMs, as spark-submit would),
+rank-identical to the oracle; config-fingerprint drift fails fast."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from nil_spark.config import EngineConfig
+from nil_spark.sources.transcripts import gen_queries, gen_transcripts
+from nil_spark.testing.oracle import OracleIndex
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args: list) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, "cli_main.py"), "--master", "local[2]",
+         "--shuffle-partitions", "4", *args],
+        capture_output=True, text=True, timeout=300, cwd=REPO,
+    )
+
+
+@pytest.fixture(scope="module")
+def cli_index(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cli")
+    pdf = gen_transcripts(400, seed=21)
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False), str(tmp / "corpus.parquet")
+    )
+    idx_dir = str(tmp / "idx")
+    out = _run(["build", "--input", str(tmp / "corpus.parquet"),
+                "--index-dir", idx_dir])
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    info = json.loads(out.stdout.strip().splitlines()[-1])
+    assert info["n_docs"] == 400
+    return tmp, idx_dir, pdf
+
+
+def test_cli_build_and_query(cli_index):
+    tmp, idx_dir, pdf = cli_index
+    q = gen_queries(pdf, n_queries=8, k=5, seed=22)
+    pq.write_table(pa.Table.from_pandas(q, preserve_index=False), str(tmp / "q.parquet"))
+    out = _run(["query", "--index-dir", idx_dir,
+                "--queries", str(tmp / "q.parquet"), "--out", str(tmp / "res")])
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+
+    got = (
+        pd.concat(
+            pq.read_table(os.path.join(tmp / "res", f)).to_pandas()
+            for f in os.listdir(tmp / "res")
+            if f.endswith(".parquet")
+        )
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    oracle = OracleIndex(pdf, EngineConfig(gram_size=1)).topk_frame(q)
+    oracle = oracle.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(got) == len(oracle)
+    assert (got["doc_id"].values == oracle["doc_id"].values).all()
+    assert np.allclose(got["bm25"].values, oracle["bm25"].values, atol=1e-6)
+
+
+def test_cli_fingerprint_mismatch_fails_fast(cli_index):
+    tmp, idx_dir, pdf = cli_index
+    q = gen_queries(pdf, n_queries=2, k=3, seed=23)
+    pq.write_table(pa.Table.from_pandas(q, preserve_index=False), str(tmp / "q2.parquet"))
+    out = _run(["--gram-size", "3", "query", "--index-dir", idx_dir,
+                "--queries", str(tmp / "q2.parquet"), "--out", str(tmp / "res2")])
+    assert out.returncode == 2, out.stdout[-1500:] + out.stderr[-1500:]
+    assert "config mismatch" in out.stderr
