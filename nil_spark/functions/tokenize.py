@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from nil_spark.config import EngineConfig
-from nil_spark.functions.hashing import MASK63, MASK64, FNV_PRIME, FNV_OFFSET, POLY_P, ngram_hashes_np
+from nil_spark.functions.hashing import MASK63, MASK64, FNV_PRIME, FNV_OFFSET, ngram_hashes_np
 
 # per-worker token-hash memo: vocabulary is Zipfian, so the hit rate is
 # very high; values are pinned FNV-1a so the cache is pure memoization.

@@ -19,7 +19,7 @@ buckets (the df-cutoff analog).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from nil_spark.functions.hashing import md5_prefix64_col

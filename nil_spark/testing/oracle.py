@@ -15,7 +15,6 @@ osaka_u/sdl/nil/entity/HuntSzymanskiLCS.kt:8-34).
 
 from __future__ import annotations
 
-import math
 import re
 from bisect import bisect_left
 from collections import Counter, defaultdict
