@@ -122,27 +122,12 @@ def main() -> None:
 
     qpdf = gen_queries(pdf, n_queries=n_queries, k=10, seed=43)
     paths = sorted(glob.glob(shard_dir + "/part-*.parquet"))
-    # timed warm-up pass: per-worker replica load + codegen.  Reported
-    # separately as the COLD number so round-over-round comparisons see
-    # both the one-time load cost and the steady-state qps (a long-lived
-    # serving job pays the load once; engine_bm25_batch is the warm,
-    # replica-resident measurement).  The warm-up batch must cover
-    # EVERY query split (2 queries per core) — a partial warm-up leaves
-    # some timed-run tasks on cold workers, which round 1 measured as
-    # 2x run-to-run noise on the warm number.
-    n_warm = 2 * int(cpus)
-    t0 = time.perf_counter()
-    force(topk_replica_resident(spark, qpdf.iloc[:n_warm], paths, termdict, n_docs, avgdl, cfg))
-    cold_s = time.perf_counter() - t0
-    queries["engine_bm25_cold_load"] = round(cold_s, 3)
-    t0 = time.perf_counter()
-    force(topk_replica_resident(spark, qpdf, paths, termdict, n_docs, avgdl, cfg))
-    query_s = time.perf_counter() - t0
-    queries["engine_bm25_batch"] = round(query_s, 3)
 
     # long-query MaxScore case: 20 queries x ~50-60 terms each, via the
     # join-based segment traversal (exercises the per-term chunk-group
-    # path that was O(T^2) in query terms in round 1)
+    # path that was O(T^2) in query terms in round 1).  Runs BEFORE the
+    # replica phase so its timing is not taken against Python workers
+    # already holding multi-hundred-MB resident replicas.
     from nil_spark.operators.segments import topk_maxscore
 
     lq = [
@@ -161,6 +146,24 @@ def main() -> None:
     t0 = time.perf_counter()
     force(topk_maxscore(lqdf, segs, td_df, n_docs, avgdl, cfg))
     queries["engine_maxscore_longq"] = round(time.perf_counter() - t0, 3)
+
+    # timed warm-up pass: per-worker replica load + codegen.  Reported
+    # separately as the COLD number so round-over-round comparisons see
+    # both the one-time load cost and the steady-state qps (a long-lived
+    # serving job pays the load once; engine_bm25_batch is the warm,
+    # replica-resident measurement).  The warm-up batch must cover
+    # EVERY query split (2 queries per core) — a partial warm-up leaves
+    # some timed-run tasks on cold workers, which round 1 measured as
+    # 2x run-to-run noise on the warm number.
+    n_warm = 2 * int(cpus)
+    t0 = time.perf_counter()
+    force(topk_replica_resident(spark, qpdf.iloc[:n_warm], paths, termdict, n_docs, avgdl, cfg))
+    cold_s = time.perf_counter() - t0
+    queries["engine_bm25_cold_load"] = round(cold_s, 3)
+    t0 = time.perf_counter()
+    force(topk_replica_resident(spark, qpdf, paths, termdict, n_docs, avgdl, cfg))
+    query_s = time.perf_counter() - t0
+    queries["engine_bm25_batch"] = round(query_s, 3)
     shutil.rmtree(shard_dir, ignore_errors=True)
 
     total = round(sum(queries.values()), 3)
