@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import tempfile
+
 import pandas as pd
 import pytest
 
@@ -9,7 +11,18 @@ from nil_spark.sources.transcripts import gen_queries, gen_transcripts
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app="nil_spark_tests", master="local[4]", shuffle_partitions=8)
+    # warehouse + derby metastore in tmp so saveAsTable (bucketing
+    # tests) never writes into the repo working dir
+    wh = tempfile.mkdtemp(prefix="nil_spark_wh_")
+    s = get_spark(
+        app="nil_spark_tests",
+        master="local[4]",
+        shuffle_partitions=8,
+        **{
+            "spark.sql.warehouse.dir": wh,
+            "spark.driver.extraJavaOptions": f"-Dderby.system.home={wh}",
+        },
+    )
     yield s
     s.stop()
 
