@@ -86,7 +86,16 @@ def cmd_query(args) -> int:
 
         n_docs, avgdl = corpus_stats(spark.read.parquet(f"{args.index_dir}/docstats"))
     else:  # fused layout: corpus scalars recorded in the manifest
-        c = builder.manifest["corpus"]
+        c = builder.manifest.get("corpus")
+        if not c:  # crashed build or hand-copied index dir — fail structured
+            print(json.dumps({
+                "error": "manifest missing corpus stats",
+                "manifest": builder.manifest_path,
+                "hint": "the index build did not complete (no termdict stage); "
+                        "rebuild with `nil_spark build`",
+            }), file=sys.stderr)
+            spark.stop()
+            return 2
         n_docs, avgdl = int(c["n_docs"]), float(c["avgdl"])
     q = spark.read.parquet(args.queries)
     if "k" not in q.columns:

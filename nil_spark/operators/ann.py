@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from nil_spark.functions.caching import tether
 from nil_spark.functions.hashing import md5_prefix64_py
 
 ANN_PLANES = 8  # LSH hyperplanes → 2^8 buckets
@@ -86,9 +87,10 @@ def lsh_bucket(
     pinned literals computed driver-side, so there is no crossJoin, no
     groupBy-on-the-vector-column, and no shuffle (the round-1 shape
     hashed full 64-dim arrays through an exchange just to reassemble
-    rows it already had)."""
+    rows it already had).  Pass ``dims`` when known (the array length is
+    not in the schema); the fallback probes one row — one extra tiny job."""
     if dims is None:
-        dims = df.select(F.size(vec_col).alias("d")).limit(1).collect()[0]["d"]
+        dims = df.select(F.size(vec_col).alias("d")).first()["d"]
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
         pvec = F.array(
@@ -194,19 +196,32 @@ def embedding_neardup_pairs(
     n_planes: int = 4,  # coarser than top-k ANN: recall over candidate cost
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidates share an LSH
     sign-bucket (triangular id1 < id2), verified by exact cosine ≥
     threshold — the filter-then-verify discipline on the embedding
     modality.  At scale the bucket self-join replaces the all-pairs
-    crossJoin (N²) with Σ per-bucket²."""
-    b = lsh_bucket(
-        embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")),
-        "vec",
-        n_planes,
-    ).persist()  # both sides of the self-join
+    crossJoin (N²) with Σ per-bucket².
+
+    The vector norm is computed ONCE per vector on the persisted
+    bucketed frame, so each candidate pair pays a single dot-product
+    fold instead of dot + two norm folds (the ~|bucket|² pair side is
+    the hot path; norms there tripled its per-row cost).  The norm
+    doubles are the same fold as before, so the rounded cosine — and
+    the oracle hash — are unchanged."""
+    b = (
+        lsh_bucket(
+            embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")),
+            "vec",
+            n_planes,
+            dims=dims,
+        )
+        .withColumn("norm", _norm(F.col("vec")))
+        .persist()  # both sides of the self-join
+    )
     a1, a2 = b.alias("a"), b.alias("b")
-    return (
+    out = (
         a1.join(
             a2,
             (F.col("a.bucket") == F.col("b.bucket"))
@@ -217,12 +232,13 @@ def embedding_neardup_pairs(
             F.col("b.vec_id").alias("id2"),
             F.round(
                 _dot(F.col("a.vec"), F.col("b.vec"))
-                / (_norm(F.col("a.vec")) * _norm(F.col("b.vec"))),
+                / (F.col("a.norm") * F.col("b.norm")),
                 6,
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
+    return tether(out, b)
 
 
 def ann_lsh_topk(
@@ -232,6 +248,7 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = ANN_PLANES,
+    dims: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed ANN: exact cosine rerank within the query's bucket.
 
@@ -244,8 +261,9 @@ def ann_lsh_topk(
         embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")),
         "vec",
         n_planes,
+        dims=dims,
     )
-    q = lsh_bucket(queries.select("query_id", "qvec"), "qvec", n_planes)
+    q = lsh_bucket(queries.select("query_id", "qvec"), "qvec", n_planes, dims=dims)
     scored = cand.join(F.broadcast(q), "bucket").select(
         "query_id",
         "vec_id",

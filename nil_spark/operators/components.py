@@ -50,6 +50,7 @@ def connected_components(
     # without it Catalyst re-analyzes an exponentially deepening plan
     # (the standard pitfall of iterative DataFrame algorithms)
     labels = verts.withColumn("comp", F.col("id")).localCheckpoint(eager=True)
+    changed = 0
     for _ in range(max_iter):
         # smallest label in the closed neighborhood
         neigh = (
@@ -71,6 +72,17 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
+    if changed != 0:
+        # min-label propagation advances one hop per round; exiting with
+        # unconverged labels would silently split long-diameter clusters.
+        # Raise instead — callers with adversarial graphs should raise
+        # max_iter or switch to large-star/small-star contraction.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); the component graph has "
+            f"diameter > max_iter — raise max_iter or use large-star/"
+            f"small-star contraction for long-chain graphs"
+        )
     return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component"))
 
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nil_spark.functions.caching import tether
 from nil_spark.functions.hashing import md5_prefix64_col
 
 MINHASH_P = 2147483647  # 2^31 - 1; a·(h%P)+b stays < 2^62 (int64 safe)
@@ -98,6 +99,13 @@ def lsh_band_keys(
     """(doc_id, band, band_key) from wide signatures — pure projection +
     explode, no shuffle (band_key = mh values in perm order, '-'-joined,
     matching the SQL oracle's string_agg ORDER BY perm_id)."""
+    need = bands * rows
+    have = sum(1 for c in wide.columns if c.startswith("mh"))
+    if need > have:
+        raise ValueError(
+            f"bands*rows = {bands}*{rows} = {need} exceeds the {have} minhash "
+            f"columns in the signature frame; build signatures with k >= {need}"
+        )
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -127,7 +135,7 @@ def lsh_candidate_pairs(
         F.broadcast(sizes.filter(F.col("bsz") > bucket_cap)), ["band", "band_key"], "left_anti"
     ).persist()  # consumed by both sides of the self-join below
     a, b = banded.alias("a"), banded.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -137,6 +145,7 @@ def lsh_candidate_pairs(
         .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
         .distinct()
     )
+    return tether(out, banded)
 
 
 def jaccard_verify(pairs: DataFrame, sh: DataFrame) -> DataFrame:
@@ -177,11 +186,15 @@ def minhash_dedup(
     ``shingles`` feeds three consumers (signatures + both sides of the
     verify join) and the banded signatures feed a self-join — persist
     both so the DAG doesn't re-derive them per branch (cluster analog:
-    checkpoint)."""
+    checkpoint); both caches are tethered to the result for release."""
     sh = shingles(df, n).persist()
     sigs = minhash_signatures_wide(sh, k)
     cand = lsh_candidate_pairs(sigs, bands, rows)
-    return jaccard_verify(cand, sh).filter(F.col("jaccard") >= threshold)
+    out = jaccard_verify(cand, sh).filter(F.col("jaccard") >= threshold)
+    # cand is tethered too: holding it alive defers the release of the
+    # banded cache inside lsh_candidate_pairs until `out` itself is dropped
+    # (unpersist on the non-persisted cand is a no-op).
+    return tether(out, sh, cand)
 
 
 def ngram_jaccard_pairs(
@@ -226,39 +239,32 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return out
+    return tether(out, sh)
 
 
 def simhash63(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, simhash) — 63-bit SimHash over unigram tf with
-    md5-prefix term hashes.  bit b = 1 iff Σ tf·(2·bit_b(h)−1) > 0."""
+    md5-prefix term hashes.  bit b = 1 iff Σ tf·(2·bit_b(h)−1) > 0.
+
+    Shape: ONE groupBy(doc_id) carrying 63 literal-bit conditional-sum
+    aggregates over per-occurrence rows (Σ_occurrences(2·bit−1) ≡
+    Σ_terms tf·(2·bit−1), exact integer math, same oracle).  Each token
+    occurrence crosses the exchange once as 63 partial sums via
+    map-side combine — the earlier shape exploded every (doc, term) row
+    ×63 bit positions *before* the shuffle, the same fan-out defect
+    class as the round-1 MinHash perm-crossJoin."""
     toks = F.filter(F.split(F.lower(text_col), "[^a-z0-9]+"), lambda x: x != "")
-    tf = (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-        .withColumn("h", md5_prefix64_col(F.col("term")))
+    occ = df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term")).select(
+        "doc_id", md5_prefix64_col(F.col("term")).alias("h")
     )
-    bits = tf.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(62))).alias("b"),
-        F.col("tf").alias("tf"),
-        F.col("h").alias("h"),
-    ).select(
-        "doc_id",
-        "b",
-        F.expr("tf * ((shiftright(h, b) & 1) * 2 - 1)").alias("w"),
-    )
-    return (
-        bits.groupBy("doc_id", "b")
-        .agg(F.sum("w").alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.expr(
-                    "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b)"
-                    " ELSE CAST(0 AS BIGINT) END"
-                )
-            ).alias("simhash")
-        )
-    )
+    aggs = [
+        F.sum(F.expr(f"(shiftright(h, {b}) & 1) * 2 - 1")).alias(f"s{b}")
+        for b in range(63)
+    ]
+    wide = occ.groupBy("doc_id").agg(*aggs)
+    simhash = F.lit(0).cast("long")
+    for b in range(63):
+        simhash = simhash + F.when(
+            F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return wide.select("doc_id", simhash.alias("simhash"))

@@ -466,13 +466,19 @@ def build_partial_segments_from_files(
     worker reads its file straight from the object store, exactly like
     an Iceberg scan task.
 
-    Precondition (checked by the caller's layout, not at runtime): the
-    files are globally range-sorted on ``order_cols`` — file i holds a
-    contiguous key range below file i+1's (the standard sorted-write /
-    Iceberg sort-order layout).  Doc ids are then
-    ``file_row_offset + within-file rank``, bit-identical to
+    Precondition: the files are globally range-sorted on ``order_cols``
+    — file i holds a contiguous key range below file i+1's (the
+    standard sorted-write / Iceberg sort-order layout).  Doc ids are
+    then ``file_row_offset + within-file rank``, bit-identical to
     ``assign_doc_ids`` over the same ordering; rows inside a file are
-    sorted here, so only the file-level range layout is assumed.
+    sorted here, so only the file-level range layout is assumed.  The
+    layout IS validated here from the parquet footers (min/max stats of
+    the leading order column must be non-overlapping ascending across
+    files) — a violated layout would silently diverge doc ids from
+    ``assign_doc_ids`` and corrupt every query result.  Boundary
+    *equality* (one key straddling a file split, as repartitionByRange
+    legitimately produces) is allowed: footer stats cannot distinguish
+    it from disorder, and it preserves global tuple order.
 
     Reference analog: the partition loop building partial inverted
     indexes per doc range (NILMain.kt:71-87) with the doc range = one
@@ -482,9 +488,34 @@ def build_partial_segments_from_files(
 
     offsets = []
     acc = 0
+    ranges = []  # (min, max) of order_cols[0] per file, from footer stats
     for p in file_paths:  # footer-only metadata reads — no data I/O
         offsets.append(acc)
-        acc += pq.ParquetFile(p).metadata.num_rows
+        md = pq.ParquetFile(p).metadata
+        acc += md.num_rows
+        col0 = order_cols[0]
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        ci = names.index(col0) if col0 in names else -1
+        fmin = fmax = None
+        if ci >= 0:
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    fmin = fmax = None
+                    break
+                fmin = st.min if fmin is None else min(fmin, st.min)
+                fmax = st.max if fmax is None else max(fmax, st.max)
+        ranges.append((fmin, fmax))
+    for i in range(len(ranges) - 1):
+        mx, nmin = ranges[i][1], ranges[i + 1][0]
+        if mx is not None and nmin is not None and mx > nmin:
+            raise ValueError(
+                f"file-direct build precondition violated: {file_paths[i]} "
+                f"max({order_cols[0]})={mx!r} overlaps {file_paths[i + 1]} "
+                f"min={nmin!r}; files must be globally range-sorted on "
+                f"{order_cols} (write with repartitionByRange + "
+                f"sortWithinPartitions), or use build_partial_segments"
+            )
     meta = spark.createDataFrame(
         [(p, o) for p, o in zip(file_paths, offsets)], "path string, offset long"
     ).repartition(len(file_paths), "path")

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from nil_spark.config import EngineConfig
+from nil_spark.functions.caching import tether
 from nil_spark.functions.tokenize import with_terms
 from nil_spark.operators.clone import _lcs_udf_factory
 
@@ -111,7 +112,7 @@ def bipartite_candidates(
         .groupBy("id_old", "id_new")
         .agg(F.count("*").alias("inter"))
     )
-    return (
+    out = (
         inter.join(so, "id_old")
         .join(sn, "id_new")
         .withColumn(
@@ -121,6 +122,7 @@ def bipartite_candidates(
         .filter(F.col("ngram_sim") >= cfg.filtration_threshold)
         .select("id_old", "id_new", "ngram_sim")
     )
+    return tether(out, ot, nt)
 
 
 def mutual_best(cand: DataFrame, order_cols: list) -> DataFrame:
@@ -168,8 +170,11 @@ def track_snapshots(
 
     old1 = _residue(old, exact, "id_old")
     new1 = _residue(new, exact, "id_new")
-    hashed_old = old1.withColumn("h", F.md5("text"))
-    hashed_new = new1.withColumn("h", F.md5("text"))
+    # coalesce to '' so null-text docs hash (and match) the same way the
+    # pure-Python oracle does with (r.text or '') — a null md5 key would
+    # silently never join in Spark while the oracle pairs it with ''.
+    hashed_old = old1.withColumn("h", F.md5(F.coalesce(F.col("text"), F.lit(""))))
+    hashed_new = new1.withColumn("h", F.md5(F.coalesce(F.col("text"), F.lit(""))))
     chash = positional_match(
         hashed_old.select("id_old", "h"), hashed_new.select("id_new", "h"), ["h"], "content_hash"
     ).persist()
@@ -212,4 +217,6 @@ def track_snapshots(
             F.lit(None).cast("int").alias("lcs_sim"),
         )
 
-    return exact.unionByName(chash).unionByName(sim_matched)
+    # exact/chash caches (and cand, which tethers the shingle caches in
+    # bipartite_candidates) are released when the result is dropped.
+    return tether(exact.unionByName(chash).unionByName(sim_matched), exact, chash, cand)

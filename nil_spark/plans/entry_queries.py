@@ -531,7 +531,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    return ann_lsh_topk(e, q, k=10)
+    return ann_lsh_topk(e, q, k=10, dims=64)
 
 
 def _ann_lsh_sql() -> str:
@@ -919,7 +919,7 @@ def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nil_spark.operators.ann import embedding_neardup_pairs
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_neardup_pairs(e, threshold=0.35)
+    return embedding_neardup_pairs(e, threshold=0.35, dims=64)
 
 
 def _emb_neardup_sql() -> str:
@@ -1223,10 +1223,10 @@ exact AS (SELECT ea.id_old, eb.id_new FROM ea JOIN eb
           ON ea.lang = eb.lang AND ea.n_toks = eb.n_toks AND ea.rnk = eb.rnk),
 old1 AS (SELECT * FROM old0 WHERE id_old NOT IN (SELECT id_old FROM exact)),
 new1 AS (SELECT * FROM new0 WHERE id_new NOT IN (SELECT id_new FROM exact)),
-ha AS (SELECT id_old, md5(text) AS h,
-              row_number() OVER (PARTITION BY md5(text) ORDER BY id_old) AS rnk FROM old1),
-hb AS (SELECT id_new, md5(text) AS h,
-              row_number() OVER (PARTITION BY md5(text) ORDER BY id_new) AS rnk FROM new1),
+ha AS (SELECT id_old, md5(coalesce(text, '')) AS h,
+              row_number() OVER (PARTITION BY md5(coalesce(text, '')) ORDER BY id_old) AS rnk FROM old1),
+hb AS (SELECT id_new, md5(coalesce(text, '')) AS h,
+              row_number() OVER (PARTITION BY md5(coalesce(text, '')) ORDER BY id_new) AS rnk FROM new1),
 chash AS (SELECT ha.id_old, hb.id_new FROM ha JOIN hb ON ha.h = hb.h AND ha.rnk = hb.rnk),
 old2 AS (SELECT * FROM old1 WHERE id_old NOT IN (SELECT id_old FROM chash)),
 new2 AS (SELECT * FROM new1 WHERE id_new NOT IN (SELECT id_new FROM chash)),
