@@ -66,7 +66,7 @@ from nil_spark.operators import index as index_ops
 from nil_spark.operators.query import SCORE_DECIMALS, idf_col, query_terms
 
 SEGMENT_SCHEMA = (
-    "term long, chunk_idx int, first_doc long, n_postings long, "
+    "term long, chunk_idx int, first_doc long, last_doc long, n_postings long, "
     "doc_blob binary, tf_blob binary, dl_blob binary, "
     "bm_first array<long>, bm_max array<double>"
 )
@@ -106,6 +106,7 @@ def _encode_group(
                 int(term),
                 ci,
                 int(d[0]),
+                int(d[-1]),
                 len(d),
                 varint.encode_deltas(d),
                 varint.encode(t.astype(np.uint64)),
@@ -136,7 +137,7 @@ def build_segments(
     ).sortWithinPartitions("term", "doc_id")
 
     def sweep(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = ["term", "chunk_idx", "first_doc", "n_postings", "doc_blob", "tf_blob", "dl_blob", "bm_first", "bm_max"]
+        cols = _SEG_COLS
         cur_term = None
         bufs: list[pd.DataFrame] = []
 
@@ -234,6 +235,7 @@ def _encode_run_table(
         "term": terms[c_starts],
         "chunk_idx": pos_in_run.astype(np.int32),
         "first_doc": docs[c_starts],
+        "last_doc": docs[c_ends - 1],
         "n_postings": n_post,
         "doc_blob": [doc_buf[doc_off[s]:doc_off[e]] for s, e in zip(c_starts, c_ends)],
         "tf_blob": [tf_buf[tf_off[s]:tf_off[e]] for s, e in zip(c_starts, c_ends)],
@@ -329,7 +331,7 @@ def build_partial_segments(
 
 
 _SEG_COLS = [
-    "term", "chunk_idx", "first_doc", "n_postings",
+    "term", "chunk_idx", "first_doc", "last_doc", "n_postings",
     "doc_blob", "tf_blob", "dl_blob", "bm_first", "bm_max",
 ]
 
@@ -437,6 +439,7 @@ def _fused_partition_frame(
                 DOCSTAT_SENTINEL,
                 0,
                 int(pdocs[0]) if len(pdocs) else 0,
+                int(pdocs[-1]) if len(pdocs) else 0,
                 len(pdocs),
                 varint.encode_deltas(pdocs),
                 b"",
@@ -621,8 +624,22 @@ def topk_maxscore(
     ``ub = idf·max(bm_max)``.  Once the sum of remaining ubs is below
     the current kth score minus MAXSCORE_MARGIN, an unseen doc can never
     reach the top-k, so remaining terms only update already-seen docs
-    (whose scores stay exact).  Chunks whose doc range contains no
-    accumulated doc are skipped without decoding (block-max skip).
+    (whose scores stay exact).  Three chunk-level prunes, all exact:
+
+    * pre-intersect, once k candidates exist, a chunk whose block-max
+      bound ``idf·max(bm_max) + rem`` cannot reach the running kth is
+      decoded *update-only* (unseen docs in it can never enter the
+      top-k: their total ≤ bound < kth_now ≤ kth_final, and kth_now is a
+      lower bound on the true kth because partial scores never
+      overestimate) — and skipped entirely when its ``[first_doc,
+      last_doc]`` range holds no accumulated doc;
+    * in intersect mode, chunks whose range holds no accumulated doc
+      are skipped without decoding (range skip via the chunk skip-list
+      bounds, not just the max accumulated doc);
+    * in intersect mode, accumulated docs whose score + remaining bound
+      cannot reach the kth are dropped (candidate pruning), shrinking
+      both the update cost and the surviving chunk set.
+
     Final scores are rounded to SCORE_DECIMALS before ranking, ties by
     ascending doc_id — identical to the DataFrame path (query.py).
     """
@@ -632,7 +649,7 @@ def topk_maxscore(
     qt = qt.select("term", "query_id", "k", idf_col(F.col("df"), n_docs).alias("idf"))
 
     joined = segments.join(F.broadcast(qt), "term", "inner").select(
-        "query_id", "k", "term", "first_doc", "idf",
+        "query_id", "k", "term", "first_doc", "last_doc", "idf",
         "doc_blob", "tf_blob", "dl_blob", "bm_first", "bm_max", "n_postings",
     )
 
@@ -653,41 +670,77 @@ def topk_maxscore(
         acc_docs = np.empty(0, dtype=np.int64)
         acc_scores = np.empty(0, dtype=np.float64)
         intersect = False
+
+        def update_only(g_upd, idf):
+            # add contributions to already-seen docs only
+            _, d, tf, dl = _decode_chunk_table(g_upd)
+            contrib = idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * dl / avgdl)
+            )
+            pos = np.searchsorted(acc_docs, d)
+            pos_ok = pos < len(acc_docs)
+            hit = np.zeros(len(d), dtype=bool)
+            hit[pos_ok] = acc_docs[pos[pos_ok]] == d[pos_ok]
+            np.add.at(acc_scores, pos[hit], contrib[hit])
+
         for term in order:
             rem -= ubs[term]
             g = groups[term].sort_values("first_doc")
             idf = idfs[term]
-            if intersect and len(acc_docs):
-                # chunk skip: drop chunks whose doc range starts past
-                # every accumulated doc — no candidate can live there
-                firsts = np.fromiter(
-                    (bf[0] for bf in g["bm_first"]), dtype=np.int64, count=len(g)
-                )
-                g = g[firsts <= acc_docs[-1]]
-                if len(g) == 0:
-                    continue
-            # ONE batched decode for all surviving chunks of this term
-            # (concatenated varint streams + segmented cumsum) instead
-            # of a per-chunk Python loop; (term, doc) pairs are unique
-            # across chunks, so a single accumulate is exact
-            _, d, tf, dl = _decode_chunk_table(g)
-            contrib = idf * (tf * (k1 + 1.0)) / (
-                tf + k1 * (1.0 - b + b * dl / avgdl)
+            kth = (
+                np.partition(acc_scores, -k)[-k] if len(acc_docs) >= k else -np.inf
             )
             if intersect:
-                # only already-seen docs may still matter
-                pos = np.searchsorted(acc_docs, d)
-                pos_ok = pos < len(acc_docs)
-                hit = np.zeros(len(d), dtype=bool)
-                hit[pos_ok] = acc_docs[pos[pos_ok]] == d[pos_ok]
-                np.add.at(acc_scores, pos[hit], contrib[hit])
-            else:
+                # candidate pruning: a doc whose score plus everything it
+                # could still gain (this term's ub + rem) can't reach the
+                # kth will never be in the top-k
+                keep = acc_scores + (ubs[term] + rem + MAXSCORE_MARGIN) >= kth
+                if not keep.all():
+                    acc_docs, acc_scores = acc_docs[keep], acc_scores[keep]
+                # range skip: drop chunks whose [first_doc, last_doc]
+                # holds no surviving candidate
+                firsts = g["first_doc"].to_numpy(np.int64)
+                lasts = g["last_doc"].to_numpy(np.int64)
+                lo = np.searchsorted(acc_docs, firsts, side="left")
+                hi = np.searchsorted(acc_docs, lasts, side="right")
+                g = g[hi > lo]
+                if len(g):
+                    update_only(g, idf)
+                continue
+
+            g_full = g
+            if np.isfinite(kth):
+                # block-max bound per chunk: unseen docs in a failing
+                # chunk can never reach the top-k → update-only; and a
+                # failing chunk with no accumulated doc in range → skip
+                cmax = np.fromiter(
+                    (max(bm) for bm in g["bm_max"]), dtype=np.float64, count=len(g)
+                )
+                bound_ok = idf * cmax + rem + MAXSCORE_MARGIN >= kth
+                if not bound_ok.all():
+                    firsts = g["first_doc"].to_numpy(np.int64)
+                    lasts = g["last_doc"].to_numpy(np.int64)
+                    lo = np.searchsorted(acc_docs, firsts, side="left")
+                    hi = np.searchsorted(acc_docs, lasts, side="right")
+                    g_upd = g[~bound_ok & (hi > lo)]
+                    g_full = g[bound_ok]
+                    if len(g_upd):
+                        update_only(g_upd, idf)
+            if len(g_full):
+                # ONE batched decode for all surviving chunks of this
+                # term (concatenated varint streams + segmented cumsum);
+                # (term, doc) pairs are unique across chunks, so a
+                # single accumulate is exact
+                _, d, tf, dl = _decode_chunk_table(g_full)
+                contrib = idf * (tf * (k1 + 1.0)) / (
+                    tf + k1 * (1.0 - b + b * dl / avgdl)
+                )
                 all_docs = np.concatenate((acc_docs, d))
                 all_sc = np.concatenate((acc_scores, contrib))
                 acc_docs, inv = np.unique(all_docs, return_inverse=True)
                 acc_scores = np.zeros(len(acc_docs), dtype=np.float64)
                 np.add.at(acc_scores, inv, all_sc)
-            if not intersect and len(acc_docs) >= k:
+            if len(acc_docs) >= k:
                 kth = np.partition(acc_scores, -k)[-k]
                 if rem + MAXSCORE_MARGIN < kth:
                     intersect = True
@@ -1013,13 +1066,16 @@ def topk_replica_resident(
     )
 
 
+SEGMENT_FORMAT_VERSION = 2  # v2: per-chunk last_doc skip-list bound
+
+
 def _cfg_fingerprint(cfg: EngineConfig) -> str:
     import hashlib
 
     rel = (
         cfg.gram_size, cfg.min_tokens, cfg.min_chars, cfg.token_pattern,
         cfg.distinct_ngrams, cfg.bm25_k1, cfg.bm25_b, cfg.num_segments,
-        cfg.block_size, cfg.df_stopword_cutoff,
+        cfg.block_size, cfg.df_stopword_cutoff, SEGMENT_FORMAT_VERSION,
     )
     return hashlib.md5(repr(rel).encode()).hexdigest()[:16]
 

@@ -103,6 +103,37 @@ def test_maxscore_rank_identical_to_dataframe_path(
     assert np.allclose(seg_path["bm25"].values, oracle["bm25"].values, atol=1e-6)
 
 
+def test_maxscore_longquery_rank_identical(spark, indexed, transcripts_1k):
+    """Long (multi-doc concatenation) queries drive the three-way chunk
+    classification — block-max bound skips, update-only decodes, and
+    intersect-mode candidate pruning — which short queries never reach;
+    results must stay rank- and score-identical to both the DataFrame
+    path and the pure-Python oracle."""
+    docs, idx, segs = indexed
+    texts = transcripts_1k["text"].tolist()
+    longq = pd.DataFrame(
+        {
+            "query_id": range(6),
+            "text": [" ".join(texts[i * 8 : i * 8 + 8]) for i in range(6)],
+            "k": 10,
+        }
+    )
+    q = spark.createDataFrame(longq, schema="query_id long, text string, k int")
+    df_path = bm25_topk(q, idx, CFG).toPandas()
+    seg_path = topk_maxscore(
+        q, segs, idx["termdict"], idx["n_docs"], idx["avgdl"], CFG
+    ).toPandas()
+    df_path = df_path.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    seg_path = seg_path.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(df_path) == len(seg_path) > 0
+    assert (df_path["doc_id"].values == seg_path["doc_id"].values).all()
+    assert np.allclose(df_path["bm25"].values, seg_path["bm25"].values, atol=1e-9)
+    oracle = OracleIndex(transcripts_1k, CFG).topk_frame(longq)
+    oracle = oracle.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert (seg_path["doc_id"].values == oracle["doc_id"].values).all()
+    assert np.allclose(seg_path["bm25"].values, oracle["bm25"].values, atol=1e-6)
+
+
 def test_checkpoint_resume(spark, transcripts_1k, queries_1k, tmp_path):
     docs = spark.createDataFrame(transcripts_1k, schema=TRANSCRIPT_SCHEMA)
     docs = assign_doc_ids(docs, ["conv_id", "turn_idx"], num_partitions=4)
