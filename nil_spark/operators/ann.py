@@ -130,6 +130,62 @@ def ivf_assign(
     )
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int | None = None,
+) -> DataFrame:
+    """Spark-native spherical k-means for IVF coarse quantization:
+    deterministic init (the ``n_cells`` vectors with the smallest pinned
+    md5-prefix hash of their id — a seedless uniform sample), then
+    ``n_iter`` fixed Lloyd iterations.
+
+    Scale shape: each iteration is ONE broadcast-assign pass plus ONE
+    groupBy(cell_id) carrying ``dims`` per-dimension avg aggregates
+    (map-side combine; no posexplode fan-out — the same single-exchange
+    discipline as the minhash/simhash aggregates).  Centroids
+    (n_cells × dims doubles) are collected to the driver per iteration
+    — a few KB, never data-sized.  Empty cells keep their previous
+    centroid.  Returns (cell_id, cvec).
+    """
+    from nil_spark.functions.hashing import md5_prefix64_col
+
+    spark = embeddings.sparkSession
+    if dims is None:
+        dims = embeddings.select(F.size(vec_col).alias("d")).first()["d"]
+    base = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    seeds = (
+        base.withColumn("hk", md5_prefix64_col(F.col("vec_id").cast("string")))
+        .orderBy("hk", "vec_id")
+        .limit(n_cells)
+        .select("vec")
+        .collect()
+    )
+    cents = [[float(x) for x in r["vec"]] for r in seeds]
+
+    for _ in range(n_iter):
+        cdf = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)], "cell_id int, cvec array<double>"
+        )
+        assigned = ivf_assign(base, cdf, id_col="vec_id", vec_col="vec")
+        means = (
+            assigned.groupBy("cell_id")
+            .agg(*[F.avg(F.element_at("vec", j + 1)).alias(f"m{j}") for j in range(dims)])
+            .collect()
+        )
+        nxt = list(cents)  # empty cells keep their previous centroid
+        for r in means:
+            nxt[int(r["cell_id"])] = [float(r[f"m{j}"]) for j in range(dims)]
+        cents = nxt
+
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cell_id int, cvec array<double>"
+    )
+
+
 def ann_ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -138,23 +194,34 @@ def ann_ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    trained: bool = False,
+    n_iter: int = 5,
 ) -> DataFrame:
     """IVF ANN: coarse-quantize vectors into ``n_cells`` inverted lists,
     probe the query's ``n_probe`` nearest cells, exact cosine rerank
     within them.
 
-    Centroids are pinned deterministically (the first ``n_cells``
-    vectors by id) — a stand-in for k-means that keeps the operator
-    oracle-checkable; swap in trained centroids at production scale.
-    The scale shape is what matters: the candidate join touches
-    ~n_probe/n_cells of the corpus instead of all of it, and the
-    centroid table is always broadcast.
+    ``trained=False`` pins centroids deterministically (the first
+    ``n_cells`` vectors by id) — a k-means stand-in that keeps the
+    operator oracle-checkable against DuckDB.  ``trained=True`` runs
+    the deterministic Spark-native k-means (:func:`kmeans_centroids`)
+    for real recall — the production path (distributed FP-sum ordering
+    makes its centroids reproducible only to ~1e-15, so it is
+    pytest-verified by recall, not by value hash).  The scale shape is
+    the same either way: the candidate join touches ~n_probe/n_cells of
+    the corpus instead of all of it, and the centroid table is always
+    broadcast.
     """
-    cents = (
-        embeddings.orderBy(id_col)
-        .limit(n_cells)
-        .select(F.col(id_col).cast("int").alias("cell_id"), F.col(vec_col).alias("cvec"))
-    )
+    if trained:
+        cents = kmeans_centroids(
+            embeddings, n_cells=n_cells, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        cents = (
+            embeddings.orderBy(id_col)
+            .limit(n_cells)
+            .select(F.col(id_col).cast("int").alias("cell_id"), F.col(vec_col).alias("cvec"))
+        )
     assigned = ivf_assign(embeddings, cents, id_col, vec_col)
 
     # query-side: keep the n_probe best cells per query
