@@ -16,16 +16,52 @@ import sys
 import traceback
 
 
+def _find_local_runtime_jar() -> str | None:
+    """Search the usual offline locations for an Iceberg Spark runtime
+    jar before falling back to network resolution: ivy/coursier caches,
+    $SPARK_HOME/jars, and the pyspark wheel's jar dir.  Returns a path
+    or None — so the probe auto-activates the moment any cache on this
+    machine acquires the jar, without code changes."""
+    import glob
+    import os
+
+    spark_home = os.environ.get("SPARK_HOME", "")
+    try:
+        import pyspark
+
+        pyspark_jars = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+    except Exception:
+        pyspark_jars = ""
+    roots = [
+        os.path.expanduser("~/.ivy2"),
+        os.path.expanduser("~/.m2"),
+        os.path.expanduser("~/.cache/coursier"),
+        os.path.join(spark_home, "jars") if spark_home else "",
+        pyspark_jars,
+    ]
+    for root in filter(None, roots):
+        hits = glob.glob(
+            os.path.join(root, "**", "iceberg-spark-runtime*.jar"), recursive=True
+        )
+        if hits:
+            return sorted(hits)[-1]
+    return None
+
+
 def main() -> int:
     warehouse = sys.argv[1]
     pkg = "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0"
+    local_jar = _find_local_runtime_jar()
     try:
         from pyspark.sql import SparkSession
 
+        builder = SparkSession.builder.master("local[2]").appName("iceberg_probe")
+        if local_jar:
+            builder = builder.config("spark.jars", local_jar)
+        else:
+            builder = builder.config("spark.jars.packages", pkg)
         spark = (
-            SparkSession.builder.master("local[2]")
-            .appName("iceberg_probe")
-            .config("spark.jars.packages", pkg)
+            builder
             .config(
                 "spark.sql.extensions",
                 "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
@@ -37,7 +73,11 @@ def main() -> int:
             .getOrCreate()
         )
     except Exception as e:  # jar resolution happens here (ivy, needs network)
-        print(f"ICEBERG_UNAVAILABLE: {type(e).__name__}: {e}")
+        print(
+            f"ICEBERG_UNAVAILABLE: local_jar={local_jar!r} "
+            f"(searched ivy2/m2/coursier/SPARK_HOME/pyspark jars) "
+            f"{type(e).__name__}: {e}"
+        )
         return 0
     try:
         from nil_spark.cli import read_docs
