@@ -978,17 +978,23 @@ def topk_replica_resident(
     n_splits = n_splits or max(
         int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1
     )
+    # The query batch is sliced into exactly n_splits partitions via
+    # parallelize — EXACT count balance and zero shuffle.  (The earlier
+    # repartition(n_splits, "split") hash-partitioned n_splits distinct
+    # keys into n_splits partitions: ~1/e of the partitions land empty
+    # and others get 2-3 splits, a straggler tax on every batch.)
     if tokenize_on == "worker":
         df_bc = spark.sparkContext.broadcast(df_map)
         rows = [
-            (i % n_splits, int(q), int(kk), t)
-            for i, (q, kk, t) in enumerate(
-                zip(queries_pdf["query_id"], queries_pdf["k"], queries_pdf["text"])
+            (int(q), int(kk), t)
+            for q, kk, t in zip(
+                queries_pdf["query_id"], queries_pdf["k"], queries_pdf["text"]
             )
         ]
         qdf = spark.createDataFrame(
-            rows, "split int, query_id long, k int, text string"
-        ).repartition(n_splits, "split")
+            spark.sparkContext.parallelize(rows, n_splits),
+            "query_id long, k int, text string",
+        )
         kdf_rows = [(int(q), int(kk)) for q, kk in zip(queries_pdf["query_id"], queries_pdf["k"])]
     else:
         df_bc = None
@@ -997,12 +1003,12 @@ def topk_replica_resident(
         for (qid, kk), ts in zip(zip(queries_pdf["query_id"], queries_pdf["k"]), qtoks):
             terms = _qterms(ts, df_map)
             if terms:
-                queries.append((int(qid), int(kk), terms))
+                queries.append((int(qid), int(kk), json.dumps(terms)))
         qdf = spark.createDataFrame(
-            [(i % n_splits, qid, kk, json.dumps(terms)) for i, (qid, kk, terms) in enumerate(queries)],
-            "split int, query_id long, k int, terms_json string",
-        ).repartition(n_splits, "split")
-        kdf_rows = [(int(q), int(kk)) for q, kk, _ in queries]
+            spark.sparkContext.parallelize(queries, n_splits),
+            "query_id long, k int, terms_json string",
+        )
+        kdf_rows = [(int(q), int(kk), ) for q, kk, _ in queries]
 
     def per_split(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         replica = None

@@ -51,3 +51,89 @@ def test_doc_stats_prunes_scan_columns(spark):
     read = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert read, plan[:2000]
     assert "lang" not in read[0] and "source" not in read[0], read[0]
+
+
+def _shuffle_exchanges(plan: str) -> list[str]:
+    """Shuffle Exchange lines only (BroadcastExchange moves KB-sized
+    dimension tables and is not a data shuffle)."""
+    return [
+        l
+        for l in plan.splitlines()
+        if "Exchange" in l and "BroadcastExchange" not in l
+    ]
+
+
+@pytest.fixture(scope="module")
+def _serving(spark, tmp_path_factory):
+    """A tiny shard store + termdict for serving-topology plan checks."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from nil_spark.config import EngineConfig
+    from nil_spark.operators.docids import assign_doc_ids
+    from nil_spark.operators.segments import (
+        DOCSTAT_SENTINEL,
+        build_partial_segments,
+    )
+    from nil_spark.sources.transcripts import (
+        TRANSCRIPT_SCHEMA,
+        gen_queries,
+        gen_transcripts,
+    )
+
+    cfg = EngineConfig(gram_size=1, num_segments=4)
+    pdf = gen_transcripts(800, seed=21)
+    docs = assign_doc_ids(
+        spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA), ["conv_id", "turn_idx"]
+    )
+    shard_dir = str(tmp_path_factory.mktemp("serving_shards"))
+    build_partial_segments(docs, cfg).write.mode("overwrite").parquet(shard_dir)
+    raw = spark.read.parquet(shard_dir)
+    st = raw.filter(F.col("term") == DOCSTAT_SENTINEL).agg(
+        F.sum("n_postings").alias("n"), F.sum(F.element_at("bm_max", 1)).alias("s")
+    ).collect()[0]
+    n_docs, avgdl = int(st["n"]), float(st["s"]) / int(st["n"])
+    termdict = (
+        raw.filter(F.col("term") != DOCSTAT_SENTINEL)
+        .groupBy("term")
+        .agg(F.sum("n_postings").cast("long").alias("df"))
+        .filter(F.col("df") <= int(cfg.df_stopword_cutoff * n_docs))
+        .toPandas()
+    )
+    qpdf = gen_queries(pdf, n_queries=12, k=5, seed=22)
+    paths = sorted(glob.glob(shard_dir + "/part-*.parquet"))
+    return cfg, qpdf, paths, termdict, n_docs, avgdl
+
+
+@pytest.mark.parametrize("tokenize_on", ["driver", "worker"])
+def test_replica_serving_single_shuffle(spark, _serving, tokenize_on):
+    """The replica-resident query job must contain exactly ONE shuffle
+    Exchange — the final per-query top-k merge (each split already
+    extracts its own top-k, so only ~k rows per query cross it).  The
+    query batch itself is parallelized, never shuffled."""
+    from nil_spark.operators.segments import topk_replica_resident
+
+    cfg, qpdf, paths, termdict, n_docs, avgdl = _serving
+    df = topk_replica_resident(
+        spark, qpdf, paths, termdict, n_docs, avgdl, cfg, tokenize_on=tokenize_on
+    )
+    ex = _shuffle_exchanges(_plan(df))
+    assert len(ex) == 1, f"expected one merge Exchange, got:\n" + "\n".join(ex)
+    assert "query_id" in ex[0], ex[0]
+
+
+def test_sharded_serving_single_shuffle(spark, _serving):
+    """Document-sharded scatter/gather: the only shuffle is the
+    shards×k gather merge (plus the round-robin shard-list spread,
+    which moves one path string per shard, not data)."""
+    from nil_spark.operators.segments import topk_maxscore_sharded
+
+    cfg, qpdf, paths, termdict, n_docs, avgdl = _serving
+    df = topk_maxscore_sharded(spark, qpdf, paths, termdict, n_docs, avgdl, cfg)
+    ex = _shuffle_exchanges(_plan(df))
+    data_ex = [l for l in ex if "query_id" in l]
+    assert len(data_ex) == 1, "\n".join(ex)
+    # any other exchange may only carry the shard path list
+    for l in ex:
+        assert "query_id" in l or "roundrobin" in l.lower() or "path" in l, l
