@@ -392,7 +392,6 @@ def _query_kernel_chunk(args) -> int:
     paths, avgdl, k1, b, n_docs, chunk = args
     replica = _load_replica(tuple(paths), avgdl, k1, b)  # cached: initializer loaded it
     scores = np.zeros(n_docs, dtype=np.float64)
-    mask = np.zeros(n_docs, dtype=bool)
     n_out = 0
     for qid, kk, tl in chunk:
         hits = [(replica[t], idf) for t, idf in tl if t in replica]
@@ -400,17 +399,25 @@ def _query_kernel_chunk(args) -> int:
             continue
         for e, idf in hits:
             scores[e[0]] += idf * e[1]
-            mask[e[0]] = True
-        touched = np.flatnonzero(mask)
-        sc = np.round(scores[touched], SCORE_DECIMALS)
-        kk = min(int(kk), len(touched))
-        part = np.argpartition(-sc, kk - 1)[:kk] if kk < len(sc) else np.arange(len(sc))
-        kth = sc[part].min()
-        cand = np.flatnonzero(sc >= kth)
-        top = cand[np.lexsort((touched[cand], -sc[cand]))][:kk]
+        # same occurrence-view threshold kernel as topk_replica_resident
+        docs_cat = (
+            np.concatenate([e[0] for e, _ in hits])
+            if len(hits) > 1
+            else hits[0][0][0]
+        )
+        sc_dup = scores[docs_cat]
+        kk = int(kk)
+        m = kk * len(hits)
+        if m < len(sc_dup):
+            v = -np.partition(-sc_dup, m - 1)[m - 1]
+            cd = docs_cat[sc_dup >= v - 1e-8]
+        else:
+            cd = docs_cat
+        cu = np.unique(cd)
+        csc = np.round(scores[cu], SCORE_DECIMALS)
+        top = np.lexsort((cu, -csc))[: min(kk, len(cu))]
         n_out += len(top)
-        scores[touched] = 0.0
-        mask[touched] = False
+        scores[docs_cat] = 0.0
     return n_out
 
 

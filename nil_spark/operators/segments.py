@@ -1013,14 +1013,12 @@ def topk_replica_resident(
     def per_split(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         replica = None
         scores = None
-        mask = None
         for pdf in it:
             if len(pdf) == 0:
                 continue
             if replica is None:
                 replica = _load_replica(paths, avgdl, k1, b)
                 scores = np.zeros(n_docs, dtype=np.float64)
-                mask = np.zeros(n_docs, dtype=bool)
             out_q, out_d, out_s = [], [], []
             if df_bc is not None:  # worker-side tokenize
                 toks = tokenize_series(pdf["text"], cfg)
@@ -1035,26 +1033,38 @@ def topk_replica_resident(
                 # so fancy-index += is safe per term
                 for e, idf in hits:
                     scores[e[0]] += idf * e[1]
-                    mask[e[0]] = True
-                # extract over touched candidates only (not the whole
-                # corpus-sized array); flatnonzero over the packed bool
-                # mask yields them pre-sorted for ~1/8 the bandwidth of
-                # scanning the float array.  Round BEFORE ranking
-                # (rank-identity pin).
-                touched = np.flatnonzero(mask)
-                sc = np.round(scores[touched], SCORE_DECIMALS)
-                kk = min(int(kk), len(touched))
-                part = np.argpartition(-sc, kk - 1)[:kk] if kk < len(sc) else np.arange(len(sc))
-                # include the whole kth tie-group so doc_id breaks ties
-                # exactly like the oracle
-                kth = sc[part].min()
-                cand = np.flatnonzero(sc >= kth)
-                top = cand[np.lexsort((touched[cand], -sc[cand]))][:kk]
+                # Threshold from the DUPLICATED occurrence view — no
+                # touched-doc mask, no corpus-length scan: gather the
+                # final score at every posting occurrence; a doc occurs
+                # at most len(hits) times, so the top k·len(hits) dup
+                # entries are guaranteed to cover >= k unique docs, and
+                # their min is a valid lower bound on the true kth
+                # score.  Rounding (SCORE_DECIMALS, monotone) can move
+                # a score at most 0.5e-8, so a v-1e-8 guard keeps the
+                # candidate set a superset of the exact rounded top-k;
+                # only THAT small set is deduped, rounded, and ranked
+                # (round BEFORE rank, ties by doc_id — rank-identity
+                # pin, same as the oracle).
+                docs_cat = (
+                    np.concatenate([e[0] for e, _ in hits])
+                    if len(hits) > 1
+                    else hits[0][0][0]
+                )
+                sc_dup = scores[docs_cat]
+                kk = int(kk)
+                m = kk * len(hits)
+                if m < len(sc_dup):
+                    v = -np.partition(-sc_dup, m - 1)[m - 1]
+                    cd = docs_cat[sc_dup >= v - 1e-8]
+                else:
+                    cd = docs_cat
+                cu = np.unique(cd)
+                csc = np.round(scores[cu], SCORE_DECIMALS)
+                top = np.lexsort((cu, -csc))[: min(kk, len(cu))]
                 out_q.extend([int(qid)] * len(top))
-                out_d.extend(touched[top].tolist())
-                out_s.extend(sc[top].tolist())
-                scores[touched] = 0.0  # reset only touched slots
-                mask[touched] = False
+                out_d.extend(cu[top].tolist())
+                out_s.extend(csc[top].tolist())
+                scores[docs_cat] = 0.0  # reset only touched slots
             yield pd.DataFrame({"query_id": out_q, "doc_id": out_d, "bm25": out_s})
 
     partial = qdf.mapInPandas(

@@ -53,12 +53,21 @@ def test_doc_stats_prunes_scan_columns(spark):
     assert "lang" not in read[0] and "source" not in read[0], read[0]
 
 
-def _shuffle_exchanges(plan: str) -> list[str]:
+def _plan_simple(df) -> str:
+    """Simple-mode explain: each node appears exactly ONCE, with its
+    arguments inline (formatted mode lists every node twice — tree +
+    detail section — which double-counts Exchange nodes)."""
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def _shuffle_exchanges(df) -> list[str]:
     """Shuffle Exchange lines only (BroadcastExchange moves KB-sized
     dimension tables and is not a data shuffle)."""
     return [
         l
-        for l in plan.splitlines()
+        for l in _plan_simple(df).splitlines()
         if "Exchange" in l and "BroadcastExchange" not in l
     ]
 
@@ -118,22 +127,28 @@ def test_replica_serving_single_shuffle(spark, _serving, tokenize_on):
     df = topk_replica_resident(
         spark, qpdf, paths, termdict, n_docs, avgdl, cfg, tokenize_on=tokenize_on
     )
-    ex = _shuffle_exchanges(_plan(df))
+    ex = _shuffle_exchanges(df)
     assert len(ex) == 1, f"expected one merge Exchange, got:\n" + "\n".join(ex)
     assert "query_id" in ex[0], ex[0]
 
 
 def test_sharded_serving_single_shuffle(spark, _serving):
-    """Document-sharded scatter/gather: the only shuffle is the
-    shards×k gather merge (plus the round-robin shard-list spread,
-    which moves one path string per shard, not data)."""
+    """Document-sharded scatter/gather: the only data shuffle is the
+    shards×k gather merge, and even that is elided when the shard list
+    collapses to one partition (SinglePartition already satisfies the
+    rank window's clustered distribution).  The shard-list spread moves
+    one path string per shard, not data."""
     from nil_spark.operators.segments import topk_maxscore_sharded
 
     cfg, qpdf, paths, termdict, n_docs, avgdl = _serving
     df = topk_maxscore_sharded(spark, qpdf, paths, termdict, n_docs, avgdl, cfg)
-    ex = _shuffle_exchanges(_plan(df))
+    ex = _shuffle_exchanges(df)
     data_ex = [l for l in ex if "query_id" in l]
-    assert len(data_ex) == 1, "\n".join(ex)
+    assert len(data_ex) <= 1, "\n".join(ex)
     # any other exchange may only carry the shard path list
     for l in ex:
-        assert "query_id" in l or "roundrobin" in l.lower() or "path" in l, l
+        assert (
+            "query_id" in l
+            or "roundrobin" in l.lower()
+            or "SinglePartition" in l
+        ), l
