@@ -242,29 +242,103 @@ def ngram_jaccard_pairs(
     return tether(out, sh)
 
 
-def simhash63(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash63(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dense_cells: int = 4_000_000,
+) -> DataFrame:
     """(doc_id, simhash) — 63-bit SimHash over unigram tf with
     md5-prefix term hashes.  bit b = 1 iff Σ tf·(2·bit_b(h)−1) > 0.
+    Docs with zero tokens are excluded (same as the groupBy-over-
+    occurrences formulation and the SQL oracle).
 
-    Shape: ONE groupBy(doc_id) carrying 63 literal-bit conditional-sum
-    aggregates over per-occurrence rows (Σ_occurrences(2·bit−1) ≡
-    Σ_terms tf·(2·bit−1), exact integer math, same oracle).  Each token
-    occurrence crosses the exchange once as 63 partial sums via
-    map-side combine — the earlier shape exploded every (doc, term) row
-    ×63 bit positions *before* the shuffle, the same fan-out defect
-    class as the round-1 MinHash perm-crossJoin."""
-    toks = F.filter(F.split(F.lower(text_col), "[^a-z0-9]+"), lambda x: x != "")
-    occ = df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term")).select(
-        "doc_id", md5_prefix64_col(F.col("term")).alias("h")
+    Shape: SimHash is purely per-document, so the right plan is a
+    ZERO-shuffle Arrow ``mapInPandas`` projection — each executor
+    fingerprints its own partition; nothing crosses an exchange at any
+    scale.  The NumPy kernel reduces each sub-chunk to (doc, term, tf)
+    pairs, hashes unique terms once, then computes the 63 bit sums
+    Σ_terms tf·(2·bit_b(h)−1) either as a dense tf-matrix matmul
+    (small vocab) or a per-bit weighted bincount over the pairs (large
+    vocab) — exact integer-valued math, identical to the DuckDB
+    oracle, and never materialising an occurrences×63 intermediate
+    (large fresh allocations pay a first-touch page-fault cliff that
+    dwarfs the arithmetic).  (History: v1 exploded every (doc, term)
+    row ×63 bit positions before a groupBy — the round-1 MinHash
+    fan-out defect class; v2 was one groupBy(doc_id) with 63
+    conditional-sum aggregates — shuffle-sane but 63 codegen exprs per
+    occurrence row.)"""
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    from nil_spark.functions.hashing import md5_prefix64_py
+
+    splitter = re.compile("[^a-z0-9]+")
+    bits = np.arange(63, dtype=np.uint64)
+    pows = (np.uint64(1) << bits).astype(np.int64)
+    occ_budget = 200_000  # occurrences per sub-chunk: bounds the (occ × 63) int32 expansion to ~50 MB
+
+    def kernel(it):
+        hcache: dict[str, int] = {}
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            toks = [
+                [w for w in splitter.split(t.lower()) if w]
+                for t in pdf[text_col].astype(str)
+            ]
+            counts = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n)
+            out_ids, out_sh = [], []
+            start = 0
+            while start < n:
+                end = start + 1
+                tot = counts[start]
+                while end < n and tot + counts[end] <= occ_budget:
+                    tot += counts[end]
+                    end += 1
+                sl = slice(start, end)
+                flat = [w for t in toks[sl] for w in t]
+                start = end
+                if not flat:
+                    continue
+                uniq, inv = np.unique(np.asarray(flat, dtype=object), return_inverse=True)
+                for u in uniq:
+                    if u not in hcache:
+                        hcache[u] = md5_prefix64_py(u)
+                h = np.fromiter((hcache[u] for u in uniq), dtype=np.uint64, count=len(uniq))
+                pm = ((h[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64) * 2 - 1
+                seg_counts = counts[sl]
+                nd, nu = len(seg_counts), len(uniq)
+                doc_local = np.repeat(np.arange(nd, dtype=np.int64), seg_counts)
+                if nd * nu <= dense_cells:
+                    # dense (docs × vocab) tf + one matmul
+                    tf = np.bincount(doc_local * nu + inv, minlength=nd * nu).reshape(nd, nu)
+                    sums = tf @ pm
+                else:
+                    # large vocab: reduce to (doc, term, tf) pairs and
+                    # bincount each bit's tf-weighted ±1 contribution —
+                    # pairs-length temporaries only
+                    pk, cnt = np.unique(doc_local * nu + inv, return_counts=True)
+                    pdoc, pterm = pk // nu, pk % nu
+                    sums = np.empty((nd, 63), dtype=np.float64)
+                    for b in range(63):
+                        sums[:, b] = np.bincount(
+                            pdoc, weights=cnt * pm[pterm, b], minlength=nd
+                        )
+                keep = np.flatnonzero(seg_counts > 0)
+                out_ids.append(ids[sl][keep])
+                out_sh.append((sums[keep] > 0) @ pows)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(out_ids) if out_ids else np.empty(0, np.int64),
+                    "simhash": np.concatenate(out_sh) if out_sh else np.empty(0, np.int64),
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
+        kernel, schema="doc_id long, simhash long"
     )
-    aggs = [
-        F.sum(F.expr(f"(shiftright(h, {b}) & 1) * 2 - 1")).alias(f"s{b}")
-        for b in range(63)
-    ]
-    wide = occ.groupBy("doc_id").agg(*aggs)
-    simhash = F.lit(0).cast("long")
-    for b in range(63):
-        simhash = simhash + F.when(
-            F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return wide.select("doc_id", simhash.alias("simhash"))
