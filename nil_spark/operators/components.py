@@ -86,12 +86,108 @@ def connected_components(
     return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component"))
 
 
+def connected_components_star(
+    vertices: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 30,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, component) — large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14).  Converges in O(log n) rounds regardless of graph
+    diameter — the scale path for adversarial long-chain graphs where
+    min-label propagation (``connected_components``) would need
+    diameter rounds.  Each round is two (groupBy + join) passes over
+    the edge list; no step ever materializes a neighborhood list.
+
+    * large-star: for every vertex u, connect each strictly-larger
+      neighbor v > u to m = min(N(u) ∪ {u}).
+    * small-star: orient edges parent>child; connect each child (and u
+      itself) to the minimum child m = min(N⁻(u) ∪ {u}).
+
+    Fixpoint: the edge set stabilizes as a forest of stars whose
+    centers are component minima; detected with a scalar
+    (count, xor-of-row-hashes) aggregate — no edge-set diff join.
+    """
+    verts = vertices.select(F.col(id_col).cast("long").alias("id")).distinct()
+    e = (
+        edges.select(F.col("id1").cast("long").alias("u"), F.col("id2").cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )  # canonical parent>child orientation
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sig(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    sig = _sig(e)
+    converged = False
+    for _ in range(max_iter):
+        # ---- large-star: symmetric neighborhoods ----
+        sym = e.select("u", "v").unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m_all = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            sym.join(m_all, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star: parent>child orientation only ----
+        m_small = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(m_small, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(m_small.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .distinct()
+        )
+        e = small.localCheckpoint(eager=True)
+        nsig = _sig(e)
+        if nsig == sig:
+            converged = True
+            break
+        sig = nsig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds "
+            f"— at O(log n) rounds this indicates a bug or a graph far "
+            f"larger than max_iter=2·log2(n) allows"
+        )
+    # stars: (u=child, v=root).  Roots and edge-absent vertices label
+    # themselves.
+    labels = (
+        verts.join(e.withColumnRenamed("u", "id"), "id", "left")
+        .groupBy("id")
+        .agg(F.least(F.min("v"), F.first("id")).alias("component"))
+    )
+    return labels.select(F.col("id").alias(id_col), "component")
+
+
 def dedup_groups(
-    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    algorithm: str = "minlabel",
 ) -> DataFrame:
     """(doc_id, component, is_canonical) — canonical = the component's
-    min id; downstream keeps ``is_canonical`` rows only."""
-    comp = connected_components(docs.select(id_col), pairs, id_col=id_col)
+    min id; downstream keeps ``is_canonical`` rows only.
+
+    ``algorithm``: "minlabel" (diameter-bounded propagation — near-dup
+    clusters are small and dense) or "star" (large-star/small-star,
+    O(log n) rounds — adversarial long-chain graphs)."""
+    cc = connected_components if algorithm == "minlabel" else connected_components_star
+    comp = cc(docs.select(id_col), pairs, id_col=id_col)
     return comp.select(
         id_col,
         "component",

@@ -1,9 +1,42 @@
 """Connected-components operator (operators/components.py): known
-graphs, multi-round convergence, canonical flags."""
+graphs, multi-round convergence, canonical flags, and the large-star/
+small-star O(log n) contraction vs a union-find reference."""
 
 from __future__ import annotations
 
-from nil_spark.operators.components import connected_components, dedup_groups
+import random
+
+import pytest
+
+from nil_spark.operators.components import (
+    connected_components,
+    connected_components_star,
+    dedup_groups,
+)
+
+
+def _union_find(n: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component label = min vertex id reachable
+    comp: dict[int, int] = {}
+    roots: dict[int, int] = {}
+    for v in range(n):
+        r = find(v)
+        roots[r] = min(roots.get(r, v), v)
+    for v in range(n):
+        comp[v] = roots[find(v)]
+    return comp
 
 
 def test_components_known_graph(spark):
@@ -28,6 +61,53 @@ def test_components_chain_converges(spark):
     )
     got = connected_components(verts, edges).collect()
     assert all(r["component"] == 0 for r in got)
+
+
+def test_star_matches_union_find_random_graphs(spark):
+    """Star contraction must agree with a union-find reference on
+    random graphs (mix of chains, cliques, singletons)."""
+    for seed in (1, 7):
+        rng = random.Random(seed)
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(40)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        verts = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        edf = spark.createDataFrame(edges, "id1 long, id2 long")
+        got = {
+            r["doc_id"]: r["component"]
+            for r in connected_components_star(verts, edf).collect()
+        }
+        assert got == _union_find(n, edges), f"seed={seed}"
+
+
+def test_star_converges_logarithmically_where_minlabel_cannot(spark):
+    """A 300-vertex path has diameter 299: min-label propagation needs
+    ~300 rounds (and must raise at max_iter=12), while star contraction
+    finishes within 12 rounds — the O(log n) guarantee."""
+    n = 300
+    verts = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id1 long, id2 long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(verts, edges, max_iter=12)
+    got = connected_components_star(verts, edges, max_iter=12).collect()
+    assert all(r["component"] == 0 for r in got)
+
+
+def test_dedup_groups_star_algorithm(spark):
+    verts = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    edges = spark.createDataFrame([(3, 4), (4, 5)], "id1 long, id2 long")
+    rows = {
+        r["doc_id"]: r
+        for r in dedup_groups(verts, edges, algorithm="star").collect()
+    }
+    assert [rows[i]["is_canonical"] for i in range(6)] == [
+        True, True, True, True, False, False,
+    ]
+    assert rows[5]["component"] == 3
 
 
 def test_dedup_groups_canonical(spark):
