@@ -504,9 +504,10 @@ def main() -> None:
     kernel_calibs = [calibrate_host_kernel(n, n4)]
     query_calibs = [calibrate_host_query_kernel(n, n4)]
     samples = {n: [], n4: []}
-    for c in (n4, n, n4, n):
+    per_level = int(os.environ.get("NIL_SCALE_SAMPLES", "3"))
+    for c in (n4, n) * per_level:
         samples[c].append(run_worker(c))
-        if len(samples[n]) == 1 and len(samples[n4]) == 1:
+        if len(samples[n]) == len(samples[n4]) and len(samples[n]) < per_level:
             calibs.append(calibrate_host(n, n4))
             kernel_calibs.append(calibrate_host_kernel(n, n4))
             query_calibs.append(calibrate_host_query_kernel(n, n4))
@@ -554,7 +555,8 @@ def main() -> None:
         "metric": "scaling_efficiency",
         "protocol": (
             f"local[{n}] vs local[{n4}], same input/seed/query set, fresh JVM "
-            "per sample, levels interleaved (4N,N,4N,N), best sample per level"
+            f"per sample, levels interleaved ×{per_level} (4N,N,...), best "
+            "sample per level"
         ),
         "host_calibration": calib,
         "host_kernel_calibration": kernel_calib,
@@ -586,7 +588,9 @@ directly (pyarrow) — zero text bytes on the shared JVM→Python channel,
 as an executor would read the object store on a real cluster.
 *query* = replica-resident serving: decoded shards cached per reused
 Python worker, query batch partitioned across workers, dense vectorized
-BM25 scoring, global merge window (rank-identical to the pure-Python
+BM25 scoring, in-kernel final rank — a single zero-shuffle stage per
+batch, since each query lives in exactly one split (rank-identical to
+the pure-Python
 oracle — tests/test_segments.py).
 
 ## Why N=2 vs 4N=8 on this sandbox

@@ -995,7 +995,6 @@ def topk_replica_resident(
             spark.sparkContext.parallelize(rows, n_splits),
             "query_id long, k int, text string",
         )
-        kdf_rows = [(int(q), int(kk)) for q, kk in zip(queries_pdf["query_id"], queries_pdf["k"])]
     else:
         df_bc = None
         qtoks = tokenize_series(queries_pdf["text"], cfg)
@@ -1008,7 +1007,6 @@ def topk_replica_resident(
             spark.sparkContext.parallelize(queries, n_splits),
             "query_id long, k int, terms_json string",
         )
-        kdf_rows = [(int(q), int(kk), ) for q, kk, _ in queries]
 
     def per_split(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         replica = None
@@ -1019,7 +1017,7 @@ def topk_replica_resident(
             if replica is None:
                 replica = _load_replica(paths, avgdl, k1, b)
                 scores = np.zeros(n_docs, dtype=np.float64)
-            out_q, out_d, out_s = [], [], []
+            out_q, out_r, out_d, out_s = [], [], [], []
             if df_bc is not None:  # worker-side tokenize
                 toks = tokenize_series(pdf["text"], cfg)
                 tlists = [_qterms(ts, df_bc.value) for ts in toks]
@@ -1062,23 +1060,23 @@ def topk_replica_resident(
                 csc = np.round(scores[cu], SCORE_DECIMALS)
                 top = np.lexsort((cu, -csc))[: min(kk, len(cu))]
                 out_q.extend([int(qid)] * len(top))
+                out_r.extend(range(1, len(top) + 1))
                 out_d.extend(cu[top].tolist())
                 out_s.extend(csc[top].tolist())
                 scores[docs_cat] = 0.0  # reset only touched slots
-            yield pd.DataFrame({"query_id": out_q, "doc_id": out_d, "bm25": out_s})
+            yield pd.DataFrame(
+                {"query_id": out_q, "rank": out_r, "doc_id": out_d, "bm25": out_s}
+            )
 
-    partial = qdf.mapInPandas(
-        per_split, schema="query_id long, doc_id long, bm25 double"
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
-    kdf = F.broadcast(
-        spark.createDataFrame(kdf_rows, "query_id long, k int")
-    )
-    return (
-        partial.join(kdf, "query_id")
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= F.col("k"))
-        .select("query_id", "rank", "doc_id", "bm25")
+    # Each query lives in exactly ONE split (parallelize slices the
+    # batch), so the kernel's rounded, doc_id-tie-broken top-k IS the
+    # final answer — rank is emitted in-kernel and the job is a single
+    # ZERO-shuffle stage.  (A global rank window here would shuffle
+    # n_queries·k rows to re-sort lists that are already each sorted;
+    # the sharded topology — topk_maxscore_sharded — is the one that
+    # genuinely needs a cross-shard merge.)
+    return qdf.mapInPandas(
+        per_split, schema="query_id long, rank int, doc_id long, bm25 double"
     )
 
 

@@ -116,11 +116,11 @@ def _serving(spark, tmp_path_factory):
 
 
 @pytest.mark.parametrize("tokenize_on", ["driver", "worker"])
-def test_replica_serving_single_shuffle(spark, _serving, tokenize_on):
-    """The replica-resident query job must contain exactly ONE shuffle
-    Exchange — the final per-query top-k merge (each split already
-    extracts its own top-k, so only ~k rows per query cross it).  The
-    query batch itself is parallelized, never shuffled."""
+def test_replica_serving_zero_shuffle(spark, _serving, tokenize_on):
+    """The replica-resident query job must contain ZERO shuffle
+    Exchanges: each query lives in exactly one parallelized split, the
+    kernel emits the final rounded tie-broken top-k with rank, and no
+    cross-split merge exists to pay for."""
     from nil_spark.operators.segments import topk_replica_resident
 
     cfg, qpdf, paths, termdict, n_docs, avgdl = _serving
@@ -128,8 +128,7 @@ def test_replica_serving_single_shuffle(spark, _serving, tokenize_on):
         spark, qpdf, paths, termdict, n_docs, avgdl, cfg, tokenize_on=tokenize_on
     )
     ex = _shuffle_exchanges(df)
-    assert len(ex) == 1, f"expected one merge Exchange, got:\n" + "\n".join(ex)
-    assert "query_id" in ex[0], ex[0]
+    assert len(ex) == 0, "expected a zero-shuffle job, got:\n" + "\n".join(ex)
 
 
 def test_sharded_serving_single_shuffle(spark, _serving):
