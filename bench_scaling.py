@@ -394,7 +394,11 @@ def _query_kernel_chunk(args) -> int:
     scores = np.zeros(n_docs, dtype=np.float64)
     n_out = 0
     for qid, kk, tl in chunk:
-        hits = [(replica[t], idf) for t, idf in tl if t in replica]
+        hits = []
+        for t, idf in tl:
+            e = replica.get(t)
+            if e is not None:
+                hits.append((e, idf))
         if not hits:
             continue
         for e, idf in hits:

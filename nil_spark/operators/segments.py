@@ -900,16 +900,48 @@ def topk_maxscore_sharded(
     )
 
 
-# replica cache: one merged decoded index per worker (term -> (docs,
-# tfn)).  Keyed by the sorted path tuple + scoring constants.
+# replica cache: one merged decoded index VIEW per worker.  Keyed by
+# the sorted path tuple + scoring constants.
 _REPLICA_CACHE: dict = {}
 
 
-def _load_replica(paths: tuple, avgdl: float, k1: float, b: float) -> dict:
-    key = (paths, round(avgdl, 9), k1, b)
-    ent = _REPLICA_CACHE.get(key)
-    if ent is not None:
-        return ent
+class _ReplicaView:
+    """Read-only merged-index view: sorted term array + offsets into
+    concatenated (docs, tfn) arrays.  Arrays are usually ``np.memmap``
+    views of node-shared files — decode happens once per NODE and every
+    Python worker maps the same files, so the OS page cache backs all
+    workers with ONE physical copy.  Term lookup is a ``searchsorted``
+    (O(log vocab)); there is no per-worker dict build, so a fresh
+    worker's replica "load" is four ``mmap`` calls (~ms), not a full
+    decode.  This is what makes worker-pool churn (and per-node worker
+    counts in the hundreds at 100 TB) free on the serving path."""
+
+    __slots__ = ("terms", "offs", "docs", "tfn")
+
+    def __init__(self, terms, offs, docs, tfn):
+        self.terms, self.offs, self.docs, self.tfn = terms, offs, docs, tfn
+
+    def get(self, t: int):
+        i = int(np.searchsorted(self.terms, t))
+        if i < len(self.terms) and self.terms[i] == t:
+            s, e = self.offs[i], self.offs[i + 1]
+            return self.docs[s:e], self.tfn[s:e]
+        return None
+
+    def __contains__(self, t: int) -> bool:
+        return self.get(t) is not None
+
+    def __getitem__(self, t: int):
+        e = self.get(t)
+        if e is None:
+            raise KeyError(t)
+        return e
+
+
+def _build_replica_arrays(paths: tuple, avgdl: float, k1: float, b: float):
+    """Decode + merge every shard into the flat 4-array replica layout
+    (terms sorted ascending; per-term postings concatenated in shard
+    order)."""
     pieces: dict[int, list] = {}
     for p in paths:
         # transient decode: do NOT populate the per-shard cache — that
@@ -917,18 +949,95 @@ def _load_replica(paths: tuple, avgdl: float, k1: float, b: float) -> dict:
         shard = _decode_shard(p, avgdl, k1, b)
         for t, dv in shard.items():
             pieces.setdefault(t, []).append(dv)
-    merged = {
-        t: (
-            np.concatenate([d for d, _ in vs]),
-            np.concatenate([c for _, c in vs]),
+    terms_sorted = sorted(pieces)
+    docs_parts: list = []
+    tfn_parts: list = []
+    lens = np.empty(len(terms_sorted), dtype=np.int64)
+    for i, t in enumerate(terms_sorted):
+        n = 0
+        for d, c in pieces[t]:
+            docs_parts.append(d)
+            tfn_parts.append(c)
+            n += len(d)
+        lens[i] = n
+    terms = np.asarray(terms_sorted, dtype=np.int64)
+    offs = np.zeros(len(terms) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    docs = np.concatenate(docs_parts) if docs_parts else np.empty(0, np.int64)
+    tfn = np.concatenate(tfn_parts) if tfn_parts else np.empty(0, np.float64)
+    return terms, offs, docs, tfn
+
+
+_REPLICA_ARRAY_NAMES = ("terms", "offs", "docs", "tfn")
+
+
+def _replica_store_dir(key: tuple, paths: tuple) -> str:
+    import hashlib
+    import tempfile
+
+    # content guard: shard file sizes join the fingerprint so an index
+    # rebuilt in-place under the same paths gets a fresh store
+    try:
+        sizes = tuple(os.path.getsize(p) for p in paths)
+    except OSError:
+        sizes = ()
+    fp = hashlib.md5(repr((key, sizes)).encode()).hexdigest()[:16]
+    base = os.environ.get("NIL_REPLICA_DIR") or tempfile.gettempdir()
+    return os.path.join(base, f"nil_replica_{fp}")
+
+
+def _load_replica(paths: tuple, avgdl: float, k1: float, b: float) -> _ReplicaView:
+    """Node-shared replica load.  First caller on the node decodes the
+    shards and publishes them as flat ``.npy`` files (atomic rename +
+    DONE marker, mkdir lock); every other worker — and every later
+    worker cohort — just mmaps the published arrays.  Falls back to an
+    in-process decode if the publisher appears dead (lock held past the
+    deadline)."""
+    key = (paths, round(avgdl, 9), k1, b)
+    ent = _REPLICA_CACHE.get(key)
+    if ent is not None:
+        return ent
+
+    d = _replica_store_dir(key, paths)
+    done = os.path.join(d, "DONE")
+    view = None
+    if not os.path.exists(done):
+        lock = d + ".lock"
+        try:
+            os.mkdir(lock)
+            acquired = True
+        except FileExistsError:
+            acquired = False
+        if acquired:
+            try:
+                arrays = _build_replica_arrays(paths, avgdl, k1, b)
+                os.makedirs(d, exist_ok=True)
+                for n, a in zip(_REPLICA_ARRAY_NAMES, arrays):
+                    tmp = os.path.join(d, f".{n}.{os.getpid()}.tmp.npy")
+                    np.save(tmp, a)
+                    os.replace(tmp, os.path.join(d, n + ".npy"))
+                with open(done, "w") as f:
+                    f.write("ok")
+            finally:
+                os.rmdir(lock)
+            del arrays  # drop the private copy; mmap the shared one below
+        else:
+            deadline = time.monotonic() + 120.0
+            while not os.path.exists(done) and time.monotonic() < deadline:
+                time.sleep(0.05)
+            if not os.path.exists(done):
+                # publisher died: build privately, don't wait again
+                view = _ReplicaView(*_build_replica_arrays(paths, avgdl, k1, b))
+    if view is None:
+        view = _ReplicaView(
+            *(
+                np.load(os.path.join(d, n + ".npy"), mmap_mode="r")
+                for n in _REPLICA_ARRAY_NAMES
+            )
         )
-        if len(vs) > 1
-        else vs[0]
-        for t, vs in pieces.items()
-    }
     _REPLICA_CACHE.clear()  # one live replica per worker
-    _REPLICA_CACHE[key] = merged
-    return merged
+    _REPLICA_CACHE[key] = view
+    return view
 
 
 def topk_replica_resident(
@@ -1024,7 +1133,11 @@ def topk_replica_resident(
             else:
                 tlists = [json.loads(tj) for tj in pdf["terms_json"]]
             for qid, kk, tl in zip(pdf["query_id"], pdf["k"], tlists):
-                hits = [(replica[t], idf) for t, idf in tl if t in replica]
+                hits = []
+                for t, idf in tl:
+                    e = replica.get(t)
+                    if e is not None:
+                        hits.append((e, idf))
                 if not hits:
                     continue
                 # dense accumulate: doc lists within a term are unique,

@@ -1,0 +1,90 @@
+"""Node-shared mmap replica store: the first loader publishes flat
+``.npy`` arrays; later loads (fresh worker cohorts) mmap the published
+files instead of re-decoding the shards.  Guards the serving-path fix
+for worker-pool churn: a cohort of Python workers that never served
+this index before must NOT pay a full decode each."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nil_spark.operators.docids import assign_doc_ids
+from nil_spark.operators.segments import (
+    DOCSTAT_SENTINEL,
+    _build_replica_arrays,
+    _load_replica,
+    _replica_store_dir,
+    _REPLICA_CACHE,
+    build_partial_segments,
+)
+from nil_spark.config import EngineConfig
+from nil_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+CFG = EngineConfig(gram_size=1, num_segments=4, block_size=16)
+
+
+@pytest.fixture(scope="module")
+def shard_paths(spark, transcripts_1k, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("mmap_shards") / "shards")
+    docs = assign_doc_ids(
+        spark.createDataFrame(transcripts_1k, schema=TRANSCRIPT_SCHEMA),
+        ["conv_id", "turn_idx"],
+        num_partitions=4,
+    )
+    build_partial_segments(docs.repartition(4), CFG).write.parquet(d)
+    raw = spark.read.parquet(d)
+    st = (
+        raw.filter(F.col("term") == DOCSTAT_SENTINEL)
+        .agg(F.sum("n_postings").alias("n"), F.sum(F.element_at("bm_max", 1)).alias("s"))
+        .collect()[0]
+    )
+    avgdl = float(st["s"]) / int(st["n"])
+    return tuple(sorted(glob.glob(d + "/part-*.parquet"))), avgdl
+
+
+def test_publish_then_mmap_load(shard_paths, tmp_path, monkeypatch):
+    paths, avgdl = shard_paths
+    monkeypatch.setenv("NIL_REPLICA_DIR", str(tmp_path))
+    k1, b = CFG.bm25_k1, CFG.bm25_b
+
+    _REPLICA_CACHE.clear()
+    v1 = _load_replica(paths, avgdl, k1, b)  # publisher
+    key = (paths, round(avgdl, 9), k1, b)
+    store = _replica_store_dir(key, paths)
+    assert os.path.exists(os.path.join(store, "DONE"))
+    for n in ("terms", "offs", "docs", "tfn"):
+        assert os.path.exists(os.path.join(store, n + ".npy"))
+
+    # fresh "worker": in-process cache emptied -> must take the mmap
+    # path (arrays are memmaps), and must agree with a direct build
+    _REPLICA_CACHE.clear()
+    v2 = _load_replica(paths, avgdl, k1, b)
+    assert isinstance(v2.docs, np.memmap)
+    ref_terms, ref_offs, ref_docs, ref_tfn = _build_replica_arrays(paths, avgdl, k1, b)
+    np.testing.assert_array_equal(np.asarray(v2.terms), ref_terms)
+    np.testing.assert_array_equal(np.asarray(v2.offs), ref_offs)
+    np.testing.assert_array_equal(np.asarray(v2.docs), ref_docs)
+    np.testing.assert_allclose(np.asarray(v2.tfn), ref_tfn)
+
+    # view lookup semantics: every term present, absent term -> None
+    for i, t in enumerate(ref_terms[:50]):
+        d, c = v2.get(int(t))
+        np.testing.assert_array_equal(np.asarray(d), ref_docs[ref_offs[i]:ref_offs[i + 1]])
+    missing = int(ref_terms.max()) + 1
+    assert v2.get(missing) is None and missing not in v2
+    assert v1.get(int(ref_terms[0]))[0].shape == v2.get(int(ref_terms[0]))[0].shape
+
+    # third load: in-process cache hit returns the same view object
+    assert _load_replica(paths, avgdl, k1, b) is v2
+
+
+def test_store_fingerprint_tracks_content(shard_paths, tmp_path):
+    paths, avgdl = shard_paths
+    key = (paths, round(avgdl, 9), CFG.bm25_k1, CFG.bm25_b)
+    d1 = _replica_store_dir(key, paths)
+    # different scoring constants -> different store
+    d2 = _replica_store_dir((paths, round(avgdl, 9), 0.5, 0.1), paths)
+    assert d1 != d2
