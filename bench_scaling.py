@@ -590,11 +590,14 @@ global term dictionary + corpus stats.  *build (file-direct)* = same
 fused encode, but each Python worker reads its range-sorted input file
 directly (pyarrow) — zero text bytes on the shared JVM→Python channel,
 as an executor would read the object store on a real cluster.
-*query* = replica-resident serving: decoded shards cached per reused
-Python worker, query batch partitioned across workers, dense vectorized
-BM25 scoring, in-kernel final rank — a single zero-shuffle stage per
-batch, since each query lives in exactly one split (rank-identical to
-the pure-Python
+*query* = replica-resident serving: the index is decoded ONCE per node
+into mmap-published flat arrays (every Python worker maps the same
+files — one physical copy in the page cache, ~ms per-worker attach, so
+worker-pool churn never triggers a re-decode), query batch fanned out
+via `parallelize(rows, n_splits)` (balanced splits), worker-side
+tokenization, dense vectorized BM25 scoring, in-kernel final rank — a
+single zero-shuffle stage per batch, since each query lives in exactly
+one split (rank-identical to the pure-Python
 oracle — tests/test_segments.py).
 
 ## Why N=2 vs 4N=8 on this sandbox

@@ -98,11 +98,63 @@ def cmd_query(args) -> int:
             return 2
         n_docs, avgdl = int(c["n_docs"]), float(c["avgdl"])
     q = spark.read.parquet(args.queries)
-    if "k" not in q.columns:
-        from pyspark.sql import functions as F
+    from pyspark.sql import functions as F
 
+    if "k" not in q.columns:
         q = q.withColumn("k", F.lit(args.k))
-    out = topk_maxscore(q, segs, termdict, n_docs, avgdl, cfg)
+    # stopword-prune the term dictionary: the serving paths score
+    # whatever postings the shard files hold, and the doc-sharded
+    # (partial) layout still carries hot-term postings that the merged
+    # store drops — the df cutoff must come from the dictionary, not
+    # from which layout happens to be on disk
+    if cfg.df_stopword_cutoff < 1.0:
+        termdict = termdict.filter(
+            F.col("df") <= int(cfg.df_stopword_cutoff * n_docs)
+        )
+    topology = getattr(args, "topology", "join")
+    if topology == "join":
+        out = topk_maxscore(q, segs, termdict, n_docs, avgdl, cfg)
+    else:
+        # serving topologies: the query batch is driver-resident (it is
+        # the small side by design); posting data never moves
+        import glob as _glob
+
+        from nil_spark.operators.segments import (
+            topk_maxscore_sharded,
+            topk_replica_resident,
+        )
+
+        qpdf = q.toPandas()
+        # doc-sharded layout (fused build keeps it as partial_segments):
+        # required by the sharded scatter/gather — each doc must live in
+        # exactly ONE file or per-shard top-k drops partial scores.  The
+        # replica path merges everything per node, so either layout works.
+        doc_sharded = sorted(
+            _glob.glob(f"{args.index_dir}/partial_segments/part-*.parquet")
+        )
+        paths = doc_sharded or sorted(
+            _glob.glob(f"{args.index_dir}/segments/part-*.parquet")
+        )
+        if topology == "sharded" and not doc_sharded:
+            print(json.dumps({
+                "error": "no doc-sharded layout",
+                "hint": "--topology sharded needs the fused build's "
+                        "partial_segments (doc-exclusive shards); this index "
+                        "has only the merged term-sorted store — use "
+                        "--topology replica or join",
+            }), file=sys.stderr)
+            spark.stop()
+            return 2
+        td_pdf = termdict.toPandas()
+        if topology == "replica":
+            out = topk_replica_resident(
+                spark, qpdf, paths, td_pdf, n_docs, avgdl, cfg,
+                tokenize_on="worker",
+            )
+        else:
+            out = topk_maxscore_sharded(
+                spark, qpdf, paths, td_pdf, n_docs, avgdl, cfg
+            )
     out.write.mode("overwrite").parquet(args.out)
     print(json.dumps({"results": spark.read.parquet(args.out).count(),
                       "manifest": builder.manifest_path}))
@@ -131,6 +183,12 @@ def main(argv=None) -> int:
     q.add_argument("--queries", required=True, help="parquet with (query_id, text[, k])")
     q.add_argument("--out", required=True)
     q.add_argument("-k", type=int, default=10)
+    q.add_argument("--topology", choices=["join", "replica", "sharded"],
+                   default="join",
+                   help="join = segments stay a DataFrame (no residency "
+                        "assumption); replica = node-shared mmap replica, "
+                        "highest qps when a shard group fits node memory; "
+                        "sharded = document-sharded scatter/gather")
     q.set_defaults(fn=cmd_query)
 
     args = ap.parse_args(argv)

@@ -342,3 +342,49 @@ def simhash63(
     return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
         kernel, schema="doc_id long, simhash long"
     )
+
+
+def benchmark_contamination(
+    df: DataFrame,
+    bench_ids: DataFrame,
+    n: int = 3,
+    min_shared: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination (training-data pipeline op): for every
+    non-benchmark document, count how many of its distinct word
+    ``n``-gram shingles also occur anywhere in the benchmark set, and
+    flag it contaminated at ``min_shared`` hits — the shingle-overlap
+    test eval-set decontamination runs before training.
+
+    Scale shape: the benchmark shingle set is tiny relative to the
+    corpus (eval sets are MBs against TBs), so it is distinct-ed and
+    BROADCAST; the corpus side then probes it with a broadcast hash
+    join — no shuffle of corpus shingles, no pairwise doc join.  Corpus
+    docs with zero shingles (< n tokens) are excluded on both engine
+    and oracle sides.
+    """
+    sh = shingles(df, n=n, text_col=text_col, id_col=id_col)
+    bench_sh = (
+        sh.join(F.broadcast(bench_ids.select("doc_id")), "doc_id")
+        .select("shingle")
+        .distinct()
+    )
+    corpus_sh = sh.join(F.broadcast(bench_ids.select("doc_id")), "doc_id", "left_anti")
+    tot = corpus_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        tot.join(hits, "doc_id", "left")
+        .na.fill({"n_shared": 0})
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.col("n_shared").cast("long").alias("n_shared"),
+            (F.col("n_shared") >= min_shared).alias("contaminated"),
+        )
+    )

@@ -781,10 +781,9 @@ _SHARD_CACHE: OrderedDict = OrderedDict()
 _SHARD_CACHE_MAX = 64
 
 
-def _decode_shard(path: str, avgdl: float, k1: float, b: float) -> dict:
-    """Read + decode one shard file — no caching (used transiently by
-    the replica loader so a worker never holds both the per-shard dicts
-    and the merged replica)."""
+def _decode_shard_arrays(path: str, avgdl: float, k1: float, b: float):
+    """Read + decode one shard file into the flat 4-array layout
+    (unique sorted terms, offsets, concatenated docs/tfn)."""
     import pyarrow.parquet as pq
 
     pdf = pq.read_table(
@@ -793,22 +792,42 @@ def _decode_shard(path: str, avgdl: float, k1: float, b: float) -> dict:
     pdf = pdf[pdf["term"] != DOCSTAT_SENTINEL].reset_index(drop=True)
     terms, docs, tfs, dls = _decode_chunk_table(pdf)
     tfn = (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
-    # one vectorized (term, doc) sort, then per-term views
+    # one vectorized (term, doc) sort, then per-term offset ranges
     order = np.lexsort((docs, terms))
     terms, docs, tfn = terms[order], docs[order], tfn[order]
     cuts = np.flatnonzero(np.diff(terms)) + 1
-    starts = np.concatenate(([0], cuts))
-    ends = np.concatenate((cuts, [len(terms)]))
-    return {int(terms[s]): (docs[s:e], tfn[s:e]) for s, e in zip(starts, ends)}
+    starts = np.concatenate(([0], cuts)) if len(terms) else np.empty(0, np.int64)
+    uterms = terms[starts] if len(terms) else np.empty(0, np.int64)
+    offs = np.concatenate((starts, [len(terms)])).astype(np.int64)
+    return uterms, offs, docs, tfn
 
 
-def _load_shard(path: str, avgdl: float, k1: float, b: float) -> dict:
+def _decode_shard(path: str, avgdl: float, k1: float, b: float) -> dict:
+    """Dict view of one decoded shard — no caching (used transiently by
+    the replica builder so a worker never holds both the per-shard
+    dicts and the merged replica)."""
+    uterms, offs, docs, tfn = _decode_shard_arrays(path, avgdl, k1, b)
+    return {
+        int(uterms[i]): (docs[offs[i]:offs[i + 1]], tfn[offs[i]:offs[i + 1]])
+        for i in range(len(uterms))
+    }
+
+
+def _load_shard(path: str, avgdl: float, k1: float, b: float):
+    """Node-shared shard attach: same publish-once/mmap-everywhere
+    store as the replica path, per shard file.  The worker-level LRU
+    holds cheap mmap views, not decoded copies — N workers serving the
+    same shard cost ONE physical copy per node."""
     key = (path, round(avgdl, 9), k1, b)
     ent = _SHARD_CACHE.get(key)
     if ent is not None:
         _SHARD_CACHE.move_to_end(key)
         return ent
-    shard = _decode_shard(path, avgdl, k1, b)
+    shard = _ReplicaView(
+        *_published_arrays(
+            ("shard", key), (path,), lambda: _decode_shard_arrays(path, avgdl, k1, b)
+        )
+    )
     _SHARD_CACHE[key] = shard
     while len(_SHARD_CACHE) > _SHARD_CACHE_MAX:
         _SHARD_CACHE.popitem(last=False)
@@ -866,7 +885,11 @@ def topk_maxscore_sharded(
                 shard = _load_shard(path, avgdl, k1, b)
                 out_q, out_d, out_s = [], [], []
                 for qid, kk, terms in queries:
-                    hits = [(shard[t], idf) for t, idf in terms if t in shard]
+                    hits = []
+                    for t, idf in terms:
+                        e = shard.get(t)
+                        if e is not None:
+                            hits.append((e, idf))
                     if not hits:
                         continue
                     alld = np.concatenate([e[0] for e, _ in hits])
@@ -986,21 +1009,15 @@ def _replica_store_dir(key: tuple, paths: tuple) -> str:
     return os.path.join(base, f"nil_replica_{fp}")
 
 
-def _load_replica(paths: tuple, avgdl: float, k1: float, b: float) -> _ReplicaView:
-    """Node-shared replica load.  First caller on the node decodes the
-    shards and publishes them as flat ``.npy`` files (atomic rename +
-    DONE marker, mkdir lock); every other worker — and every later
-    worker cohort — just mmaps the published arrays.  Falls back to an
-    in-process decode if the publisher appears dead (lock held past the
-    deadline)."""
-    key = (paths, round(avgdl, 9), k1, b)
-    ent = _REPLICA_CACHE.get(key)
-    if ent is not None:
-        return ent
-
+def _published_arrays(key: tuple, paths: tuple, build_fn):
+    """Publish-or-attach for the node-shared array store.  First caller
+    on the node runs ``build_fn`` and publishes the 4 flat arrays as
+    ``.npy`` files (atomic rename + DONE marker, mkdir lock); every
+    other worker — and every later worker cohort — just mmaps the
+    published files.  Falls back to a private in-process build if the
+    publisher appears dead (lock held past the deadline)."""
     d = _replica_store_dir(key, paths)
     done = os.path.join(d, "DONE")
-    view = None
     if not os.path.exists(done):
         lock = d + ".lock"
         try:
@@ -1010,7 +1027,7 @@ def _load_replica(paths: tuple, avgdl: float, k1: float, b: float) -> _ReplicaVi
             acquired = False
         if acquired:
             try:
-                arrays = _build_replica_arrays(paths, avgdl, k1, b)
+                arrays = build_fn()
                 os.makedirs(d, exist_ok=True)
                 for n, a in zip(_REPLICA_ARRAY_NAMES, arrays):
                     tmp = os.path.join(d, f".{n}.{os.getpid()}.tmp.npy")
@@ -1027,14 +1044,25 @@ def _load_replica(paths: tuple, avgdl: float, k1: float, b: float) -> _ReplicaVi
                 time.sleep(0.05)
             if not os.path.exists(done):
                 # publisher died: build privately, don't wait again
-                view = _ReplicaView(*_build_replica_arrays(paths, avgdl, k1, b))
-    if view is None:
-        view = _ReplicaView(
-            *(
-                np.load(os.path.join(d, n + ".npy"), mmap_mode="r")
-                for n in _REPLICA_ARRAY_NAMES
-            )
+                return build_fn()
+    return tuple(
+        np.load(os.path.join(d, n + ".npy"), mmap_mode="r")
+        for n in _REPLICA_ARRAY_NAMES
+    )
+
+
+def _load_replica(paths: tuple, avgdl: float, k1: float, b: float) -> _ReplicaView:
+    """Node-shared replica load: decode once per node, mmap per worker
+    (see ``_published_arrays``)."""
+    key = (paths, round(avgdl, 9), k1, b)
+    ent = _REPLICA_CACHE.get(key)
+    if ent is not None:
+        return ent
+    view = _ReplicaView(
+        *_published_arrays(
+            key, paths, lambda: _build_replica_arrays(paths, avgdl, k1, b)
         )
+    )
     _REPLICA_CACHE.clear()  # one live replica per worker
     _REPLICA_CACHE[key] = view
     return view

@@ -1311,6 +1311,76 @@ WHERE floor(inter * 100 / least(sa.nsh, sb.nsh)) >= 70
 """
 
 
+# ------------------------------------------- q: decontamination
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing >= 4 word
+    3-gram shingles with a (deterministically chosen) benchmark subset
+    — the eval-set overlap filter a training pipeline runs before
+    training (operators/dedup.py benchmark_contamination; broadcast
+    benchmark shingle set, no corpus shuffle)."""
+    from nil_spark.functions.hashing import md5_prefix64_col
+    from nil_spark.operators.dedup import benchmark_contamination
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = d.filter(
+        md5_prefix64_col(F.concat(F.lit("b:"), F.col("doc_id").cast("string"))) % 41
+        == 0
+    ).select("doc_id")
+    return benchmark_contamination(d, bench, n=3, min_shared=4)
+
+
+def _decontaminate_sql() -> str:
+    return f"""
+WITH {_DOCS_CTE},
+sh0 AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+        FROM docs, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+        WHERE len(toks) >= 3),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+bench AS (SELECT doc_id FROM documents
+          WHERE (('0x' || substr(md5('b:' || doc_id::VARCHAR), 1, 15))::BIGINT % 41) = 0),
+bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id IN (SELECT doc_id FROM bench)),
+corpus AS (SELECT * FROM sh WHERE doc_id NOT IN (SELECT doc_id FROM bench)),
+tot AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY 1),
+hits AS (SELECT doc_id, count(*) AS n_shared FROM corpus
+         WHERE shingle IN (SELECT shingle FROM bsh) GROUP BY 1)
+SELECT t.doc_id,
+       t.n_shingles::BIGINT AS n_shingles,
+       coalesce(h.n_shared, 0)::BIGINT AS n_shared,
+       (coalesce(h.n_shared, 0) >= 4) AS contaminated
+FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id
+"""
+
+
+# ------------------------------------------- q: stratified sample
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language quota sampling by pinned hash order
+    (operators/sampling.py: per-partition top-quota pre-filter, then
+    the exact rank window over the shrunk superset — no hot-stratum
+    single-reducer shuffle at scale)."""
+    from nil_spark.operators.sampling import stratified_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(d, "lang", quota=50, id_col="doc_id", rank_name="lang_rank")
+
+
+def _sample_stratified_sql() -> str:
+    return """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5('t:' || doc_id::VARCHAR), 1, 15))::BIGINT, doc_id
+         ) AS lang_rank
+  FROM documents)
+SELECT doc_id, lang, lang_rank::BIGINT AS lang_rank
+FROM ranked WHERE lang_rank <= 50
+"""
+
+
 # --------------------------------------------------------- registry
 
 REGISTRY: dict[str, tuple] = {
@@ -1344,6 +1414,8 @@ REGISTRY: dict[str, tuple] = {
     "tracking_cascade": (q_tracking_cascade, _tracking_cascade_sql()),
     "pairs_formatted": (q_pairs_formatted, _pairs_formatted_sql()),
     "pairs_bce": (q_pairs_bce, _pairs_bce_sql()),
+    "decontaminate": (q_decontaminate, _decontaminate_sql()),
+    "sample_stratified": (q_sample_stratified, _sample_stratified_sql()),
 }
 
 

@@ -77,3 +77,30 @@ def test_cli_fingerprint_mismatch_fails_fast(cli_index):
                 "--queries", str(tmp / "q2.parquet"), "--out", str(tmp / "res2")])
     assert out.returncode == 2, out.stdout[-1500:] + out.stderr[-1500:]
     assert "config mismatch" in out.stderr
+
+
+@pytest.mark.parametrize("topology", ["replica", "sharded"])
+def test_cli_query_topologies_rank_identical(cli_index, topology):
+    """--topology replica/sharded must return the same ranks as the
+    join path and the oracle (fresh JVM, as spark-submit would)."""
+    tmp, idx_dir, pdf = cli_index
+    q = gen_queries(pdf, n_queries=6, k=5, seed=24)
+    qp = str(tmp / f"q_{topology}.parquet")
+    pq.write_table(pa.Table.from_pandas(q, preserve_index=False), qp)
+    res = str(tmp / f"res_{topology}")
+    out = _run(["query", "--index-dir", idx_dir, "--queries", qp,
+                "--out", res, "--topology", topology])
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    got = (
+        pd.concat(
+            pq.read_table(os.path.join(res, f)).to_pandas()
+            for f in os.listdir(res)
+            if f.endswith(".parquet")
+        )
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    oracle = OracleIndex(pdf, EngineConfig(gram_size=1)).topk_frame(q)
+    oracle = oracle.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(got) == len(oracle), topology
+    assert (got["doc_id"].values == oracle["doc_id"].values).all(), topology
+    assert np.allclose(got["bm25"].values, oracle["bm25"].values, atol=1e-6)

@@ -40,6 +40,13 @@ def test_bm25_broadcasts_query_side(spark):
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan[:3000]
 
 
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark shingle set must probe as a broadcast hash join —
+    no shuffle of corpus shingles against an MB-sized eval set."""
+    plan = _plan(entry_mod.queries()["decontaminate"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
 def test_snapshot_diff_pushes_source_filter(spark):
     plan = _plan(entry_mod.queries()["snapshot_diff"](spark, SF_DIR))
     assert "PushedFilters" in plan and "src0" in plan, plan[:3000]
