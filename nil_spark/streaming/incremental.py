@@ -127,13 +127,97 @@ class IncrementalIndexer:
         )
         q.awaitTermination()
 
+    # -- compaction --------------------------------------------------------
+    def compact(self, spark: SparkSession) -> dict:
+        """Merge the accumulated per-batch segment deltas (plus any
+        previous compacted generation) into ONE term-sorted store.
+
+        Why: every micro-batch appends its own chunk-group per term, so
+        after B batches a query term decodes B chunk groups — correct
+        (the MaxScore traversal accepts chunks in any doc order, and
+        block-max bounds are avgdl-independent so old segments stay
+        valid), but B× the per-term decode and seek cost.  Compaction
+        restores the batch build's one-range-per-term layout without
+        rescoring anything.
+
+        Crash safety (same discipline as absorb_batch): the merged
+        store is written to a NEW generation dir, then the manifest
+        records the generation and the absorbed batch ids, then the
+        old dirs are deleted.  A crash before the manifest record
+        leaves an orphan generation dir that the next compact
+        overwrites; a crash after the record but before deletion is
+        handled by ``load_index``, which partition-prunes delta dirs
+        whose batch_id is already inside the compacted store.
+        """
+        import shutil
+
+        from nil_spark.operators.segments import merge_segments
+
+        seg_root = os.path.join(self.index_dir, "segments")
+        gen = int(self.manifest.get("compacted_gen", 0))
+        already = set(self.manifest.get("compacted_batch_ids", []))
+        delta_ids = [
+            int(b["batch_id"])
+            for b in self.manifest["batches"]
+            if int(b["batch_id"]) not in already
+        ]
+        parts = [
+            os.path.join(seg_root, f"batch_id={i}")
+            for i in delta_ids
+            if os.path.isdir(os.path.join(seg_root, f"batch_id={i}"))
+        ]
+        old_gen_dir = os.path.join(self.index_dir, "compacted", f"gen={gen}")
+        if gen > 0 and os.path.isdir(old_gen_dir):
+            parts.append(old_gen_dir)
+        if not parts:
+            return {"compacted_gen": gen, "merged_batches": 0}
+        segs = spark.read.parquet(*parts).drop("batch_id")
+        new_gen = gen + 1
+        new_dir = os.path.join(self.index_dir, "compacted", f"gen={new_gen}")
+        merge_segments(segs, self.cfg).write.mode("overwrite").parquet(new_dir)
+        self.manifest["compacted_gen"] = new_gen
+        self.manifest["compacted_batch_ids"] = sorted(
+            already | {int(i) for i in delta_ids}
+        )
+        self._save()
+        # deletion is opportunistic — load_index stays correct without it
+        for i in delta_ids:
+            shutil.rmtree(os.path.join(seg_root, f"batch_id={i}"), ignore_errors=True)
+        if gen > 0:
+            shutil.rmtree(old_gen_dir, ignore_errors=True)
+        return {"compacted_gen": new_gen, "merged_batches": len(delta_ids)}
+
     # -- query-side view ---------------------------------------------------
     def load_index(self, spark: SparkSession) -> dict:
         """Handle dict compatible with segments.topk_maxscore, derived
-        from the union of all absorbed segments (df from segment
-        n_postings — postings are per (term, doc) so Σ n_postings = df),
-        with stopword pruning applied at query time."""
-        segs = spark.read.parquet(os.path.join(self.index_dir, "segments"))
+        from the compacted generation (if any) plus the not-yet-compacted
+        batch deltas (df from segment n_postings — postings are per
+        (term, doc) so Σ n_postings = df), with stopword pruning applied
+        at query time."""
+        seg_root = os.path.join(self.index_dir, "segments")
+        gen = int(self.manifest.get("compacted_gen", 0))
+        compacted_ids = set(self.manifest.get("compacted_batch_ids", []))
+        sources = []
+        gen_dir = os.path.join(self.index_dir, "compacted", f"gen={gen}")
+        if gen > 0 and os.path.isdir(gen_dir):
+            sources.append(spark.read.parquet(gen_dir))
+        if os.path.isdir(seg_root) and any(
+            e.startswith("batch_id=") for e in os.listdir(seg_root)
+        ):
+            deltas = spark.read.parquet(seg_root)
+            if compacted_ids:
+                # a crash between manifest record and dir deletion can
+                # leave already-merged deltas on disk: partition-prune
+                # them out instead of double-counting their postings
+                deltas = deltas.filter(
+                    ~F.col("batch_id").isin([int(i) for i in compacted_ids])
+                )
+            sources.append(deltas.drop("batch_id"))
+        if not sources:
+            raise FileNotFoundError(f"no segments under {self.index_dir}")
+        segs = sources[0]
+        for s in sources[1:]:
+            segs = segs.unionByName(s)
         docstats = spark.read.parquet(os.path.join(self.index_dir, "docstats"))
         n_docs, avgdl = index_ops.corpus_stats(docstats)
         termdict = segs.groupBy("term").agg(

@@ -125,3 +125,82 @@ def test_stream_retry_idempotent(spark, transcripts_1k, queries_1k, stream_built
     assert idx_s["n_docs"] == len(transcripts_1k)
     ds = spark.read.parquet(os.path.join(index_dir, "docstats"))
     assert ds.count() == ds.select("doc_id").distinct().count() == len(transcripts_1k)
+
+
+def test_compaction_rank_identical_and_cleans_deltas(
+    spark, transcripts_1k, queries_1k, tmp_path
+):
+    """compact() merges batch deltas into one term-sorted generation:
+    query results stay rank-identical to the batch build across
+    compact -> absorb-more -> compact-again, deltas are removed, and a
+    leftover already-merged delta (crash between manifest record and
+    dir deletion) is partition-pruned, not double-counted."""
+    input_dir, index_dir = str(tmp_path / "in"), str(tmp_path / "idx")
+    os.makedirs(input_dir)
+    ordered = transcripts_1k.sort_values(
+        ["conv_id", "turn_idx"], kind="mergesort"
+    ).reset_index(drop=True)
+    third = len(ordered) // 3
+    parts = (ordered.iloc[:third], ordered.iloc[third : 2 * third], ordered.iloc[2 * third :])
+    ix = IncrementalIndexer(index_dir, CFG)
+    for i, part in enumerate(parts[:2]):
+        spark.createDataFrame(part, schema=TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(input_dir, f"arrival{i}"))
+        ix.run_available(spark, input_dir + "/arrival*")
+
+    r = ix.compact(spark)
+    assert r["compacted_gen"] == 1 and r["merged_batches"] == 2
+    seg_root = os.path.join(index_dir, "segments")
+    assert not any(e.startswith("batch_id=") for e in os.listdir(seg_root))
+
+    # late arrival after compaction -> mixed generation + delta serving
+    spark.createDataFrame(parts[2], schema=TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(input_dir, "arrival2"))
+    ix.run_available(spark, input_dir + "/arrival*")
+
+    def _topk(idx):
+        q = spark.createDataFrame(queries_1k, schema="query_id long, text string, k int")
+        return (
+            topk_maxscore(q, idx["segments"], idx["termdict"], idx["n_docs"], idx["avgdl"], CFG)
+            .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+
+    docs = assign_doc_ids(
+        spark.createDataFrame(transcripts_1k, schema=TRANSCRIPT_SCHEMA),
+        ["conv_id", "turn_idx"],
+    )
+    exp = (
+        bm25_topk(
+            spark.createDataFrame(queries_1k, schema="query_id long, text string, k int"),
+            build_index(docs, CFG), CFG,
+        ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    got = _topk(ix.load_index(spark))
+    assert (got["doc_id"].values == exp["doc_id"].values).all()
+    assert np.allclose(got["bm25"].values, exp["bm25"].values, atol=1e-9)
+
+    # second compaction folds gen=1 + the late delta into gen=2
+    r2 = ix.compact(spark)
+    assert r2["compacted_gen"] == 2 and r2["merged_batches"] == 1
+    got2 = _topk(ix.load_index(spark))
+    assert (got2["doc_id"].values == exp["doc_id"].values).all()
+    assert np.allclose(got2["bm25"].values, exp["bm25"].values, atol=1e-9)
+
+    # crash window: resurrect an already-merged delta dir; load_index
+    # must prune it by batch_id instead of double-counting
+    import shutil
+
+    man = json.load(open(ix.manifest_path))
+    bid = man["compacted_batch_ids"][0]
+    src = os.path.join(index_dir, "compacted", "gen=2")
+    fake_delta = os.path.join(seg_root, f"batch_id={bid}")
+    shutil.copytree(src, fake_delta)
+    got3 = _topk(ix.load_index(spark))
+    assert (got3["doc_id"].values == exp["doc_id"].values).all()
+    assert np.allclose(got3["bm25"].values, exp["bm25"].values, atol=1e-9)
+
+    # idempotent no-op when nothing new arrived
+    shutil.rmtree(fake_delta)
+    assert ix.compact(spark)["merged_batches"] == 0
