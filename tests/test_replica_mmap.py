@@ -88,3 +88,44 @@ def test_store_fingerprint_tracks_content(shard_paths, tmp_path):
     # different scoring constants -> different store
     d2 = _replica_store_dir((paths, round(avgdl, 9), 0.5, 0.1), paths)
     assert d1 != d2
+
+
+def _race_load(args):
+    import numpy as np
+
+    from nil_spark.operators import segments as seg
+
+    paths, avgdl, k1, b, store_dir, probe_terms = args
+    import os
+
+    os.environ["NIL_REPLICA_DIR"] = store_dir
+    seg._REPLICA_CACHE.clear()
+    v = seg._load_replica(paths, avgdl, k1, b)
+    out = []
+    for t in probe_terms:
+        e = v.get(int(t))
+        out.append((int(t), len(e[0]) if e is not None else -1,
+                    float(np.sum(e[1])) if e is not None else 0.0))
+    return out
+
+
+def test_concurrent_cold_load_single_publish(shard_paths, tmp_path):
+    """8 processes race a cold store: exactly one publishes, everyone
+    returns identical postings (the mkdir-lock + DONE-wait path)."""
+    import multiprocessing as mp
+
+    paths, avgdl = shard_paths
+    k1, b = CFG.bm25_k1, CFG.bm25_b
+    ref_terms, ref_offs, ref_docs, ref_tfn = _build_replica_arrays(paths, avgdl, k1, b)
+    probe = [int(t) for t in ref_terms[:: max(1, len(ref_terms) // 20)]]
+    args = (paths, avgdl, k1, b, str(tmp_path), probe)
+    with mp.get_context("spawn").Pool(8) as pool:
+        results = pool.map(_race_load, [args] * 8)
+    assert all(r == results[0] for r in results)
+    for (t, n, s), i in zip(results[0], range(0, len(ref_terms), max(1, len(ref_terms) // 20))):
+        assert n == int(ref_offs[i + 1] - ref_offs[i])
+        assert abs(s - float(np.sum(ref_tfn[ref_offs[i]:ref_offs[i + 1]]))) < 1e-6
+    # exactly one store dir, fully published
+    stores = [d for d in os.listdir(tmp_path) if d.startswith("nil_replica_")]
+    assert len(stores) == 1 and not any(d.endswith(".lock") for d in os.listdir(tmp_path))
+    assert os.path.exists(os.path.join(tmp_path, stores[0], "DONE"))
