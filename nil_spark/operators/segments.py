@@ -1018,13 +1018,29 @@ def _published_arrays(key: tuple, paths: tuple, build_fn):
     publisher appears dead (lock held past the deadline)."""
     d = _replica_store_dir(key, paths)
     done = os.path.join(d, "DONE")
+    timeout = float(os.environ.get("NIL_REPLICA_PUBLISH_TIMEOUT", "600"))
     if not os.path.exists(done):
         lock = d + ".lock"
-        try:
-            os.mkdir(lock)
-            acquired = True
-        except FileExistsError:
-            acquired = False
+
+        def _try_lock() -> bool:
+            try:
+                os.mkdir(lock)
+                return True
+            except FileExistsError:
+                # heal a stale lock (publisher killed hard): a lock dir
+                # older than the publish deadline cannot belong to a
+                # live publisher — remove it and retake.  rmdir+mkdir
+                # race between healers is safe: exactly one mkdir wins.
+                try:
+                    if time.time() - os.stat(lock).st_mtime > timeout:
+                        os.rmdir(lock)
+                        os.mkdir(lock)
+                        return True
+                except OSError:
+                    pass
+                return False
+
+        acquired = _try_lock()
         if acquired:
             try:
                 arrays = build_fn()
@@ -1039,7 +1055,7 @@ def _published_arrays(key: tuple, paths: tuple, build_fn):
                 os.rmdir(lock)
             del arrays  # drop the private copy; mmap the shared one below
         else:
-            deadline = time.monotonic() + 120.0
+            deadline = time.monotonic() + timeout
             while not os.path.exists(done) and time.monotonic() < deadline:
                 time.sleep(0.05)
             if not os.path.exists(done):

@@ -129,3 +129,30 @@ def test_concurrent_cold_load_single_publish(shard_paths, tmp_path):
     stores = [d for d in os.listdir(tmp_path) if d.startswith("nil_replica_")]
     assert len(stores) == 1 and not any(d.endswith(".lock") for d in os.listdir(tmp_path))
     assert os.path.exists(os.path.join(tmp_path, stores[0], "DONE"))
+
+
+def test_stale_lock_healed(shard_paths, tmp_path, monkeypatch):
+    """A lock dir left by a hard-killed publisher (mtime older than the
+    publish deadline) must be healed: the next loader retakes the lock
+    and publishes instead of falling back to a private build forever."""
+    import time as _time
+
+    from nil_spark.operators.segments import _REPLICA_CACHE as cache
+
+    paths, avgdl = shard_paths
+    monkeypatch.setenv("NIL_REPLICA_DIR", str(tmp_path))
+    monkeypatch.setenv("NIL_REPLICA_PUBLISH_TIMEOUT", "1")
+    k1, b = CFG.bm25_k1, CFG.bm25_b
+    key = (paths, round(avgdl, 9), k1, b)
+    store = _replica_store_dir(key, paths)
+    lock = store + ".lock"
+    os.mkdir(lock)
+    old = _time.time() - 60
+    os.utime(lock, (old, old))
+
+    cache.clear()
+    v = _load_replica(paths, avgdl, k1, b)
+    assert os.path.exists(os.path.join(store, "DONE"))  # published, not private
+    assert not os.path.exists(lock)
+    ref_terms, _, _, _ = _build_replica_arrays(paths, avgdl, k1, b)
+    assert v.get(int(ref_terms[0])) is not None
