@@ -122,6 +122,7 @@ def cmd_query(args) -> int:
         from nil_spark.operators.segments import (
             topk_maxscore_sharded,
             topk_replica_resident,
+            topk_term_sharded,
         )
 
         qpdf = q.toPandas()
@@ -150,6 +151,14 @@ def cmd_query(args) -> int:
             out = topk_replica_resident(
                 spark, qpdf, paths, td_pdf, n_docs, avgdl, cfg,
                 tokenize_on="worker",
+            )
+        elif topology == "term_sharded":
+            # term-range routing reads the MERGED store's footers
+            merged = sorted(
+                _glob.glob(f"{args.index_dir}/segments/part-*.parquet")
+            )
+            out = topk_term_sharded(
+                spark, qpdf, merged, td_pdf, n_docs, avgdl, cfg
             )
         else:
             out = topk_maxscore_sharded(
@@ -183,12 +192,15 @@ def main(argv=None) -> int:
     q.add_argument("--queries", required=True, help="parquet with (query_id, text[, k])")
     q.add_argument("--out", required=True)
     q.add_argument("-k", type=int, default=10)
-    q.add_argument("--topology", choices=["join", "replica", "sharded"],
+    q.add_argument("--topology",
+                   choices=["join", "replica", "sharded", "term_sharded"],
                    default="join",
                    help="join = segments stay a DataFrame (no residency "
                         "assumption); replica = node-shared mmap replica, "
                         "highest qps when a shard group fits node memory; "
-                        "sharded = document-sharded scatter/gather")
+                        "sharded = document-sharded scatter/gather; "
+                        "term_sharded = term-range scatter/gather over the "
+                        "merged store (footer-statistics routing)")
     q.set_defaults(fn=cmd_query)
 
     args = ap.parse_args(argv)

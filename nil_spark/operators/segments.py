@@ -923,6 +923,137 @@ def topk_maxscore_sharded(
     )
 
 
+def topk_term_sharded(
+    spark: SparkSession,
+    queries_pdf: pd.DataFrame,
+    shard_paths: list[str],
+    termdict_pdf: pd.DataFrame,
+    n_docs: int,
+    avgdl: float,
+    cfg: EngineConfig,
+) -> DataFrame:
+    """Term-sharded scatter/gather BM25 top-k — the third classical
+    search partitioning (after document-sharded ``topk_maxscore_sharded``
+    and the replica model ``topk_replica_resident``): each shard owns a
+    TERM range (exactly the layout ``merge_segments`` writes), a query
+    is routed ONLY to the shards owning its terms, each shard emits
+    per-(query, doc) partial scores over its local postings, and a
+    global sum + rank window produces the exact top-k.
+
+    Routing uses the parquet footers' term min/max statistics per file
+    (driver-side metadata reads, no data scan); a hot term split across
+    adjacent range partitions by the composite (term, first_doc) key is
+    routed to every file whose range covers it, and the global sum
+    reassembles its contributions.
+
+    Scale shape, honestly: term-sharding ships touched postings across
+    the exchange (the partial-score rows), so for BM25 serving it is
+    bandwidth-heavier than doc-sharding — included because it is the
+    topology that wins for term-local workloads (df statistics, posting
+    exports, hot-term isolation) and it exercises exact cross-shard
+    score reassembly.  The shuffle carries partials only for terms the
+    query batch actually touched.
+    """
+    import pyarrow.parquet as pq
+
+    from nil_spark.functions.tokenize import terms_for_tokens, tokenize_series
+
+    k1, b = cfg.bm25_k1, cfg.bm25_b
+    df_map = dict(zip(termdict_pdf["term"].astype(np.int64), termdict_pdf["df"].astype(np.int64)))
+
+    qtoks = tokenize_series(queries_pdf["text"], cfg)
+    queries = []
+    for (qid, kk), ts in zip(zip(queries_pdf["query_id"], queries_pdf["k"]), qtoks):
+        th = np.unique(terms_for_tokens(ts, cfg))
+        terms = [
+            (int(t), math.log(1.0 + (n_docs - df_map[int(t)] + 0.5) / (df_map[int(t)] + 0.5)))
+            for t in th
+            if int(t) in df_map
+        ]
+        if terms:
+            queries.append((int(qid), int(kk), terms))
+
+    # per-file term ranges from footer statistics (metadata only)
+    los, his = [], []
+    for p in shard_paths:
+        md = pq.ParquetFile(p).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        ci = names.index("term")
+        rmins, rmaxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            rmins.append(int(st.min))
+            rmaxs.append(int(st.max))
+        los.append(min(rmins) if rmins else 1)
+        his.append(max(rmaxs) if rmaxs else 0)
+    lo_a, hi_a = np.asarray(los, dtype=np.int64), np.asarray(his, dtype=np.int64)
+
+    per_file: dict[int, list] = {}
+    for qid, kk, terms in queries:
+        for t, idf in terms:
+            for i in np.flatnonzero((lo_a <= t) & (t <= hi_a)):
+                per_file.setdefault(int(i), []).append((qid, t, idf))
+    rows = [
+        (shard_paths[i], json.dumps(work)) for i, work in sorted(per_file.items())
+    ]
+    if not rows:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, bm25 double"
+        )
+    rdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, len(rows)), "path string, work string"
+    )
+
+    def per_shard(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for path, work in zip(pdf["path"], pdf["work"]):
+                view = _load_shard(path, avgdl, k1, b)
+                byq: dict[int, list] = {}
+                for qid, t, idf in json.loads(work):
+                    byq.setdefault(int(qid), []).append((int(t), float(idf)))
+                out_q, out_d, out_s = [], [], []
+                for qid, tl in byq.items():
+                    hits = []
+                    for t, idf in tl:
+                        e = view.get(t)
+                        if e is not None:
+                            hits.append((e, idf))
+                    if not hits:
+                        continue
+                    alld = np.concatenate([e[0] for e, _ in hits])
+                    allc = np.concatenate([e[1] * idf for e, idf in hits])
+                    docs, inv = np.unique(alld, return_inverse=True)
+                    part = np.zeros(len(docs), dtype=np.float64)
+                    np.add.at(part, inv, allc)
+                    out_q.extend([qid] * len(docs))
+                    out_d.extend(docs.tolist())
+                    out_s.extend(part.tolist())
+                yield pd.DataFrame(
+                    {"query_id": out_q, "doc_id": out_d, "partial": out_s}
+                )
+
+    partial = rdf.mapInPandas(
+        per_shard, schema="query_id long, doc_id long, partial double"
+    )
+    kdf = F.broadcast(
+        spark.createDataFrame(
+            [(int(q), int(kk)) for q, kk, _ in queries], "query_id long, k int"
+        )
+    )
+    # round AFTER the global sum, BEFORE the rank (rank-identity pin)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    return (
+        partial.groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("partial"), SCORE_DECIMALS).alias("bm25"))
+        .join(kdf, "query_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", "bm25")
+    )
+
+
 # replica cache: one merged decoded index VIEW per worker.  Keyed by
 # the sorted path tuple + scoring constants.
 _REPLICA_CACHE: dict = {}

@@ -415,3 +415,54 @@ def test_replica_topk_rank_identical(spark, transcripts_1k, queries_1k, tmp_path
         assert len(got) == len(oracle), mode
         assert (got["doc_id"].values == oracle["doc_id"].values).all(), mode
         assert np.allclose(got["bm25"].values, oracle["bm25"].values, atol=1e-6), mode
+
+
+def test_term_sharded_topk_rank_identical(spark, transcripts_1k, queries_1k, tmp_path):
+    """Term-sharded scatter/gather over the merged term-range store:
+    footer-statistics routing + cross-shard partial-score reassembly
+    must equal the oracle, including terms split across adjacent range
+    partitions."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from nil_spark.operators.segments import (
+        DOCSTAT_SENTINEL,
+        build_partial_segments,
+        merge_segments,
+        topk_term_sharded,
+    )
+
+    docs = spark.createDataFrame(transcripts_1k, schema=TRANSCRIPT_SCHEMA)
+    docs = assign_doc_ids(docs, ["conv_id", "turn_idx"], num_partitions=4)
+    raw = build_partial_segments(docs.repartition(6), CFG)
+    merged_dir = str(tmp_path / "merged")
+    merge_segments(raw.filter(F.col("term") != DOCSTAT_SENTINEL), CFG).write.parquet(
+        merged_dir
+    )
+
+    sent = raw.filter(F.col("term") == DOCSTAT_SENTINEL)
+    stats = sent.agg(
+        F.sum("n_postings").alias("n"), F.sum(F.element_at("bm_max", 1)).alias("s")
+    ).collect()[0]
+    n_docs, avgdl = int(stats["n"]), float(stats["s"]) / int(stats["n"])
+    merged = spark.read.parquet(merged_dir)
+    termdict = merged.groupBy("term").agg(
+        F.sum("n_postings").cast("long").alias("df")
+    )
+    if CFG.df_stopword_cutoff < 1.0:
+        termdict = termdict.filter(F.col("df") <= int(CFG.df_stopword_cutoff * n_docs))
+    paths = sorted(glob.glob(merged_dir + "/part-*.parquet"))
+    assert len(paths) >= 2  # routing must actually split the term space
+
+    got = (
+        topk_term_sharded(
+            spark, queries_1k, paths, termdict.toPandas(), n_docs, avgdl, CFG
+        )
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    oracle = OracleIndex(transcripts_1k, CFG).topk_frame(queries_1k)
+    oracle = oracle.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(got) == len(oracle)
+    assert (got["doc_id"].values == oracle["doc_id"].values).all()
+    assert np.allclose(got["bm25"].values, oracle["bm25"].values, atol=1e-6)
