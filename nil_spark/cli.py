@@ -32,11 +32,26 @@ from nil_spark.session import get_spark
 
 
 def read_docs(spark, path: str, fmt: str):
-    """Transcripts source: parquet dir or Iceberg table (gated)."""
+    """Transcripts source: parquet dir, CSV/JSONL dir (schema-applied —
+    the reference's own on-disk model is CSV, SURVEY §1.2), or Iceberg
+    table (gated)."""
     if fmt == "iceberg":
         # public API: spark.read.table over an Iceberg catalog table; the
         # runtime jar + catalog conf must be on the cluster (not bundled)
         return spark.read.table(path)
+    if fmt == "csv":
+        from nil_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+        return (
+            spark.read.schema(TRANSCRIPT_SCHEMA)
+            .option("header", "true")
+            .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][XXX]")
+            .csv(path)
+        )
+    if fmt == "json":
+        from nil_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+        return spark.read.schema(TRANSCRIPT_SCHEMA).json(path)
     return spark.read.parquet(path)
 
 
@@ -180,7 +195,8 @@ def main(argv=None) -> int:
 
     b = sub.add_parser("build", help="build the checkpointed index")
     b.add_argument("--input", required=True)
-    b.add_argument("--format", choices=["parquet", "iceberg"], default="parquet")
+    b.add_argument("--format", choices=["parquet", "csv", "json", "iceberg"],
+                   default="parquet")
     b.add_argument("--index-dir", required=True)
     b.add_argument("--build-path", choices=["fused", "classic"], default="fused",
                    help="fused = single-Arrow-stage build (fast path); "

@@ -104,3 +104,48 @@ def test_cli_query_topologies_rank_identical(cli_index, topology):
     assert len(got) == len(oracle), topology
     assert (got["doc_id"].values == oracle["doc_id"].values).all(), topology
     assert np.allclose(got["bm25"].values, oracle["bm25"].values, atol=1e-6)
+
+
+@pytest.mark.parametrize("fmt", ["csv", "json"])
+def test_cli_build_from_csv_json_sources(tmp_path, fmt):
+    """--format csv/json (the reference's own on-disk model is CSV):
+    schema-applied read -> build -> query, rank-identical to the
+    oracle."""
+    pdf = gen_transcripts(200, seed=31)
+    src = str(tmp_path / f"corpus_{fmt}")
+    os.makedirs(src)
+    if fmt == "csv":
+        out_pdf = pdf.copy()
+        out_pdf["ts"] = out_pdf["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S")
+        out_pdf.to_csv(os.path.join(src, "part0.csv"), index=False)
+    else:
+        out_pdf = pdf.copy()
+        out_pdf["ts"] = out_pdf["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S")
+        out_pdf.to_json(
+            os.path.join(src, "part0.json"), orient="records", lines=True
+        )
+    idx_dir = str(tmp_path / "idx")
+    out = _run(["build", "--input", src, "--format", fmt, "--index-dir", idx_dir])
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    info = json.loads(out.stdout.strip().splitlines()[-1])
+    assert info["n_docs"] == 200
+
+    q = gen_queries(pdf, n_queries=5, k=4, seed=32)
+    qp = str(tmp_path / "q.parquet")
+    pq.write_table(pa.Table.from_pandas(q, preserve_index=False), qp)
+    res = str(tmp_path / "res")
+    out = _run(["query", "--index-dir", idx_dir, "--queries", qp, "--out", res])
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    got = (
+        pd.concat(
+            pq.read_table(os.path.join(res, f)).to_pandas()
+            for f in os.listdir(res)
+            if f.endswith(".parquet")
+        )
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    oracle = OracleIndex(pdf, EngineConfig(gram_size=1)).topk_frame(q)
+    oracle = oracle.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(got) == len(oracle)
+    assert (got["doc_id"].values == oracle["doc_id"].values).all()
+    assert np.allclose(got["bm25"].values, oracle["bm25"].values, atol=1e-6)
