@@ -1035,22 +1035,31 @@ def topk_term_sharded(
     partial = rdf.mapInPandas(
         per_shard, schema="query_id long, doc_id long, partial double"
     )
-    kdf = F.broadcast(
-        spark.createDataFrame(
-            [(int(q), int(kk)) for q, kk, _ in queries], "query_id long, k int"
+    # ONE exchange: partials hash to their query, and the per-query
+    # gather does sum + round (AFTER the global sum, BEFORE the rank —
+    # rank-identity pin) + top-k in a single Arrow pass.  The earlier
+    # groupBy(qid, doc) + rank-window shape paid a second exchange to
+    # re-partition from (qid, doc) to qid.
+    kmap = {int(q): int(kk) for q, kk, _ in queries}
+
+    def gather(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(key[0])
+        docs, inv = np.unique(pdf["doc_id"].values, return_inverse=True)
+        tot = np.zeros(len(docs), dtype=np.float64)
+        np.add.at(tot, inv, pdf["partial"].values)
+        tot = np.round(tot, SCORE_DECIMALS)
+        top = np.lexsort((docs, -tot))[: kmap.get(qid, 0)]
+        return pd.DataFrame(
+            {
+                "query_id": np.full(len(top), qid, dtype=np.int64),
+                "rank": np.arange(1, len(top) + 1, dtype=np.int32),
+                "doc_id": docs[top],
+                "bm25": tot[top],
+            }
         )
-    )
-    # round AFTER the global sum, BEFORE the rank (rank-identity pin)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("bm25").desc(), F.col("doc_id").asc()
-    )
-    return (
-        partial.groupBy("query_id", "doc_id")
-        .agg(F.round(F.sum("partial"), SCORE_DECIMALS).alias("bm25"))
-        .join(kdf, "query_id")
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= F.col("k"))
-        .select("query_id", "rank", "doc_id", "bm25")
+
+    return partial.groupBy("query_id").applyInPandas(
+        gather, schema="query_id long, rank int, doc_id long, bm25 double"
     )
 
 

@@ -158,3 +158,17 @@ def test_sharded_serving_single_shuffle(spark, _serving):
             or "roundrobin" in l.lower()
             or "SinglePartition" in l
         ), l
+
+
+def test_term_sharded_serving_single_shuffle(spark, _serving):
+    """Term-sharded scatter/gather: exactly ONE data shuffle — the
+    partial-score exchange hashed by query_id into the per-query
+    applyInPandas gather (sum + round + rank in one Arrow pass).  The
+    earlier groupBy(qid, doc) + rank-window shape paid a second
+    exchange to re-partition from (qid, doc) to qid."""
+    from nil_spark.operators.segments import topk_term_sharded
+
+    cfg, qpdf, paths, termdict, n_docs, avgdl = _serving
+    df = topk_term_sharded(spark, qpdf, paths, termdict, n_docs, avgdl, cfg)
+    ex = _shuffle_exchanges(df)
+    assert len(ex) <= 1, "expected at most one shuffle, got:\n" + "\n".join(ex)
