@@ -391,7 +391,7 @@ def _query_kernel_chunk(args) -> int:
 
     paths, avgdl, k1, b, n_docs, chunk = args
     replica = _load_replica(tuple(paths), avgdl, k1, b)  # cached: initializer loaded it
-    scores = np.zeros(n_docs, dtype=np.float64)
+    scores = np.zeros(max(n_docs, replica.max_doc + 1), dtype=np.float64)
     n_out = 0
     for qid, kk, tl in chunk:
         hits = []

@@ -111,9 +111,11 @@ def with_term_counts(df: DataFrame, cfg: EngineConfig, text_col: str = "text") -
     min-size scan predicates, mirroring :func:`with_terms`."""
     out = df.withColumn("_tk", make_term_counts_udf(cfg)(F.col(text_col)))
     out = out.withColumn("dl", F.col("_tk.dl")).withColumn("tcs", F.col("_tk.tcs")).drop("_tk")
-    if cfg.min_chars > 1:
+    # threshold 1 is NOT a no-op: it drops empty-text / zero-token docs
+    # (the oracle's >= semantics) — guard on > 0, not > 1
+    if cfg.min_chars > 0:
         out = out.filter(F.length(F.col(text_col)) >= cfg.min_chars)
-    if cfg.min_tokens > 1:
+    if cfg.min_tokens > 0:
         out = out.filter(F.col("dl") >= cfg.min_tokens)
     return out
 
@@ -125,8 +127,10 @@ def with_terms(df: DataFrame, cfg: EngineConfig, text_col: str = "text") -> Data
     Catalyst keeps them at the scan."""
     out = df.withColumn("_tk", make_tokenize_udf(cfg)(F.col(text_col)))
     out = out.withColumn("dl", F.col("_tk.dl")).withColumn("terms", F.col("_tk.terms")).drop("_tk")
-    if cfg.min_chars > 1:
+    # threshold 1 is NOT a no-op: it drops empty-text / zero-token docs
+    # (the oracle's >= semantics) — guard on > 0, not > 1
+    if cfg.min_chars > 0:
         out = out.filter(F.length(F.col(text_col)) >= cfg.min_chars)
-    if cfg.min_tokens > 1:
+    if cfg.min_tokens > 0:
         out = out.filter(F.col("dl") >= cfg.min_tokens)
     return out

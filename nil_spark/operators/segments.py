@@ -412,13 +412,21 @@ def _fused_partition_frame(
     and the file-direct path (build_partial_segments_from_files)."""
     from nil_spark.functions.tokenize import tokenize_series
 
-    if cfg.min_chars > 1:  # same scan predicate as with_term_counts
+    # the encoder's chunk metadata ([first_doc, last_doc] skip-list
+    # bounds) and delta compression require ascending doc ids within
+    # the partition; an upstream repartition() scrambles row order, so
+    # sort here — without this, chunks decode fine but their range
+    # bounds are garbage and MaxScore's range skip silently drops
+    # score updates (caught by the e2e property fuzz)
+    pdf = pdf.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+    if cfg.min_chars > 0:  # same scan predicate as with_term_counts
+        # (threshold 1 drops empty texts — oracle >= semantics)
         pdf = pdf[pdf["text"].fillna("").str.len() >= cfg.min_chars]
     toks = tokenize_series(pdf["text"], cfg)
     ids = pdf["doc_id"].to_numpy(np.int64)
     dls = np.fromiter((len(ts) for ts in toks), dtype=np.int64, count=len(pdf))
     toks_list = toks.tolist()
-    if cfg.min_tokens > 1:
+    if cfg.min_tokens > 0:
         keep = dls >= cfg.min_tokens
         toks_list = [t for t, k in zip(toks_list, keep) if k]
         kids, kdls = ids[keep], dls[keep]
@@ -1079,10 +1087,22 @@ class _ReplicaView:
     decode.  This is what makes worker-pool churn (and per-node worker
     counts in the hundreds at 100 TB) free on the serving path."""
 
-    __slots__ = ("terms", "offs", "docs", "tfn")
+    __slots__ = ("terms", "offs", "docs", "tfn", "_max_doc")
 
     def __init__(self, terms, offs, docs, tfn):
         self.terms, self.offs, self.docs, self.tfn = terms, offs, docs, tfn
+        self._max_doc = None
+
+    @property
+    def max_doc(self) -> int:
+        """Largest doc id in the replica (-1 if empty).  Doc ids are
+        NOT dense in n_docs when min-size predicates filtered docs out
+        of the index (ids keep their pre-filter values), so dense
+        score arrays must size to max_doc + 1, not n_docs.  Computed
+        on first use (one sequential scan of the mmap) and cached."""
+        if self._max_doc is None:
+            self._max_doc = int(self.docs.max()) if len(self.docs) else -1
+        return self._max_doc
 
     def get(self, t: int):
         i = int(np.searchsorted(self.terms, t))
@@ -1309,7 +1329,11 @@ def topk_replica_resident(
                 continue
             if replica is None:
                 replica = _load_replica(paths, avgdl, k1, b)
-                scores = np.zeros(n_docs, dtype=np.float64)
+                # size to max doc id, not n_docs: ids are sparse when
+                # min-size predicates filtered docs out of the index
+                scores = np.zeros(
+                    max(n_docs, replica.max_doc + 1), dtype=np.float64
+                )
             out_q, out_r, out_d, out_s = [], [], [], []
             if df_bc is not None:  # worker-side tokenize
                 toks = tokenize_series(pdf["text"], cfg)

@@ -1,0 +1,132 @@
+"""End-to-end property test: for RANDOM tiny corpora and queries, the
+Spark engine (fused build -> replica serving AND the join-based
+MaxScore path) must be rank-identical to the pure-Python oracle.
+
+This is the fuzzing complement to the fixed-fixture rank-identity
+suite: hypothesis drives token collisions, hot terms, empty/short
+texts, and degenerate queries through the full pipeline.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from nil_spark.config import EngineConfig
+from nil_spark.operators.docids import assign_doc_ids
+from nil_spark.operators.segments import (
+    DOCSTAT_SENTINEL,
+    build_partial_segments,
+    topk_maxscore,
+    topk_replica_resident,
+)
+from nil_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+from nil_spark.testing.oracle import OracleIndex
+
+CFG = EngineConfig(gram_size=1, num_segments=2, block_size=8)
+
+# tiny vocabulary forces hot terms + stopword-cutoff edges; punctuation
+# exercises the tokenizer split; "" exercises empty-doc handling
+TOKEN = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "x1", "y2", "z", "the", "of"]
+)
+TEXT = st.lists(TOKEN, min_size=0, max_size=12).map(" ".join)
+
+
+def _corpus(texts: list[str]) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "conv_id": [f"c{i // 3:04d}" for i in range(len(texts))],
+            "turn_idx": [i % 3 for i in range(len(texts))],
+            "role": ["user"] * len(texts),
+            "text": texts,
+            "tool": [None] * len(texts),
+            "ts": pd.to_datetime("2025-01-01"),
+        }
+    )
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(TEXT, min_size=3, max_size=20),
+    qtexts=st.lists(TEXT.filter(lambda t: t), min_size=1, max_size=4),
+)
+def test_random_corpora_rank_identical(spark, tmp_path_factory, texts, qtexts):
+    pdf = _corpus(texts)
+    qpdf = pd.DataFrame(
+        {
+            "query_id": range(len(qtexts)),
+            "text": qtexts,
+            "k": [3] * len(qtexts),
+        }
+    )
+    docs = assign_doc_ids(
+        spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA),
+        ["conv_id", "turn_idx"],
+        num_partitions=2,
+    )
+    shard_dir = str(tmp_path_factory.mktemp("fuzz") / "shards")
+    build_partial_segments(docs.repartition(2), CFG).write.parquet(shard_dir)
+    raw = spark.read.parquet(shard_dir)
+    st_row = (
+        raw.filter(F.col("term") == DOCSTAT_SENTINEL)
+        .agg(F.sum("n_postings").alias("n"), F.sum(F.element_at("bm_max", 1)).alias("s"))
+        .collect()[0]
+    )
+    n_docs = int(st_row["n"] or 0)
+    if n_docs == 0:  # every doc filtered (all-empty corpus)
+        return
+    avgdl = float(st_row["s"]) / n_docs
+    termdict = (
+        raw.filter(F.col("term") != DOCSTAT_SENTINEL)
+        .groupBy("term")
+        .agg(F.sum("n_postings").cast("long").alias("df"))
+    )
+    if CFG.df_stopword_cutoff < 1.0:
+        termdict = termdict.filter(F.col("df") <= int(CFG.df_stopword_cutoff * n_docs))
+    td_pdf = termdict.toPandas()
+    paths = sorted(glob.glob(shard_dir + "/part-*.parquet"))
+
+    oracle = (
+        OracleIndex(pdf, CFG)
+        .topk_frame(qpdf)
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+    got_r = (
+        topk_replica_resident(spark, qpdf, paths, td_pdf, n_docs, avgdl, CFG)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    q = spark.createDataFrame(qpdf, "query_id long, text string, k int")
+    got_m = (
+        topk_maxscore(
+            q, raw.filter(F.col("term") != DOCSTAT_SENTINEL),
+            spark.createDataFrame(td_pdf) if len(td_pdf) else termdict,
+            n_docs, avgdl, CFG,
+        )
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    for name, got in (("replica", got_r), ("maxscore", got_m)):
+        assert len(got) == len(oracle), (name, texts, qtexts)
+        if len(oracle) == 0:
+            continue
+        assert (got["doc_id"].values == oracle["doc_id"].values).all(), (
+            name, texts, qtexts,
+        )
+        assert np.allclose(
+            got["bm25"].values.astype(float),
+            oracle["bm25"].values.astype(float),
+            atol=1e-6,
+        ), (name, texts, qtexts)

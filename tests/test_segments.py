@@ -466,3 +466,33 @@ def test_term_sharded_topk_rank_identical(spark, transcripts_1k, queries_1k, tmp
     assert len(got) == len(oracle)
     assert (got["doc_id"].values == oracle["doc_id"].values).all()
     assert np.allclose(got["bm25"].values, oracle["bm25"].values, atol=1e-6)
+
+
+def test_fused_build_sorts_scrambled_partitions(spark, transcripts_1k):
+    """A repartition() upstream of the fused build scrambles row order;
+    every chunk must still decode with ascending doc ids and truthful
+    [first_doc, last_doc] bounds (MaxScore's range skip depends on
+    them)."""
+    from pyspark.sql import functions as F
+
+    from nil_spark.operators.segments import (
+        DOCSTAT_SENTINEL,
+        _decode_chunk_table,
+        build_partial_segments,
+    )
+
+    docs = assign_doc_ids(
+        spark.createDataFrame(transcripts_1k, schema=TRANSCRIPT_SCHEMA),
+        ["conv_id", "turn_idx"],
+        num_partitions=4,
+    )
+    raw = (
+        build_partial_segments(docs.repartition(5), CFG)
+        .filter(F.col("term") != DOCSTAT_SENTINEL)
+        .toPandas()
+    )
+    assert len(raw) > 100
+    for _, r in raw.iterrows():
+        _, d, _, _ = _decode_chunk_table(r.to_frame().T.reset_index(drop=True))
+        assert (np.diff(d) > 0).all(), f"unsorted chunk for term {r['term']}"
+        assert int(r["first_doc"]) == int(d[0]) and int(r["last_doc"]) == int(d[-1])
