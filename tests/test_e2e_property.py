@@ -23,8 +23,11 @@ from nil_spark.operators.docids import assign_doc_ids
 from nil_spark.operators.segments import (
     DOCSTAT_SENTINEL,
     build_partial_segments,
+    merge_segments,
     topk_maxscore,
+    topk_maxscore_sharded,
     topk_replica_resident,
+    topk_term_sharded,
 )
 from nil_spark.sources.transcripts import TRANSCRIPT_SCHEMA
 from nil_spark.testing.oracle import OracleIndex
@@ -118,7 +121,27 @@ def test_random_corpora_rank_identical(spark, tmp_path_factory, texts, qtexts):
         )
         .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
     )
-    for name, got in (("replica", got_r), ("maxscore", got_m)):
+    got_s = (
+        topk_maxscore_sharded(spark, qpdf, paths, td_pdf, n_docs, avgdl, CFG)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    merged_dir = shard_dir + "_merged"
+    merge_segments(raw.filter(F.col("term") != DOCSTAT_SENTINEL), CFG).write.parquet(
+        merged_dir
+    )
+    got_t = (
+        topk_term_sharded(
+            spark, qpdf, sorted(glob.glob(merged_dir + "/part-*.parquet")),
+            td_pdf, n_docs, avgdl, CFG,
+        )
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    for name, got in (
+        ("replica", got_r),
+        ("maxscore", got_m),
+        ("doc_sharded", got_s),
+        ("term_sharded", got_t),
+    ):
         assert len(got) == len(oracle), (name, texts, qtexts)
         if len(oracle) == 0:
             continue
