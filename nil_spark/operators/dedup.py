@@ -388,3 +388,55 @@ def benchmark_contamination(
             (F.col("n_shared") >= min_shared).alias("contaminated"),
         )
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    w: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplication stats per doc (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    w-token window is hashed (pinned md5-prefix); a window whose hash
+    occurs >= 2 times corpus-wide (any doc, including repeats within
+    one doc) is a duplicated span.
+
+    Returns (doc_id, n_windows, n_dup_windows, dup_frac) for docs with
+    at least w tokens.
+
+    Scale shape: windows explode (positions, NOT distinct — span
+    multiplicity matters), one groupBy(hash) for global counts, one
+    join back, one groupBy(doc).  The hash groupBy is the same exchange
+    ngram df-stats already pays; no self-join — this marks spans, it
+    does not enumerate pairs, so it is linear in corpus size where
+    pair-based dedup is quadratic in cluster size.
+    """
+    toks_df = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(F.split(F.lower(text_col), "[^a-z0-9]+"), lambda x: x != "").alias("toks"),
+    ).filter(F.size("toks") >= w)
+    wins = toks_df.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - {w}),"
+                f" i -> concat_ws(' ', slice(toks, i + 1, {w})))"
+            )
+        ).alias("win"),
+    ).select("doc_id", md5_prefix64_col(F.col("win")).alias("h"))
+    counts = wins.groupBy("h").agg(F.count("*").alias("cnt"))
+    return (
+        wins.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum((F.col("cnt") >= 2).cast("long")).cast("long").alias("n_dup_windows"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.round(F.col("n_dup_windows") / F.col("n_windows"), 6).alias("dup_frac"),
+        )
+    )

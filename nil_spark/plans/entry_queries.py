@@ -1381,6 +1381,215 @@ FROM ranked WHERE lang_rank <= 50
 """
 
 
+# ------------------------------------------------------ q: pii scrub
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (training-data ingest op): count + scrub emails,
+    IPv4s, phone numbers as pure regexp column expressions
+    (functions/pii.py — map-only, zero shuffle at any scale).
+
+    The synthetic corpus contains no organic PII, so a deterministic
+    PII footer derived from doc_id is appended BEFORE scrubbing —
+    identically in the oracle — so the scrubber provably matches and
+    removes known text."""
+    from nil_spark.functions.pii import pii_counts, scrub
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1 phone 415-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    counts = pii_counts(t)
+    from nil_spark.functions.hashing import md5_prefix64_col
+
+    return d.select(
+        "doc_id",
+        counts["n_email"].alias("n_email"),
+        counts["n_ip"].alias("n_ip"),
+        counts["n_phone"].alias("n_phone"),
+        md5_prefix64_col(scrub(t)).alias("scrub_fp"),
+    )
+
+
+def _pii_scrub_sql() -> str:
+    from nil_spark.functions.hashing import md5_prefix64_sql
+    from nil_spark.functions.pii import PII_PATTERNS, scrub_sql
+
+    t = (
+        "(text || ' contact user' || doc_id::VARCHAR || '@example.com ip 10.0.'"
+        " || (doc_id % 256)::VARCHAR || '.1 phone 415-555-'"
+        " || lpad((doc_id % 10000)::VARCHAR, 4, '0'))"
+    )
+    cnt = {
+        kind: f"len(regexp_extract_all({t}, '{pat}'))::BIGINT"
+        for kind, pat, _ in PII_PATTERNS
+    }
+    return f"""
+SELECT doc_id,
+       {cnt['email']} AS n_email,
+       {cnt['ip']} AS n_ip,
+       {cnt['phone']} AS n_phone,
+       {md5_prefix64_sql(scrub_sql(t))} AS scrub_fp
+FROM documents
+"""
+
+
+# ----------------------------------------------- q: duplicated spans
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication marking (Lee et al. 2022) — per-doc
+    duplicated w-token-window stats (operators/dedup.py
+    duplicated_spans; linear span-marking, no pair enumeration)."""
+    from nil_spark.operators.dedup import duplicated_spans
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicated_spans(d, w=8)
+
+
+def _dup_spans_sql() -> str:
+    from nil_spark.functions.hashing import md5_prefix64_sql
+
+    h = md5_prefix64_sql("array_to_string(list_slice(toks, i, i + 7), ' ')")
+    return f"""
+WITH {_DOCS_CTE},
+wins AS (SELECT doc_id, {h} AS h
+         FROM docs, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+         WHERE len(toks) >= 8),
+c AS (SELECT h, count(*) AS cnt FROM wins GROUP BY 1)
+SELECT doc_id, count(*)::BIGINT AS n_windows,
+       sum((cnt >= 2)::BIGINT)::BIGINT AS n_dup_windows,
+       round(sum((cnt >= 2)::BIGINT)::DOUBLE / count(*), 6) AS dup_frac
+FROM wins JOIN c USING (h) GROUP BY doc_id
+"""
+
+
+# ------------------------------------------ q: winnowing fingerprint
+
+
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer et al., SIGMOD'03;
+    operators/winnow.py): distinct window-min 3-gram hashes, the
+    provably-sufficient subsample of NIL's full n-gram index."""
+    from nil_spark.operators.winnow import winnow_fingerprints
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winnow_fingerprints(d, k=3, w=4)
+
+
+def _winnow_sql() -> str:
+    from nil_spark.functions.hashing import md5_prefix64_sql
+
+    h = md5_prefix64_sql("array_to_string(list_slice(toks, i, i + 2), ' ')")
+    return f"""
+WITH {_DOCS_CTE},
+g AS (SELECT doc_id, i AS pos, len(toks) - 2 AS ng, {h} AS h
+      FROM docs, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+      WHERE len(toks) >= 6),
+m AS (SELECT doc_id, pos, ng,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM g)
+SELECT DISTINCT doc_id, fp FROM m WHERE pos <= ng - 3
+"""
+
+
+# ------------------------------------------------- q: unigram-LM quality
+
+
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score (perplexity proxy): per-doc average
+    negative log corpus-unigram probability — the classic cheap
+    LM-quality filter a training pipeline runs before an expensive
+    model-based one.  Corpus total is a 1-row aggregate broadcast into
+    the stream (BroadcastNestedLoopJoin on a single row — constant,
+    not a cartesian)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), TOKEN_SPLIT), lambda x: x != "")
+        ).alias("term"),
+    )
+    tc = tok.groupBy("term").agg(F.count("*").alias("cnt"))
+    tot = tc.agg(F.sum("cnt").alias("t"))
+    return (
+        tok.join(tc, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("cnt") / F.col("t"))), 6).alias("nll"),
+        )
+    )
+
+
+def _lm_quality_sql() -> str:
+    return f"""
+WITH {_DOCS_CTE},
+tok AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+tc AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+tot AS (SELECT sum(cnt) AS t FROM tc)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       round(avg(-ln(cnt::DOUBLE / t)), 6) AS nll
+FROM tok JOIN tc USING (term) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------- q: tf-idf keywords
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf keywords per doc (keyword extraction / feature
+    family).  Scores rounded to 6 decimals BEFORE ranking, ties by
+    term — the repo-wide rank-identity discipline."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), TOKEN_SPLIT), lambda x: x != "")
+        ).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    nd = tf.agg(F.count_distinct("doc_id").alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6))
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def _tfidf_sql() -> str:
+    return f"""
+WITH {_DOCS_CTE},
+tok AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+scored AS (SELECT tf.doc_id, tf.term,
+                  round(tf.tf * ln(n::DOUBLE / df), 6) AS tfidf
+           FROM tf JOIN dfreq USING (term) CROSS JOIN nd),
+ranked AS (SELECT *, row_number() OVER (
+             PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+           FROM scored)
+SELECT doc_id, term, tfidf, rk::BIGINT AS rk FROM ranked WHERE rk <= 3
+"""
+
+
 # --------------------------------------------------------- registry
 
 REGISTRY: dict[str, tuple] = {
@@ -1416,6 +1625,11 @@ REGISTRY: dict[str, tuple] = {
     "pairs_bce": (q_pairs_bce, _pairs_bce_sql()),
     "decontaminate": (q_decontaminate, _decontaminate_sql()),
     "sample_stratified": (q_sample_stratified, _sample_stratified_sql()),
+    "pii_scrub": (q_pii_scrub, _pii_scrub_sql()),
+    "dup_spans": (q_dup_spans, _dup_spans_sql()),
+    "winnow_fingerprint": (q_winnow_fingerprint, _winnow_sql()),
+    "lm_quality": (q_lm_quality, _lm_quality_sql()),
+    "tfidf_topk": (q_tfidf_topk, _tfidf_sql()),
 }
 
 
