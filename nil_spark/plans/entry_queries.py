@@ -1590,6 +1590,99 @@ SELECT doc_id, term, tfidf, rk::BIGINT AS rk FROM ranked WHERE rk <= 3
 """
 
 
+# ------------------------------------------------- q: quality filter
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style composite keep/drop verdict — the decision
+    stage of a curation pipeline, bundling length, token-shape,
+    top-unigram concentration, and 3-gram repetition rules.  All
+    aggregations key on doc_id, so the joins are co-partitioned: one
+    logical shuffle at scale."""
+    docs = _docs_toks(spark, sf_dir)
+    base = docs.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.round(
+            F.length(F.concat_ws("", "toks")) / F.nullif(F.size("toks"), F.lit(0)), 6
+        ).alias("avg_token_len"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    top = tf.groupBy("doc_id").agg(
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_unigram_frac")
+    )
+    sh = F.when(
+        F.size("toks") >= 3,
+        F.expr(
+            "transform(sequence(0, size(toks) - 3),"
+            " i -> concat_ws(' ', slice(toks, i + 1, 3)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    rep = (
+        docs.select("doc_id", F.explode(sh).alias("shingle"))
+        .groupBy("doc_id", "shingle")
+        .agg(F.count("*").alias("tf"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("tf") > 1, F.col("tf")).otherwise(0))
+                / F.sum("tf"),
+                6,
+            ).alias("dup_fraction")
+        )
+    )
+    j = (
+        base.join(top, "doc_id", "left")
+        .join(rep, "doc_id", "left")
+        .na.fill({"top_unigram_frac": 0.0, "dup_fraction": 0.0})
+    )
+    keep = (
+        (F.col("n_tokens") >= 20)
+        & (F.col("n_tokens") <= 5000)
+        & (F.col("avg_token_len") >= 2)
+        & (F.col("avg_token_len") <= 12)
+        & (F.col("top_unigram_frac") <= 0.15)
+        & (F.col("dup_fraction") <= 0.1)
+    )
+    return j.select(
+        "doc_id", "n_tokens", "avg_token_len", "top_unigram_frac",
+        "dup_fraction", keep.alias("keep"),
+    )
+
+
+def _quality_filter_sql() -> str:
+    return f"""
+WITH {_DOCS_CTE},
+base AS (SELECT doc_id, len(toks)::INT AS n_tokens,
+                round(length(array_to_string(toks, ''))::DOUBLE / nullif(len(toks), 0), 6) AS avg_token_len
+         FROM docs),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+tf AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2),
+top AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS top_unigram_frac
+        FROM tf GROUP BY 1),
+sh AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+       FROM docs, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+       WHERE len(toks) >= 3),
+per AS (SELECT doc_id, shingle, count(*) AS tf FROM sh GROUP BY 1, 2),
+rep AS (SELECT doc_id,
+               round(sum(CASE WHEN tf > 1 THEN tf ELSE 0 END)::DOUBLE / sum(tf), 6) AS dup_fraction
+        FROM per GROUP BY 1)
+SELECT b.doc_id, b.n_tokens, b.avg_token_len,
+       coalesce(t.top_unigram_frac, 0.0) AS top_unigram_frac,
+       coalesce(r.dup_fraction, 0.0) AS dup_fraction,
+       (b.n_tokens >= 20 AND b.n_tokens <= 5000
+        AND b.avg_token_len >= 2 AND b.avg_token_len <= 12
+        AND coalesce(t.top_unigram_frac, 0.0) <= 0.15
+        AND coalesce(r.dup_fraction, 0.0) <= 0.1) AS keep
+FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id
+            LEFT JOIN rep r ON b.doc_id = r.doc_id
+"""
+
+
 # --------------------------------------------------------- registry
 
 REGISTRY: dict[str, tuple] = {
@@ -1630,6 +1723,7 @@ REGISTRY: dict[str, tuple] = {
     "winnow_fingerprint": (q_winnow_fingerprint, _winnow_sql()),
     "lm_quality": (q_lm_quality, _lm_quality_sql()),
     "tfidf_topk": (q_tfidf_topk, _tfidf_sql()),
+    "quality_filter": (q_quality_filter, _quality_filter_sql()),
 }
 
 
