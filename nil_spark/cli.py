@@ -72,11 +72,11 @@ def cmd_build(args) -> int:
     return 0
 
 
-def cmd_query(args) -> int:
-    spark = get_spark(app="nil_spark_query", master=args.master,
-                      shuffle_partitions=args.shuffle_partitions)
-    cfg = EngineConfig(gram_size=args.gram_size)
-    builder = CheckpointedIndexBuilder(args.index_dir, cfg)
+def _open_index(spark, args, cfg, builder):
+    """Shared query-side index resolution: config-drift check, corpus
+    stats (either layout), stopword-pruned term dictionary.  Returns
+    (segs, termdict, n_docs, avgdl) or an int exit code on structured
+    failure."""
     # fail fast on config drift: querying with a tokenization/scoring
     # config that differs from the one the index was built with would
     # silently tokenize queries differently and return wrong results
@@ -90,7 +90,6 @@ def cmd_query(args) -> int:
             "query_fingerprint": _cfg_fingerprint(cfg),
             "hint": "pass the same --gram-size (and cfg) the index was built with",
         }), file=sys.stderr)
-        spark.stop()
         return 2
     import os
 
@@ -109,23 +108,37 @@ def cmd_query(args) -> int:
                 "hint": "the index build did not complete (no termdict stage); "
                         "rebuild with `nil_spark build`",
             }), file=sys.stderr)
-            spark.stop()
             return 2
         n_docs, avgdl = int(c["n_docs"]), float(c["avgdl"])
-    q = spark.read.parquet(args.queries)
-    from pyspark.sql import functions as F
-
-    if "k" not in q.columns:
-        q = q.withColumn("k", F.lit(args.k))
     # stopword-prune the term dictionary: the serving paths score
     # whatever postings the shard files hold, and the doc-sharded
     # (partial) layout still carries hot-term postings that the merged
     # store drops — the df cutoff must come from the dictionary, not
     # from which layout happens to be on disk
+    from pyspark.sql import functions as F
+
     if cfg.df_stopword_cutoff < 1.0:
         termdict = termdict.filter(
             F.col("df") <= int(cfg.df_stopword_cutoff * n_docs)
         )
+    return segs, termdict, n_docs, avgdl
+
+
+def cmd_query(args) -> int:
+    spark = get_spark(app="nil_spark_query", master=args.master,
+                      shuffle_partitions=args.shuffle_partitions)
+    cfg = EngineConfig(gram_size=args.gram_size)
+    builder = CheckpointedIndexBuilder(args.index_dir, cfg)
+    opened = _open_index(spark, args, cfg, builder)
+    if isinstance(opened, int):
+        spark.stop()
+        return opened
+    segs, termdict, n_docs, avgdl = opened
+    q = spark.read.parquet(args.queries)
+    from pyspark.sql import functions as F
+
+    if "k" not in q.columns:
+        q = q.withColumn("k", F.lit(args.k))
     topology = getattr(args, "topology", "join")
     if topology == "join":
         out = topk_maxscore(q, segs, termdict, n_docs, avgdl, cfg)
@@ -186,6 +199,41 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_query_stream(args) -> int:
+    """Streaming serving: tail a directory of query parquet files and
+    answer each micro-batch against the index (replica-resident path),
+    exactly-once batch_id-keyed results under --out."""
+    import glob as _glob
+
+    spark = get_spark(app="nil_spark_query_stream", master=args.master,
+                      shuffle_partitions=args.shuffle_partitions)
+    cfg = EngineConfig(gram_size=args.gram_size)
+    builder = CheckpointedIndexBuilder(args.index_dir, cfg)
+    opened = _open_index(spark, args, cfg, builder)
+    if isinstance(opened, int):
+        spark.stop()
+        return opened
+    _segs, termdict, n_docs, avgdl = opened
+    paths = sorted(
+        _glob.glob(f"{args.index_dir}/partial_segments/part-*.parquet")
+    ) or sorted(_glob.glob(f"{args.index_dir}/segments/part-*.parquet"))
+    from nil_spark.streaming.serving import StreamingQueryServer
+
+    srv = StreamingQueryServer(
+        args.out, paths, termdict.toPandas(), n_docs, avgdl, cfg,
+        tokenize_on="worker",
+    )
+    srv.run_available(spark, args.queries_dir)
+    print(json.dumps({
+        "batches": len(srv.manifest["batches"]),
+        "queries": sum(b["n_queries"] for b in srv.manifest["batches"]),
+        "results": srv.results(spark).count() if srv.manifest["batches"] else 0,
+        "manifest": srv._manifest_path,
+    }))
+    spark.stop()
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="nil_spark")
     ap.add_argument("--master", default="local[*]")
@@ -218,6 +266,17 @@ def main(argv=None) -> int:
                         "term_sharded = term-range scatter/gather over the "
                         "merged store (footer-statistics routing)")
     q.set_defaults(fn=cmd_query)
+
+    qs = sub.add_parser(
+        "query-stream",
+        help="streaming BM25 serving: tail a query-file directory, "
+             "exactly-once per-batch results",
+    )
+    qs.add_argument("--index-dir", required=True)
+    qs.add_argument("--queries-dir", required=True,
+                    help="directory of parquet files with (query_id, text, k)")
+    qs.add_argument("--out", required=True)
+    qs.set_defaults(fn=cmd_query_stream)
 
     args = ap.parse_args(argv)
     return args.fn(args)

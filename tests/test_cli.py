@@ -149,3 +149,43 @@ def test_cli_build_from_csv_json_sources(tmp_path, fmt):
     assert len(got) == len(oracle)
     assert (got["doc_id"].values == oracle["doc_id"].values).all()
     assert np.allclose(got["bm25"].values, oracle["bm25"].values, atol=1e-6)
+
+
+def test_cli_query_stream(cli_index):
+    """query-stream: two query files -> two exactly-once batches whose
+    union is rank-identical to the oracle."""
+    tmp, idx_dir, pdf = cli_index
+    q = gen_queries(pdf, n_queries=10, k=5, seed=33)
+    qdir = tmp / "qstream"
+    qdir.mkdir(exist_ok=True)
+    for i, chunk in enumerate((q.iloc[:5], q.iloc[5:])):
+        pq.write_table(
+            pa.Table.from_pandas(chunk, preserve_index=False),
+            str(qdir / f"queries-{i}.parquet"),
+        )
+    out_dir = str(tmp / "stream_res")
+    out = _run(["query-stream", "--index-dir", idx_dir,
+                "--queries-dir", str(qdir), "--out", out_dir])
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    info = json.loads(out.stdout.strip().splitlines()[-1])
+    assert info["batches"] == 2 and info["queries"] == 10
+
+    parts = []
+    for root, _dirs, files in os.walk(out_dir):
+        parts += [os.path.join(root, f) for f in files if f.endswith(".parquet")]
+    got = (
+        pd.concat(pq.read_table(p).to_pandas() for p in parts)
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    oracle = OracleIndex(pdf, EngineConfig(gram_size=1)).topk_frame(q)
+    oracle = oracle.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(got) == len(oracle)
+    assert (got["doc_id"].values == oracle["doc_id"].values).all()
+    assert np.allclose(got["bm25"].values, oracle["bm25"].values, atol=1e-6)
+
+    # second drain over the same dir: checkpoint skips, nothing re-answered
+    out2 = _run(["query-stream", "--index-dir", idx_dir,
+                 "--queries-dir", str(qdir), "--out", out_dir])
+    assert out2.returncode == 0, out2.stdout[-2000:] + out2.stderr[-2000:]
+    info2 = json.loads(out2.stdout.strip().splitlines()[-1])
+    assert info2["batches"] == 2 and info2["queries"] == 10
