@@ -128,6 +128,28 @@ def cmd_query(args) -> int:
     spark = get_spark(app="nil_spark_query", master=args.master,
                       shuffle_partitions=args.shuffle_partitions)
     cfg = EngineConfig(gram_size=args.gram_size)
+    from pyspark.sql import functions as F
+
+    if getattr(args, "layout", "batch") == "streaming":
+        # index built by the streaming path (IncrementalIndexer):
+        # per-batch delta dirs + optional compacted generation; one
+        # serving surface for both builders
+        from nil_spark.streaming.incremental import IncrementalIndexer
+
+        inc = IncrementalIndexer(args.index_dir, cfg)
+        idx = inc.load_index(spark)
+        q = spark.read.parquet(args.queries)
+        if "k" not in q.columns:
+            q = q.withColumn("k", F.lit(args.k))
+        out = topk_maxscore(
+            q, idx["segments"], idx["termdict"], idx["n_docs"], idx["avgdl"], cfg
+        )
+        out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"results": spark.read.parquet(args.out).count(),
+                          "layout": "streaming",
+                          "compacted_gen": inc.manifest.get("compacted_gen", 0)}))
+        spark.stop()
+        return 0
     builder = CheckpointedIndexBuilder(args.index_dir, cfg)
     opened = _open_index(spark, args, cfg, builder)
     if isinstance(opened, int):
@@ -135,7 +157,6 @@ def cmd_query(args) -> int:
         return opened
     segs, termdict, n_docs, avgdl = opened
     q = spark.read.parquet(args.queries)
-    from pyspark.sql import functions as F
 
     if "k" not in q.columns:
         q = q.withColumn("k", F.lit(args.k))
@@ -199,6 +220,27 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_build_stream(args) -> int:
+    """Incremental index build: absorb all currently-available
+    transcript files as micro-batches (Trigger.AvailableNow), then
+    optionally compact the deltas into one term-sorted generation.
+    Re-runs skip already-absorbed files via the stream checkpoint."""
+    spark = get_spark(app="nil_spark_build_stream", master=args.master,
+                      shuffle_partitions=args.shuffle_partitions)
+    cfg = EngineConfig(gram_size=args.gram_size)
+    from nil_spark.streaming.incremental import IncrementalIndexer
+
+    inc = IncrementalIndexer(args.index_dir, cfg)
+    inc.run_available(spark, args.input)
+    info = {"batches": len(inc.manifest["batches"]),
+            "n_docs": inc.manifest["next_doc_id"]}
+    if args.compact:
+        info["compact"] = inc.compact(spark)
+    print(json.dumps(info))
+    spark.stop()
+    return 0
+
+
 def cmd_query_stream(args) -> int:
     """Streaming serving: tail a directory of query parquet files and
     answer each micro-batch against the index (replica-resident path),
@@ -234,6 +276,55 @@ def cmd_query_stream(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    """Operational index introspection: corpus scalars, term/posting/
+    chunk counts, df distribution, on-disk bytes, build lineage."""
+    import glob as _glob
+    import os
+
+    spark = get_spark(app="nil_spark_stats", master=args.master,
+                      shuffle_partitions=args.shuffle_partitions)
+    cfg = EngineConfig(gram_size=args.gram_size)
+    builder = CheckpointedIndexBuilder(args.index_dir, cfg)
+    opened = _open_index(spark, args, cfg, builder)
+    if isinstance(opened, int):
+        spark.stop()
+        return opened
+    segs, termdict, n_docs, avgdl = opened
+    from pyspark.sql import functions as F
+
+    seg_stats = segs.agg(
+        F.count("*").alias("chunk_groups"),
+        F.count_distinct("term").alias("terms_on_disk"),
+        F.sum("n_postings").alias("postings"),
+    ).collect()[0]
+    df_hist = {
+        f"df_le_{b}": termdict.filter(F.col("df") <= b).count()
+        for b in (1, 10, 100, 1000)
+    }
+    disk = sum(
+        os.path.getsize(p)
+        for pat in ("segments", "partial_segments", "termdict", "docstats")
+        for p in _glob.glob(f"{args.index_dir}/{pat}/part-*.parquet")
+    )
+    print(json.dumps({
+        "n_docs": n_docs,
+        "avgdl": round(avgdl, 3),
+        "terms_after_stopword_cutoff": termdict.count(),
+        "terms_on_disk": int(seg_stats["terms_on_disk"]),
+        "chunk_groups": int(seg_stats["chunk_groups"]),
+        "postings": int(seg_stats["postings"]),
+        "df_histogram": df_hist,
+        "index_bytes": disk,
+        "bytes_per_posting": round(disk / max(int(seg_stats["postings"]), 1), 2),
+        "config_fingerprint": builder.manifest.get("config_fingerprint"),
+        "build_stages": list(builder.manifest.get("stages", {}).keys())
+        or builder.manifest.get("stage_log", []),
+    }))
+    spark.stop()
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="nil_spark")
     ap.add_argument("--master", default="local[*]")
@@ -256,6 +347,10 @@ def main(argv=None) -> int:
     q.add_argument("--queries", required=True, help="parquet with (query_id, text[, k])")
     q.add_argument("--out", required=True)
     q.add_argument("-k", type=int, default=10)
+    q.add_argument("--layout", choices=["batch", "streaming"], default="batch",
+                   help="batch = CheckpointedIndexBuilder layout (default); "
+                        "streaming = IncrementalIndexer layout (per-batch "
+                        "deltas + compacted generations)")
     q.add_argument("--topology",
                    choices=["join", "replica", "sharded", "term_sharded"],
                    default="join",
@@ -267,6 +362,18 @@ def main(argv=None) -> int:
                         "merged store (footer-statistics routing)")
     q.set_defaults(fn=cmd_query)
 
+    bs = sub.add_parser(
+        "build-stream",
+        help="incremental streaming build over a transcript-file directory",
+    )
+    bs.add_argument("--input", required=True,
+                    help="directory of transcript parquet files")
+    bs.add_argument("--index-dir", required=True)
+    bs.add_argument("--compact", action="store_true",
+                    help="merge batch deltas into one term-sorted generation "
+                         "after the drain")
+    bs.set_defaults(fn=cmd_build_stream)
+
     qs = sub.add_parser(
         "query-stream",
         help="streaming BM25 serving: tail a query-file directory, "
@@ -277,6 +384,10 @@ def main(argv=None) -> int:
                     help="directory of parquet files with (query_id, text, k)")
     qs.add_argument("--out", required=True)
     qs.set_defaults(fn=cmd_query_stream)
+
+    stp = sub.add_parser("stats", help="index introspection (one JSON line)")
+    stp.add_argument("--index-dir", required=True)
+    stp.set_defaults(fn=cmd_stats)
 
     args = ap.parse_args(argv)
     return args.fn(args)

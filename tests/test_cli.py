@@ -189,3 +189,63 @@ def test_cli_query_stream(cli_index):
     assert out2.returncode == 0, out2.stdout[-2000:] + out2.stderr[-2000:]
     info2 = json.loads(out2.stdout.strip().splitlines()[-1])
     assert info2["batches"] == 2 and info2["queries"] == 10
+
+
+def test_cli_build_stream_compact_query(tmp_path):
+    """Full streaming lifecycle through the CLI: build-stream (two
+    micro-batches, in (conv_id, turn_idx) order so batch parity holds)
+    -> compact -> query --layout streaming, rank-identical to the
+    oracle."""
+    pdf = (
+        gen_transcripts(400, seed=27)
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    half = len(pdf) // 2
+    for i, chunk in enumerate((pdf.iloc[:half], pdf.iloc[half:])):
+        pq.write_table(
+            pa.Table.from_pandas(chunk, preserve_index=False),
+            str(in_dir / f"part-{i}.parquet"),
+        )
+    idx_dir = str(tmp_path / "sidx")
+    out = _run(["build-stream", "--input", str(in_dir),
+                "--index-dir", idx_dir, "--compact"])
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    info = json.loads(out.stdout.strip().splitlines()[-1])
+    assert info["batches"] == 2 and info["n_docs"] == 400
+    assert info["compact"]["compacted_gen"] == 1
+
+    q = gen_queries(pdf, n_queries=8, k=5, seed=28)
+    pq.write_table(pa.Table.from_pandas(q, preserve_index=False),
+                   str(tmp_path / "q.parquet"))
+    out = _run(["query", "--layout", "streaming", "--index-dir", idx_dir,
+                "--queries", str(tmp_path / "q.parquet"),
+                "--out", str(tmp_path / "res")])
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+
+    got = (
+        pd.concat(
+            pq.read_table(os.path.join(tmp_path / "res", f)).to_pandas()
+            for f in os.listdir(tmp_path / "res")
+            if f.endswith(".parquet")
+        )
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    oracle = OracleIndex(pdf, EngineConfig(gram_size=1)).topk_frame(q)
+    oracle = oracle.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(got) == len(oracle)
+    assert (got["doc_id"].values == oracle["doc_id"].values).all()
+    assert np.allclose(got["bm25"].values, oracle["bm25"].values, atol=1e-6)
+
+
+def test_cli_stats(cli_index):
+    tmp, idx_dir, pdf = cli_index
+    out = _run(["stats", "--index-dir", idx_dir])
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    info = json.loads(out.stdout.strip().splitlines()[-1])
+    assert info["n_docs"] == 400
+    assert info["postings"] > 0 and info["index_bytes"] > 0
+    assert info["build_stages"] == ["partial_segments", "termdict", "segments"]
+    assert info["config_fingerprint"]
