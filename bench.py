@@ -42,9 +42,10 @@ def main() -> None:
     # after (plan quality, shuffle counts).  One untimed pass of the
     # most complex shapes amortizes it, exactly as a long-running
     # cluster would.
+    # (generic FS-cache warm only — per-query JIT is handled by the
+    # cold+best-of-2-warm protocol below, so no query-specific pre-warm
+    # that would mislabel those queries' cold numbers)
     spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-    force(entry_mod.queries()["bm25_topk"](spark, sf_dir))
-    force(entry_mod.queries()["ann_lsh_topk"](spark, sf_dir))
 
     # Protocol: each gate query runs twice — the first execution is
     # recorded as its COLD time (includes one-time JIT/codegen for that
@@ -92,24 +93,28 @@ def main() -> None:
     docs = spark.createDataFrame(pdf).repartition(int(cpus))
     shard_dir = tempfile.mkdtemp(prefix="nil_bench_shards_")
 
-    docs = assign_doc_ids(docs, ["conv_id", "turn_idx"])
+    # timed region matches rounds 1-2: doc-id assignment through the
+    # shard write, corpus-stat aggregate, and termdict collect (the
+    # full build, not just the shard write) so BENCH_rN comparisons
+    # stay apples-to-apples; best-of-2 is the only protocol change
     build_times = []
     for _ in range(2):
         t0 = time.perf_counter()
-        build_partial_segments(docs, cfg).write.mode("overwrite").parquet(shard_dir)
+        docs_b = assign_doc_ids(docs, ["conv_id", "turn_idx"])
+        build_partial_segments(docs_b, cfg).write.mode("overwrite").parquet(shard_dir)
+        raw = spark.read.parquet(shard_dir)
+        st = (
+            raw.filter(SF.col("term") == DOCSTAT_SENTINEL)
+            .agg(SF.sum("n_postings").alias("n"), SF.sum(SF.element_at("bm_max", 1)).alias("s"))
+            .collect()[0]
+        )
+        n_docs, avgdl = int(st["n"]), float(st["s"]) / int(st["n"])
+        termdict = (
+            raw.filter(SF.col("term") != DOCSTAT_SENTINEL)
+            .groupBy("term").agg(SF.sum("n_postings").cast("long").alias("df"))
+            .filter(SF.col("df") <= int(cfg.df_stopword_cutoff * n_docs))
+        ).toPandas()
         build_times.append(time.perf_counter() - t0)
-    raw = spark.read.parquet(shard_dir)
-    st = (
-        raw.filter(SF.col("term") == DOCSTAT_SENTINEL)
-        .agg(SF.sum("n_postings").alias("n"), SF.sum(SF.element_at("bm_max", 1)).alias("s"))
-        .collect()[0]
-    )
-    n_docs, avgdl = int(st["n"]), float(st["s"]) / int(st["n"])
-    termdict = (
-        raw.filter(SF.col("term") != DOCSTAT_SENTINEL)
-        .groupBy("term").agg(SF.sum("n_postings").cast("long").alias("df"))
-        .filter(SF.col("df") <= int(cfg.df_stopword_cutoff * n_docs))
-    ).toPandas()
     build_s = min(build_times)
     queries["engine_index_build"] = round(build_s, 3)
 

@@ -72,11 +72,63 @@ def cmd_build(args) -> int:
     return 0
 
 
+def _is_streaming_layout(index_dir: str) -> bool:
+    import os
+
+    return os.path.exists(
+        os.path.join(index_dir, "stream_manifest.json")
+    ) and not os.path.exists(os.path.join(index_dir, "manifest.json"))
+
+
+def _open_streaming_index(spark, index_dir: str, cfg):
+    """Resolve an IncrementalIndexer-layout index for serving: handle
+    dict from load_index plus the concrete segment file paths (for the
+    replica-resident path — compacted generation + not-yet-compacted
+    batch deltas).  Returns the tuple or an int exit code."""
+    import glob as _glob
+    import os
+
+    from nil_spark.streaming.incremental import IncrementalIndexer
+
+    try:
+        inc = IncrementalIndexer(index_dir, cfg)
+    except ValueError as e:  # config-fingerprint drift
+        print(json.dumps({"error": "config mismatch", "detail": str(e)}),
+              file=sys.stderr)
+        return 2
+    idx = inc.load_index(spark)
+    gen = int(inc.manifest.get("compacted_gen", 0))
+    compacted = set(inc.manifest.get("compacted_batch_ids", []))
+    paths = sorted(
+        _glob.glob(os.path.join(index_dir, "compacted", f"gen={gen}", "part-*.parquet"))
+    )
+    for b in inc.manifest["batches"]:
+        if int(b["batch_id"]) not in compacted:
+            paths += sorted(
+                _glob.glob(
+                    os.path.join(
+                        index_dir, "segments", f"batch_id={int(b['batch_id'])}",
+                        "part-*.parquet",
+                    )
+                )
+            )
+    return inc, idx, paths
+
+
 def _open_index(spark, args, cfg, builder):
     """Shared query-side index resolution: config-drift check, corpus
     stats (either layout), stopword-pruned term dictionary.  Returns
     (segs, termdict, n_docs, avgdl) or an int exit code on structured
     failure."""
+    if _is_streaming_layout(args.index_dir):
+        print(json.dumps({
+            "error": "streaming-layout index",
+            "hint": "this index was built by build-stream "
+                    "(IncrementalIndexer layout); use `query --layout "
+                    "streaming`, `query-stream`, or `stats` — they detect "
+                    "this layout — not the batch manifest path",
+        }), file=sys.stderr)
+        return 2
     # fail fast on config drift: querying with a tokenization/scoring
     # config that differs from the one the index was built with would
     # silently tokenize queries differently and return wrong results
@@ -130,14 +182,27 @@ def cmd_query(args) -> int:
     cfg = EngineConfig(gram_size=args.gram_size)
     from pyspark.sql import functions as F
 
-    if getattr(args, "layout", "batch") == "streaming":
+    if getattr(args, "layout", "batch") == "streaming" or (
+        getattr(args, "layout", "batch") == "batch"
+        and _is_streaming_layout(args.index_dir)
+    ):
         # index built by the streaming path (IncrementalIndexer):
         # per-batch delta dirs + optional compacted generation; one
-        # serving surface for both builders
-        from nil_spark.streaming.incremental import IncrementalIndexer
-
-        inc = IncrementalIndexer(args.index_dir, cfg)
-        idx = inc.load_index(spark)
+        # serving surface for both builders (auto-detected by layout)
+        if getattr(args, "topology", "join") != "join":
+            print(json.dumps({
+                "error": "unsupported topology for streaming layout",
+                "hint": "query --layout streaming serves via the join "
+                        "topology; use query-stream for replica-resident "
+                        "serving of a streaming-built index",
+            }), file=sys.stderr)
+            spark.stop()
+            return 2
+        opened = _open_streaming_index(spark, args.index_dir, cfg)
+        if isinstance(opened, int):
+            spark.stop()
+            return opened
+        inc, idx, _paths = opened
         q = spark.read.parquet(args.queries)
         if "k" not in q.columns:
             q = q.withColumn("k", F.lit(args.k))
@@ -230,7 +295,13 @@ def cmd_build_stream(args) -> int:
     cfg = EngineConfig(gram_size=args.gram_size)
     from nil_spark.streaming.incremental import IncrementalIndexer
 
-    inc = IncrementalIndexer(args.index_dir, cfg)
+    try:
+        inc = IncrementalIndexer(args.index_dir, cfg)
+    except ValueError as e:  # config-fingerprint drift vs existing index
+        print(json.dumps({"error": "config mismatch", "detail": str(e)}),
+              file=sys.stderr)
+        spark.stop()
+        return 2
     inc.run_available(spark, args.input)
     info = {"batches": len(inc.manifest["batches"]),
             "n_docs": inc.manifest["next_doc_id"]}
@@ -250,15 +321,24 @@ def cmd_query_stream(args) -> int:
     spark = get_spark(app="nil_spark_query_stream", master=args.master,
                       shuffle_partitions=args.shuffle_partitions)
     cfg = EngineConfig(gram_size=args.gram_size)
-    builder = CheckpointedIndexBuilder(args.index_dir, cfg)
-    opened = _open_index(spark, args, cfg, builder)
-    if isinstance(opened, int):
-        spark.stop()
-        return opened
-    _segs, termdict, n_docs, avgdl = opened
-    paths = sorted(
-        _glob.glob(f"{args.index_dir}/partial_segments/part-*.parquet")
-    ) or sorted(_glob.glob(f"{args.index_dir}/segments/part-*.parquet"))
+    if _is_streaming_layout(args.index_dir):
+        opened = _open_streaming_index(spark, args.index_dir, cfg)
+        if isinstance(opened, int):
+            spark.stop()
+            return opened
+        _inc, idx, paths = opened
+        termdict = idx["termdict"]
+        n_docs, avgdl = idx["n_docs"], idx["avgdl"]
+    else:
+        builder = CheckpointedIndexBuilder(args.index_dir, cfg)
+        opened = _open_index(spark, args, cfg, builder)
+        if isinstance(opened, int):
+            spark.stop()
+            return opened
+        _segs, termdict, n_docs, avgdl = opened
+        paths = sorted(
+            _glob.glob(f"{args.index_dir}/partial_segments/part-*.parquet")
+        ) or sorted(_glob.glob(f"{args.index_dir}/segments/part-*.parquet"))
     from nil_spark.streaming.serving import StreamingQueryServer
 
     srv = StreamingQueryServer(
@@ -285,12 +365,34 @@ def cmd_stats(args) -> int:
     spark = get_spark(app="nil_spark_stats", master=args.master,
                       shuffle_partitions=args.shuffle_partitions)
     cfg = EngineConfig(gram_size=args.gram_size)
-    builder = CheckpointedIndexBuilder(args.index_dir, cfg)
-    opened = _open_index(spark, args, cfg, builder)
-    if isinstance(opened, int):
-        spark.stop()
-        return opened
-    segs, termdict, n_docs, avgdl = opened
+    if _is_streaming_layout(args.index_dir):
+        opened = _open_streaming_index(spark, args.index_dir, cfg)
+        if isinstance(opened, int):
+            spark.stop()
+            return opened
+        inc, idx, _paths = opened
+        segs, termdict = idx["segments"], idx["termdict"]
+        n_docs, avgdl = idx["n_docs"], idx["avgdl"]
+        fingerprint = inc.manifest.get("config_fingerprint")
+        lineage = {
+            "layout": "streaming",
+            "batches": len(inc.manifest["batches"]),
+            "compacted_gen": inc.manifest.get("compacted_gen", 0),
+        }
+        byte_globs = ("segments/batch_id=*", "compacted/gen=*", "docstats")
+    else:
+        builder = CheckpointedIndexBuilder(args.index_dir, cfg)
+        opened = _open_index(spark, args, cfg, builder)
+        if isinstance(opened, int):
+            spark.stop()
+            return opened
+        segs, termdict, n_docs, avgdl = opened
+        fingerprint = builder.manifest.get("config_fingerprint")
+        lineage = {
+            "layout": "batch",
+            "build_stages": list(builder.manifest.get("stages", {}).keys()),
+        }
+        byte_globs = ("segments", "partial_segments", "termdict", "docstats")
     from pyspark.sql import functions as F
 
     seg_stats = segs.agg(
@@ -304,7 +406,7 @@ def cmd_stats(args) -> int:
     }
     disk = sum(
         os.path.getsize(p)
-        for pat in ("segments", "partial_segments", "termdict", "docstats")
+        for pat in byte_globs
         for p in _glob.glob(f"{args.index_dir}/{pat}/part-*.parquet")
     )
     print(json.dumps({
@@ -317,9 +419,8 @@ def cmd_stats(args) -> int:
         "df_histogram": df_hist,
         "index_bytes": disk,
         "bytes_per_posting": round(disk / max(int(seg_stats["postings"]), 1), 2),
-        "config_fingerprint": builder.manifest.get("config_fingerprint"),
-        "build_stages": list(builder.manifest.get("stages", {}).keys())
-        or builder.manifest.get("stage_log", []),
+        "config_fingerprint": fingerprint,
+        **lineage,
     }))
     spark.stop()
     return 0

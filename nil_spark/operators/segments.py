@@ -1254,12 +1254,21 @@ def topk_replica_resident(
     cfg: EngineConfig,
     n_splits: int | None = None,
     tokenize_on: str = "driver",
+    df_map: dict | None = None,
+    df_bc=None,
 ) -> DataFrame:
     """Replica-resident BM25 top-k: the decoded index lives in every
     Python worker (loaded once, reused across jobs); the QUERY batch is
     what Spark partitions.  Scoring is a dense ``np.bincount`` over doc
     ids per query — O(touched postings), no sort — with top-k via
     ``argpartition``.
+
+    A long-lived caller (the streaming query server) serves MANY
+    batches against one fixed index: pass ``df_map`` (term→df dict
+    derived from ``termdict_pdf``) and, for ``tokenize_on="worker"``,
+    ``df_bc`` (a SparkContext broadcast of that dict) to avoid
+    rebuilding the O(|vocab|) dict and re-broadcasting it per batch —
+    both are caller-owned (this function never destroys ``df_bc``).
 
     ``tokenize_on="driver"`` (default) tokenizes the batch up front and
     ships (term, idf) lists — fine for thousands of queries.
@@ -1277,7 +1286,10 @@ def topk_replica_resident(
     from nil_spark.functions.tokenize import terms_for_tokens, tokenize_series
 
     k1, b = cfg.bm25_k1, cfg.bm25_b
-    df_map = dict(zip(termdict_pdf["term"].astype(np.int64), termdict_pdf["df"].astype(np.int64)))
+    if df_map is None:
+        df_map = dict(
+            zip(termdict_pdf["term"].astype(np.int64), termdict_pdf["df"].astype(np.int64))
+        )
 
     def _qterms(ts: list, dfm: dict) -> list:
         th = np.unique(terms_for_tokens(ts, cfg))
@@ -1297,7 +1309,8 @@ def topk_replica_resident(
     # keys into n_splits partitions: ~1/e of the partitions land empty
     # and others get 2-3 splits, a straggler tax on every batch.)
     if tokenize_on == "worker":
-        df_bc = spark.sparkContext.broadcast(df_map)
+        if df_bc is None:
+            df_bc = spark.sparkContext.broadcast(df_map)
         rows = [
             (int(q), int(kk), t)
             for q, kk, t in zip(

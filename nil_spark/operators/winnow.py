@@ -45,22 +45,23 @@ def winnow_fingerprints(
     ).filter(F.size("toks") >= k + w - 1)
     grams = toks_df.select(
         "doc_id",
+        # gram count is known before the explode — carrying it avoids a
+        # second unbounded window pass over the (much larger) gram rows
+        (F.size("toks") - (k - 1)).alias("ng"),
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, size(toks) - {k}),"
                 f" i -> concat_ws(' ', slice(toks, i + 1, {k})))"
             )
         ).alias("pos", "gram"),
-    ).select("doc_id", "pos", md5_prefix64_col(F.col("gram")).alias("h"))
+    ).select("doc_id", "ng", "pos", md5_prefix64_col(F.col("gram")).alias("h"))
     win = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
         .rowsBetween(Window.currentRow, w - 1)
     )
-    n_grams = Window.partitionBy("doc_id")
     return (
         grams.withColumn("wmin", F.min("h").over(win))
-        .withColumn("ng", F.count("*").over(n_grams))
         .filter(F.col("pos") <= F.col("ng") - w)  # full windows only
         .select("doc_id", F.col("wmin").alias("fp"))
         .distinct()

@@ -53,15 +53,35 @@ class IncrementalIndexer:
     a Structured Streaming query over ``input_dir``."""
 
     def __init__(self, index_dir: str, cfg: EngineConfig):
+        from nil_spark.operators.segments import _cfg_fingerprint
+
         self.index_dir = index_dir
         self.cfg = cfg
         self.manifest_path = os.path.join(index_dir, "stream_manifest.json")
         os.makedirs(index_dir, exist_ok=True)
+        fp = _cfg_fingerprint(cfg)
         if os.path.exists(self.manifest_path):
             with open(self.manifest_path) as f:
                 self.manifest = json.load(f)
+            # config drift fails fast: absorbing or querying with a
+            # different tokenization/scoring config than the deltas
+            # were built with silently corrupts the index / results —
+            # the same guard the batch CLI applies (cli._open_index)
+            built_fp = self.manifest.get("config_fingerprint")
+            if built_fp and built_fp != fp:
+                raise ValueError(
+                    f"config mismatch: index at {index_dir} was built with "
+                    f"fingerprint {built_fp}, current config is {fp} — use "
+                    "the same gram_size/EngineConfig the index was built with"
+                )
+            # pre-guard manifests get stamped on first open
+            self.manifest.setdefault("config_fingerprint", fp)
         else:
-            self.manifest = {"next_doc_id": 0, "batches": []}
+            self.manifest = {
+                "next_doc_id": 0,
+                "batches": [],
+                "config_fingerprint": fp,
+            }
 
     def _save(self):
         with open(self.manifest_path, "w") as f:

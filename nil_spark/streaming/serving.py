@@ -27,6 +27,7 @@ import json
 import os
 import time
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
@@ -49,6 +50,7 @@ class StreamingQueryServer:
         avgdl: float,
         cfg: EngineConfig,
         tokenize_on: str = "driver",
+        default_k: int = 10,
     ):
         self.out_dir = out_dir
         self.shard_paths = list(shard_paths)
@@ -57,6 +59,19 @@ class StreamingQueryServer:
         self.avgdl = float(avgdl)
         self.cfg = cfg
         self.tokenize_on = tokenize_on
+        self.default_k = int(default_k)
+        # the index is fixed for the server's lifetime: build the
+        # O(|vocab|) term→df dict ONCE (and broadcast it once, lazily,
+        # when the first batch gives us a SparkContext) instead of per
+        # micro-batch — a per-batch broadcast never unpersists and
+        # accumulates for the life of the stream
+        self._df_map = dict(
+            zip(
+                termdict_pdf["term"].astype(np.int64),
+                termdict_pdf["df"].astype(np.int64),
+            )
+        )
+        self._df_bc = None
         os.makedirs(out_dir, exist_ok=True)
         self._manifest_path = os.path.join(out_dir, "manifest.json")
         if os.path.exists(self._manifest_path):
@@ -82,7 +97,15 @@ class StreamingQueryServer:
         qpdf = batch_df.toPandas()
         if len(qpdf) == 0:
             return
+        # a query file without a k column reads as nulls under the
+        # forced stream schema — default it instead of crashing the
+        # stream inside foreachBatch
+        if "k" not in qpdf.columns:
+            qpdf["k"] = self.default_k
+        qpdf["k"] = qpdf["k"].fillna(self.default_k).astype("int64")
         spark = batch_df.sparkSession
+        if self.tokenize_on == "worker" and self._df_bc is None:
+            self._df_bc = spark.sparkContext.broadcast(self._df_map)
         res = topk_replica_resident(
             spark,
             qpdf,
@@ -92,6 +115,8 @@ class StreamingQueryServer:
             self.avgdl,
             self.cfg,
             tokenize_on=self.tokenize_on,
+            df_map=self._df_map,
+            df_bc=self._df_bc,
         )
         res.write.mode("overwrite").parquet(
             os.path.join(self.out_dir, f"batch_id={int(batch_id)}")

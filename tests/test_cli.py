@@ -205,10 +205,12 @@ def test_cli_build_stream_compact_query(tmp_path):
     in_dir.mkdir()
     half = len(pdf) // 2
     for i, chunk in enumerate((pdf.iloc[:half], pdf.iloc[half:])):
-        pq.write_table(
-            pa.Table.from_pandas(chunk, preserve_index=False),
-            str(in_dir / f"part-{i}.parquet"),
-        )
+        fp = str(in_dir / f"part-{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False), fp)
+        # FileStreamSource orders batches by mtime; two writes in the
+        # same timestamp tick would make batch order (and doc_ids)
+        # nondeterministic — pin it explicitly
+        os.utime(fp, (1_700_000_000 + i, 1_700_000_000 + i))
     idx_dir = str(tmp_path / "sidx")
     out = _run(["build-stream", "--input", str(in_dir),
                 "--index-dir", idx_dir, "--compact"])
@@ -249,3 +251,55 @@ def test_cli_stats(cli_index):
     assert info["postings"] > 0 and info["index_bytes"] > 0
     assert info["build_stages"] == ["partial_segments", "termdict", "segments"]
     assert info["config_fingerprint"]
+
+
+def test_incremental_config_fingerprint_guard(tmp_path):
+    """Re-opening a streaming index with a different EngineConfig must
+    fail fast, not silently absorb/serve with mismatched tokenization."""
+    from nil_spark.streaming.incremental import IncrementalIndexer
+
+    ix = IncrementalIndexer(str(tmp_path / "idx"), EngineConfig(gram_size=1))
+    ix._save()
+    with pytest.raises(ValueError, match="config mismatch"):
+        IncrementalIndexer(str(tmp_path / "idx"), EngineConfig(gram_size=2))
+
+
+def test_cli_streaming_layout_autodetect_and_stats(tmp_path):
+    """A build-stream index is auto-detected by plain `query` (no
+    --layout flag) and by `stats`; asking for a non-join topology on it
+    fails structurally."""
+    pdf = (
+        gen_transcripts(200, seed=31)
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    fp = str(in_dir / "part-0.parquet")
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), fp)
+    idx_dir = str(tmp_path / "sidx")
+    out = _run(["build-stream", "--input", str(in_dir), "--index-dir", idx_dir])
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+
+    q = gen_queries(pdf, n_queries=4, k=3, seed=32)
+    pq.write_table(pa.Table.from_pandas(q, preserve_index=False),
+                   str(tmp_path / "q.parquet"))
+    # no --layout: auto-detected streaming
+    out = _run(["query", "--index-dir", idx_dir,
+                "--queries", str(tmp_path / "q.parquet"),
+                "--out", str(tmp_path / "res")])
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    info = json.loads(out.stdout.strip().splitlines()[-1])
+    assert info["layout"] == "streaming" and info["results"] > 0
+
+    out = _run(["query", "--index-dir", idx_dir, "--topology", "replica",
+                "--queries", str(tmp_path / "q.parquet"),
+                "--out", str(tmp_path / "res2")])
+    assert out.returncode == 2
+    assert "unsupported topology" in out.stderr
+
+    out = _run(["stats", "--index-dir", idx_dir])
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    info = json.loads(out.stdout.strip().splitlines()[-1])
+    assert info["layout"] == "streaming" and info["postings"] > 0
+    assert info["n_docs"] == 200 and info["config_fingerprint"]
