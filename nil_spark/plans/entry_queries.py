@@ -1683,6 +1683,87 @@ FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id
 """
 
 
+# ---------------------------------------------------- q: event funnel
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern funnel over the event stream: per user, the
+    deepest view -> click -> purchase stage reached in timestamp order
+    (first view, first click at-or-after it, first purchase
+    at-or-after that).
+
+    Scale shape: ONE shuffle on user_id, then three stacked window
+    aggregates on the same partitioning (Catalyst chains the Window
+    nodes without re-exchanging) — no per-stage self-join."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id")
+    st = (
+        e.withColumn(
+            "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") >= F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    return (
+        st.select("user_id", "t1", "t2", "t3")
+        .distinct()
+        .select(
+            "user_id",
+            F.when(F.col("t1").isNull(), 0)
+            .when(F.col("t2").isNull(), 1)
+            .when(F.col("t3").isNull(), 2)
+            .otherwise(3)
+            .cast("long")
+            .alias("funnel_stage"),
+            # TIMESTAMP_NTZ has no direct long cast; session tz is
+            # pinned UTC so unix_timestamp == DuckDB's epoch(naive ts)
+            F.unix_timestamp("t1").alias("t_view"),
+            F.unix_timestamp("t2").alias("t_click"),
+            F.unix_timestamp("t3").alias("t_purchase"),
+        )
+    )
+
+
+def _events_funnel_sql() -> str:
+    return """
+WITH u AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+  FROM events GROUP BY 1),
+c AS (
+  SELECT e.user_id, any_value(u.t1) AS t1,
+         min(CASE WHEN e.event_type = 'click' AND e.ts >= u.t1 THEN e.ts END) AS t2
+  FROM events e JOIN u USING (user_id) GROUP BY 1),
+p AS (
+  SELECT e.user_id, any_value(c.t1) AS t1, any_value(c.t2) AS t2,
+         min(CASE WHEN e.event_type = 'purchase' AND e.ts >= c.t2 THEN e.ts END) AS t3
+  FROM events e JOIN c USING (user_id) GROUP BY 1)
+SELECT user_id,
+       (CASE WHEN t1 IS NULL THEN 0 WHEN t2 IS NULL THEN 1
+             WHEN t3 IS NULL THEN 2 ELSE 3 END)::BIGINT AS funnel_stage,
+       floor(date_part('epoch', t1))::BIGINT AS t_view,
+       floor(date_part('epoch', t2))::BIGINT AS t_click,
+       floor(date_part('epoch', t3))::BIGINT AS t_purchase
+FROM p
+"""
+
+
 # --------------------------------------------------------- registry
 
 REGISTRY: dict[str, tuple] = {
@@ -1724,6 +1805,7 @@ REGISTRY: dict[str, tuple] = {
     "lm_quality": (q_lm_quality, _lm_quality_sql()),
     "tfidf_topk": (q_tfidf_topk, _tfidf_sql()),
     "quality_filter": (q_quality_filter, _quality_filter_sql()),
+    "events_funnel": (q_events_funnel, _events_funnel_sql()),
 }
 
 
