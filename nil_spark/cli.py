@@ -45,6 +45,12 @@ def read_docs(spark, path: str, fmt: str):
         return (
             spark.read.schema(TRANSCRIPT_SCHEMA)
             .option("header", "true")
+            # with a user-supplied schema Spark maps CSV columns by
+            # POSITION by default (enforceSchema=true) — a header whose
+            # column order differs from the schema would be silently
+            # misassigned; enforceSchema=false makes Spark validate the
+            # header names against the schema instead
+            .option("enforceSchema", "false")
             .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][XXX]")
             .csv(path)
         )
@@ -90,6 +96,18 @@ def _open_streaming_index(spark, index_dir: str, cfg):
 
     from nil_spark.streaming.incremental import IncrementalIndexer
 
+    # a typo'd or batch-layout dir must fail structured BEFORE
+    # IncrementalIndexer.__init__, which creates the directory as a side
+    # effect and whose load_index would then raise a raw traceback
+    if not os.path.exists(os.path.join(index_dir, "stream_manifest.json")):
+        print(json.dumps({
+            "error": "not a streaming-layout index",
+            "index_dir": index_dir,
+            "hint": "no stream_manifest.json found — pass an index built by "
+                    "`nil_spark build-stream`, or drop --layout streaming "
+                    "for a batch-layout index",
+        }), file=sys.stderr)
+        return 2
     try:
         inc = IncrementalIndexer(index_dir, cfg)
     except ValueError as e:  # config-fingerprint drift
@@ -169,7 +187,7 @@ def _open_index(spark, args, cfg, builder):
     # from which layout happens to be on disk
     from pyspark.sql import functions as F
 
-    if cfg.df_stopword_cutoff < 1.0:
+    if cfg.df_stopword_cutoff is not None and cfg.df_stopword_cutoff < 1.0:
         termdict = termdict.filter(
             F.col("df") <= int(cfg.df_stopword_cutoff * n_docs)
         )

@@ -178,16 +178,36 @@ def dedup_groups(
     docs: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
-    algorithm: str = "minlabel",
+    algorithm: str = "auto",
+    minlabel_max_iter: int = 20,
 ) -> DataFrame:
     """(doc_id, component, is_canonical) — canonical = the component's
     min id; downstream keeps ``is_canonical`` rows only.
 
-    ``algorithm``: "minlabel" (diameter-bounded propagation — near-dup
-    clusters are small and dense) or "star" (large-star/small-star,
-    O(log n) rounds — adversarial long-chain graphs)."""
-    cc = connected_components if algorithm == "minlabel" else connected_components_star
-    comp = cc(docs.select(id_col), pairs, id_col=id_col)
+    ``algorithm``:
+     * "auto" (default) — min-label propagation first (near-dup clusters
+       are small and dense, so it converges in 2-4 cheap rounds); if the
+       graph turns out long-diameter and min-label exhausts
+       ``minlabel_max_iter``, fall back to large-star/small-star
+       contraction instead of raising.  Both produce identical labels
+       (component = min reachable id), so the fallback is transparent —
+       a 100 TB job never dies at hour 10 just because the pair graph
+       grew a long chain.
+     * "minlabel" — diameter-bounded propagation only (raises on
+       non-convergence);
+     * "star" — large-star/small-star, O(log n) rounds regardless of
+       diameter.
+    """
+    if algorithm == "auto":
+        try:
+            comp = connected_components(
+                docs.select(id_col), pairs, max_iter=minlabel_max_iter, id_col=id_col
+            )
+        except RuntimeError:
+            comp = connected_components_star(docs.select(id_col), pairs, id_col=id_col)
+    else:
+        cc = connected_components if algorithm == "minlabel" else connected_components_star
+        comp = cc(docs.select(id_col), pairs, id_col=id_col)
     return comp.select(
         id_col,
         "component",

@@ -1176,16 +1176,20 @@ def _published_arrays(key: tuple, paths: tuple, build_fn):
     other worker — and every later worker cohort — just mmaps the
     published files.  Falls back to a private in-process build if the
     publisher appears dead (lock held past the deadline)."""
+    import contextlib
+    import uuid
+
     d = _replica_store_dir(key, paths)
     done = os.path.join(d, "DONE")
     timeout = float(os.environ.get("NIL_REPLICA_PUBLISH_TIMEOUT", "600"))
     if not os.path.exists(done):
         lock = d + ".lock"
+        owner_file = d + ".lock.owner"
+        token = f"{os.getpid()}-{uuid.uuid4().hex}"
 
         def _try_lock() -> bool:
             try:
                 os.mkdir(lock)
-                return True
             except FileExistsError:
                 # heal a stale lock (publisher killed hard): a lock dir
                 # older than the publish deadline cannot belong to a
@@ -1195,10 +1199,30 @@ def _published_arrays(key: tuple, paths: tuple, build_fn):
                     if time.time() - os.stat(lock).st_mtime > timeout:
                         os.rmdir(lock)
                         os.mkdir(lock)
-                        return True
+                    else:
+                        return False
                 except OSError:
-                    pass
-                return False
+                    return False
+            # ownership token: a publisher that ran past the deadline
+            # (its lock was stolen by a healer) must NOT remove the
+            # healer's lock in its finally — only the token owner
+            # releases (the unguarded rmdir used to fail the healer's
+            # task with FileNotFoundError after a successful publish)
+            try:
+                with open(owner_file, "w") as f:
+                    f.write(token)
+            except OSError:
+                pass
+            return True
+
+        def _release() -> None:
+            with contextlib.suppress(OSError):
+                with open(owner_file) as f:
+                    if f.read() != token:
+                        return  # lock was stolen; it is not ours to remove
+                os.remove(owner_file)
+            with contextlib.suppress(OSError):
+                os.rmdir(lock)
 
         acquired = _try_lock()
         if acquired:
@@ -1212,7 +1236,7 @@ def _published_arrays(key: tuple, paths: tuple, build_fn):
                 with open(done, "w") as f:
                     f.write("ok")
             finally:
-                os.rmdir(lock)
+                _release()
             del arrays  # drop the private copy; mmap the shared one below
         else:
             deadline = time.monotonic() + timeout

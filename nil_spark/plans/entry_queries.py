@@ -68,12 +68,6 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     NGramBasedLocation.kt:10-15)."""
     docs = _docs_toks(spark, sf_dir)
     dl = docs.select("doc_id", F.size("toks").cast("double").alias("dl"))
-    tf = (
-        docs.select("doc_id", F.explode("toks").alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").cast("double").alias("tf"))
-    )
-    dfr = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
     stats = dl.agg(
         F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
     )
@@ -88,6 +82,20 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["query_id", "term"])
     )
+
+    # filter-early: broadcast-join the tiny distinct query-term set
+    # BELOW the (doc_id, term) tf aggregate, so the corpus-wide tf
+    # shuffle disappears — only query-term occurrences reach the
+    # groupBy.  df for idf is computed on the filtered tf (identical
+    # values for the terms that matter); n/avgdl stay corpus scalars.
+    qterms = qt.select("term").distinct()
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("term"))
+        .join(F.broadcast(qterms), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfr = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
 
     scored = (
         tf.join(F.broadcast(qt), "term")

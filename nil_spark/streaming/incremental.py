@@ -74,14 +74,46 @@ class IncrementalIndexer:
                     f"fingerprint {built_fp}, current config is {fp} — use "
                     "the same gram_size/EngineConfig the index was built with"
                 )
-            # pre-guard manifests get stamped on first open
-            self.manifest.setdefault("config_fingerprint", fp)
+            if "config_fingerprint" not in self.manifest:
+                # pre-guard (legacy) manifest: blindly stamping the
+                # CURRENT fingerprint would bypass the drift guard and
+                # later fail with a raw AnalysisException (v1 segments
+                # lack last_doc) — verify the on-disk segment schema
+                # actually matches the current format before stamping
+                self._verify_legacy_segment_schema()
+                self.manifest["config_fingerprint"] = fp
         else:
             self.manifest = {
                 "next_doc_id": 0,
                 "batches": [],
                 "config_fingerprint": fp,
             }
+
+    def _verify_legacy_segment_schema(self) -> None:
+        """For a manifest written before the config-fingerprint guard,
+        check that on-disk segments carry the CURRENT segment schema
+        (v2 = has ``last_doc`` per chunk).  A v1 index must be rebuilt;
+        stamping it would surface later as a raw missing-column error
+        mid-query instead of a structured config-mismatch one."""
+        import glob as _glob
+
+        parts = sorted(
+            _glob.glob(
+                os.path.join(self.index_dir, "segments", "batch_id=*", "part-*.parquet")
+            )
+        )
+        if not parts:
+            return  # nothing absorbed yet — safe to stamp
+        import pyarrow.parquet as pq
+
+        names = set(pq.read_schema(parts[0]).names)
+        if "last_doc" not in names:
+            raise ValueError(
+                f"config mismatch: index at {self.index_dir} predates the "
+                "config-fingerprint guard and its segments use the v1 "
+                "schema (no last_doc column) — rebuild the streaming "
+                "index with the current engine version"
+            )
 
     def _save(self):
         with open(self.manifest_path, "w") as f:

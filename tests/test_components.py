@@ -110,6 +110,23 @@ def test_dedup_groups_star_algorithm(spark):
     assert rows[5]["component"] == 3
 
 
+def test_dedup_groups_auto_falls_back_to_star_on_long_chain(spark):
+    """The gate-query path (dedup_groups default algorithm="auto") must
+    survive an adversarial long-chain graph: min-label exhausts its
+    round budget, and instead of raising — killing a 100 TB job at hour
+    10 — the operator transparently reruns with large-star/small-star
+    contraction and produces the identical labels."""
+    n = 300
+    verts = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id1 long, id2 long"
+    )
+    rows = dedup_groups(verts, edges, minlabel_max_iter=2).collect()
+    assert len(rows) == n
+    assert all(r["component"] == 0 for r in rows)
+    assert sum(r["is_canonical"] for r in rows) == 1
+
+
 def test_dedup_groups_canonical(spark):
     verts = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
     edges = spark.createDataFrame([(3, 4), (4, 5)], "id1 long, id2 long")

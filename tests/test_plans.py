@@ -40,6 +40,26 @@ def test_bm25_broadcasts_query_side(spark):
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan[:3000]
 
 
+def test_bm25_joins_query_terms_below_tf_aggregate(spark):
+    """Filter-early guard: the broadcast join against the distinct
+    query-term set must sit BELOW the (doc_id, term) tf aggregate, so
+    the corpus-wide tf shuffle never happens — only query-term hits
+    reach the groupBy.  In simple-mode explain children print under
+    their parents, so a BroadcastHashJoin line must appear after the
+    deepest tf HashAggregate line."""
+    plan = _plan_simple(entry_mod.queries()["bm25_topk"](spark, SF_DIR))
+    lines = plan.splitlines()
+    tf_aggs = [
+        i
+        for i, l in enumerate(lines)
+        if "HashAggregate" in l and "doc_id" in l and "term" in l
+    ]
+    assert tf_aggs, plan[:4000]
+    assert any(
+        "BroadcastHashJoin" in l for l in lines[tf_aggs[-1] + 1 :]
+    ), "no broadcast query-term join below the tf aggregate:\n" + plan[:4000]
+
+
 def test_decontaminate_broadcasts_benchmark(spark):
     """The benchmark shingle set must probe as a broadcast hash join —
     no shuffle of corpus shingles against an MB-sized eval set."""

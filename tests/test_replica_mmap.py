@@ -131,6 +131,38 @@ def test_concurrent_cold_load_single_publish(shard_paths, tmp_path):
     assert os.path.exists(os.path.join(tmp_path, stores[0], "DONE"))
 
 
+def test_lock_steal_release_is_owner_only(shard_paths, tmp_path, monkeypatch):
+    """A publisher that outlives the publish deadline has its lock
+    stolen by a healer.  Its finally-release must NOT remove the
+    healer's lock (the old unconditional rmdir did — and the healer's
+    own release then raised FileNotFoundError after a successful
+    publish)."""
+    from nil_spark.operators.segments import _published_arrays
+
+    paths, avgdl = shard_paths
+    monkeypatch.setenv("NIL_REPLICA_DIR", str(tmp_path))
+    k1, b = CFG.bm25_k1, CFG.bm25_b
+    key = (paths, round(avgdl, 9), k1, b)
+    store = _replica_store_dir(key, paths)
+    lock, owner = store + ".lock", store + ".lock.owner"
+
+    def slow_build():
+        arrays = _build_replica_arrays(paths, avgdl, k1, b)
+        # simulate a healer stealing the lock mid-publish: new owner token
+        with open(owner, "w") as f:
+            f.write("healer-token")
+        return arrays
+
+    _REPLICA_CACHE.clear()
+    _published_arrays(key, paths, slow_build)
+    # the stolen lock belongs to the healer now — left intact
+    assert os.path.exists(lock)
+    with open(owner) as f:
+        assert f.read() == "healer-token"
+    os.remove(owner)
+    os.rmdir(lock)
+
+
 def test_stale_lock_healed(shard_paths, tmp_path, monkeypatch):
     """A lock dir left by a hard-killed publisher (mtime older than the
     publish deadline) must be healed: the next loader retakes the lock

@@ -82,6 +82,38 @@ def test_stream_lineage_and_exactly_once(spark, stream_built):
     assert man2["next_doc_id"] == man["next_doc_id"]
 
 
+def test_legacy_manifest_guard(tmp_path):
+    """A pre-fingerprint-guard manifest must not be silently stamped
+    with the CURRENT fingerprint: if on-disk segments use the v1 schema
+    (no last_doc) the open fails with the structured config-mismatch
+    error, not a raw missing-column AnalysisException mid-query.  A
+    legacy manifest with no absorbed batches is safe to stamp."""
+    import pandas as pd
+
+    # v1 segments on disk -> refuse
+    idx1 = tmp_path / "legacy_v1"
+    seg_dir = idx1 / "segments" / "batch_id=0"
+    os.makedirs(seg_dir)
+    pd.DataFrame({"term": [1], "n_postings": [1]}).to_parquet(
+        seg_dir / "part-00000.parquet"
+    )
+    json.dump(
+        {"next_doc_id": 5, "batches": [{"batch_id": 0, "rows": 5,
+                                        "doc_id_range": [0, 5]}]},
+        open(idx1 / "stream_manifest.json", "w"),
+    )
+    with pytest.raises(ValueError, match="config mismatch"):
+        IncrementalIndexer(str(idx1), CFG)
+
+    # legacy manifest, nothing absorbed -> stamped with current fp
+    idx2 = tmp_path / "legacy_empty"
+    os.makedirs(idx2)
+    json.dump({"next_doc_id": 0, "batches": []},
+              open(idx2 / "stream_manifest.json", "w"))
+    ix = IncrementalIndexer(str(idx2), CFG)
+    assert ix.manifest["config_fingerprint"]
+
+
 def test_stream_retry_idempotent(spark, transcripts_1k, queries_1k, stream_built):
     """foreachBatch is at-least-once: redelivery of a batch — both after
     a clean commit and after a simulated crash between the parquet write
