@@ -1006,24 +1006,40 @@ FROM scored QUALIFY rank <= 10
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: opaque binary payload column -> Arrow-batched
-    mapInPandas feature extraction (deterministic fake decode; real
-    decode stubbed — see operators/multimodal.py)."""
-    from nil_spark.operators.multimodal import extract_features, with_payload
+    """Multimodal pipeline with a REAL decode: each doc gets a binary
+    netpbm (P6) payload built JVM-side (dimensions from text length,
+    solid fill from doc_id — every byte printable ASCII so the SQL
+    oracle reconstructs the exact payload), and extract_features
+    genuinely parses the header and computes the raster mean with the
+    pure-NumPy decoder (operators/multimodal.py — no imaging libs)."""
+    from nil_spark.operators.multimodal import extract_features, with_ppm_payload
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return extract_features(with_payload(d))
+    return extract_features(with_ppm_payload(d))
 
 
 def _multimodal_sql() -> str:
     return """
+WITH p AS (
+  SELECT doc_id,
+         (length(text) % 16 + 1)::INT AS w,
+         ((length(text) // 16) % 16 + 1)::INT AS h,
+         (33 + doc_id % 94)::INT AS fill
+  FROM documents),
+s AS (
+  SELECT doc_id, w, h, fill,
+         'P6' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10)
+           || repeat(chr(fill), w * h * 3) AS payload
+  FROM p)
 SELECT doc_id,
-       octet_length(encode(text))::BIGINT AS n_bytes,
-       md5(text) AS content_md5,
-       (('0x' || substr(md5(text), 1, 8))::BIGINT % 512 + 1)::INT AS fake_width,
-       (('0x' || substr(md5(text), 9, 8))::BIGINT % 512 + 1)::INT AS fake_height,
-       (octet_length(encode(text)) // 100 + 1)::INT AS n_frames
-FROM documents
+       octet_length(encode(payload))::BIGINT AS n_bytes,
+       md5(payload) AS content_md5,
+       w AS width,
+       h AS height,
+       (octet_length(encode(payload)) // 100 + 1)::INT AS n_frames,
+       fill::DOUBLE AS mean_channel,
+       'ppm' AS codec
+FROM s
 """
 
 
