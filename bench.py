@@ -179,6 +179,31 @@ def main() -> None:
         lq_times.append(time.perf_counter() - t0)
     queries["engine_maxscore_longq"] = round(min(lq_times), 3)
 
+    # LCS verify throughput: the only Python-compute-heavy stage gets a
+    # dedicated case.  verify_cap pins the residue entering the Arrow
+    # LCS cogroup (knob: NIL_BENCH_LCS_CAP) so the verify cost curve is
+    # explicit and comparable round-over-round; filtration 5 /
+    # verification 0 routes EVERY candidate through LCS (single-tier,
+    # worst case for Python compute).
+    from nil_spark.operators.clone import candidate_pairs, clone_detect
+
+    lcs_cap = int(os.environ.get("NIL_BENCH_LCS_CAP", "2000"))
+    lcs_cfg = EngineConfig(
+        gram_size=3, filtration_threshold=5, verification_threshold=0
+    )
+    docs_tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_cand = candidate_pairs(docs_tbl, lcs_cfg).count()
+    n_verify = min(lcs_cap, n_cand)
+    # untimed: first-use JIT for the capped-clone plan shape
+    force(clone_detect(docs_tbl, lcs_cfg, mode="always_lcs", verify_cap=64))
+    lcs_times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        force(clone_detect(docs_tbl, lcs_cfg, mode="always_lcs", verify_cap=lcs_cap))
+        lcs_times.append(time.perf_counter() - t0)
+    lcs_s = min(lcs_times)
+    queries["engine_lcs_verify"] = round(lcs_s, 3)
+
     # timed warm-up pass: per-worker replica load + codegen.  Reported
     # separately as the COLD number so round-over-round comparisons see
     # both the one-time load cost and the steady-state qps (a long-lived
@@ -222,6 +247,9 @@ def main() -> None:
                 "index_build_fd_turns_per_sec": round(n_turns / fd_s, 1),
                 "query_qps": round(n_queries / query_s, 1),
                 "query_qps_cold": round(n_warm / cold_s, 1),
+                "lcs_verify_pairs": n_verify,
+                "lcs_verify_candidates": n_cand,
+                "lcs_verify_pairs_per_sec": round(n_verify / lcs_s, 1),
                 "bench_turns": n_turns,
                 "bench_queries": n_queries,
                 "cpus": int(cpus),

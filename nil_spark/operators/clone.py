@@ -96,7 +96,10 @@ def _lcs_udf_factory(cfg: EngineConfig):
 
 
 def clone_detect(
-    docs: DataFrame, cfg: EngineConfig, mode: str = "two_tier"
+    docs: DataFrame,
+    cfg: EngineConfig,
+    mode: str = "two_tier",
+    verify_cap: int | None = None,
 ) -> DataFrame:
     """Clone pipeline → (id1, id2, ngram_sim, lcs_sim nullable).
 
@@ -105,6 +108,13 @@ def clone_detect(
     OptimizedCloneDetection.kt:17-56); ``mode="always_lcs"``: every
     candidate goes through LCS — the reference's single-tier variant
     (NormalCloneDetection.kt:16-45, present but unwired in NILMain).
+
+    ``verify_cap`` bounds the filtration residue entering the Python
+    LCS verify stage to the ``verify_cap`` highest-``sim`` pairs
+    (deterministic (sim desc, id1, id2) order) — a cost-control /
+    benchmarking knob making the verify stage's input size explicit;
+    the capped variant trades recall on the lowest-overlap residue for
+    a hard ceiling on Python compute.  None (default) = verify all.
     """
     cand = candidate_pairs(docs, cfg)
     if mode == "always_lcs":
@@ -125,6 +135,13 @@ def clone_detect(
             )
         )
         residue = cand.filter(F.col("sim") < cfg.verification_threshold)
+    if verify_cap is not None:
+        # highest-overlap pairs are the likeliest true clones — keep
+        # those.  orderBy+limit gathers only (id1, id2, sim) triples
+        # (bytes per pair), never text, so the cap itself is cheap.
+        residue = residue.orderBy(
+            F.col("sim").desc(), "id1", "id2"
+        ).limit(int(verify_cap))
 
     text = docs.select("doc_id", "text")
     joined = (

@@ -54,6 +54,32 @@ def test_clone_pairs_match_oracle(spark, transcripts_1k):
     assert got["lcs_sim"].notna().any(), "tier-2 LCS path unused"
 
 
+def test_verify_cap_bounds_lcs_input(spark, transcripts_1k):
+    """verify_cap must hard-bound the residue entering the Python LCS
+    stage: with verification_threshold=0 every verified pair is
+    emitted, so the output size equals min(cap, candidates) and equals
+    the deterministic top-cap-by-(sim desc, id1, id2) candidate
+    subset."""
+    from nil_spark.operators.clone import candidate_pairs
+
+    docs = spark.createDataFrame(transcripts_1k, schema=TRANSCRIPT_SCHEMA)
+    docs = assign_doc_ids(docs, ["conv_id", "turn_idx"], num_partitions=4)
+    cfg = CFG.with_(verification_threshold=0)
+    cand = candidate_pairs(docs, cfg).toPandas()
+    assert len(cand) > 5
+    cap = 5
+    got = clone_detect(docs, cfg, mode="always_lcs", verify_cap=cap).toPandas()
+    assert len(got) == cap
+    exp = (
+        cand.sort_values(["sim", "id1", "id2"], ascending=[False, True, True])
+        .head(cap)[["id1", "id2"]]
+        .sort_values(["id1", "id2"])
+        .reset_index(drop=True)
+    )
+    g = got[["id1", "id2"]].sort_values(["id1", "id2"]).reset_index(drop=True)
+    assert g.equals(exp)
+
+
 def test_always_lcs_mode(spark, transcripts_1k):
     """Single-tier variant (NormalCloneDetection.kt:16-45): every pair
     carries an LCS similarity >= delta; pair set = candidates whose LCS
