@@ -204,14 +204,24 @@ def main() -> None:
     lcs_s = min(lcs_times)
     queries["engine_lcs_verify"] = round(lcs_s, 3)
 
-    # timed warm-up pass: per-worker replica load + codegen.  Reported
-    # separately as the COLD number so round-over-round comparisons see
-    # both the one-time load cost and the steady-state qps (a long-lived
-    # serving job pays the load once; engine_bm25_batch is the warm,
-    # replica-resident measurement).  The warm-up batch must cover
-    # EVERY query split (2 queries per core) — a partial warm-up leaves
-    # some timed-run tasks on cold workers, which round 1 measured as
-    # 2x run-to-run noise on the warm number.
+    # publish-at-build: the node-shared mmap replica store is
+    # materialized as part of the build (per-shard decode as a parallel
+    # Spark stage + one vectorized merge), so serving NEVER pays the
+    # index decode — engine_bm25_cold_load below measures what a cold
+    # worker cohort actually pays now: mmap attach + first-batch JIT.
+    from nil_spark.operators.segments import publish_replica
+
+    t0 = time.perf_counter()
+    replica_store = publish_replica(paths, avgdl, cfg, spark=spark)
+    queries["engine_replica_publish"] = round(time.perf_counter() - t0, 3)
+
+    # first-batch (cold) pass: per-worker mmap attach + codegen.
+    # Reported separately so round-over-round comparisons see both the
+    # one-time cost and the steady-state qps (a long-lived serving job
+    # pays it once; engine_bm25_batch is the warm measurement).  The
+    # warm-up batch must cover EVERY query split (2 queries per core) —
+    # a partial warm-up leaves some timed-run tasks on cold workers,
+    # which round 1 measured as 2x run-to-run noise on the warm number.
     n_warm = 2 * int(cpus)
     t0 = time.perf_counter()
     force(topk_replica_resident(spark, qpdf.iloc[:n_warm], paths, termdict, n_docs, avgdl, cfg))
@@ -225,6 +235,7 @@ def main() -> None:
     query_s = min(q_times)
     queries["engine_bm25_batch"] = round(query_s, 3)
     shutil.rmtree(shard_dir, ignore_errors=True)
+    shutil.rmtree(replica_store, ignore_errors=True)
 
     total = round(sum(queries.values()), 3)
     print(

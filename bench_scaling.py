@@ -81,10 +81,19 @@ def worker(cores: int) -> None:
         DOCSTAT_SENTINEL,
         build_partial_segments,
         build_partial_segments_from_files,
+        publish_replica,
         topk_replica_resident,
     )
     from nil_spark.session import get_spark
     from nil_spark.sources.transcripts import gen_queries, gen_transcripts
+
+    # per-run replica store: shard contents are deterministic, so the
+    # content-keyed store dir would otherwise be REUSED across the
+    # interleaved samples/levels — only the first run would pay the
+    # publish and every other run's publish_s would measure a no-op.
+    replica_dir = f"/tmp/nil_scale_replica_c{cores}_{os.getpid()}"
+    os.makedirs(replica_dir, exist_ok=True)
+    os.environ["NIL_REPLICA_DIR"] = replica_dir
 
     spark = get_spark(
         app=f"nil_scale_{cores}", master=f"local[{cores}]",
@@ -145,10 +154,11 @@ def worker(cores: int) -> None:
     shutil.rmtree(wdir, ignore_errors=True)
     wn, wavg, wtd = build(wdir, os.path.join(CORPUS_DIR, "part-0000[0-3].parquet"))
     wq = qpdf.iloc[:100]
+    wpaths = sorted(glob.glob(wdir + "/part-*.parquet"))
+    publish_replica(wpaths, wavg, cfg, spark=spark)  # warm the publish shapes
     force(
         topk_replica_resident(
-            spark, wq, sorted(glob.glob(wdir + "/part-*.parquet")), wtd, wn, wavg,
-            cfg, tokenize_on="worker",
+            spark, wq, wpaths, wtd, wn, wavg, cfg, tokenize_on="worker",
         )
     )
     shutil.rmtree(wdir, ignore_errors=True)
@@ -175,6 +185,16 @@ def worker(cores: int) -> None:
 
     paths = sorted(glob.glob(shard_dir + "/part-*.parquet"))
 
+    # publish-at-build: materialize the node-shared mmap replica store
+    # as part of the build (per-shard decode as a PARALLEL Spark stage;
+    # only the final vectorized merge is single-process).  Serving then
+    # never pays the index decode: the first query batch is an ~ms mmap
+    # attach per worker.  Timed separately so both the build-side cost
+    # and the attach-only cold batch are visible.
+    t0 = time.perf_counter()
+    publish_replica(paths, avgdl, cfg, spark=spark)
+    publish_s = time.perf_counter() - t0
+
     def q():
         # worker-side tokenization: the driver-side variant serializes
         # the whole batch's tokenize through one core INSIDE the timed
@@ -184,7 +204,10 @@ def worker(cores: int) -> None:
             tokenize_on="worker",
         )
 
-    # cold includes per-worker replica load; warm = best of 3 steady-state
+    # two-batch cold→warm sequence: batch 1 is the COLD batch (per-
+    # worker mmap attach against the published store + first-shape JIT),
+    # batches 2-3 are steady-state (warm = best).  With publish-at-build
+    # the decode no longer sits on this path at all.
     t0 = time.perf_counter()
     force(q())
     query_cold_s = time.perf_counter() - t0
@@ -205,6 +228,8 @@ def worker(cores: int) -> None:
                 "build_turns_per_sec": round(TURNS / build_s, 1),
                 "build_fd_s": round(build_fd_s, 3),
                 "build_fd_turns_per_sec": round(TURNS / build_fd_s, 1),
+                "publish_s": round(publish_s, 3),
+                "publish_turns_per_sec": round(TURNS / publish_s, 1),
                 "query_cold_s": round(query_cold_s, 3),
                 "query_warm_s": round(query_warm_s, 3),
                 "qps_cold": round(QUERIES / query_cold_s, 1),
@@ -213,6 +238,7 @@ def worker(cores: int) -> None:
         )
     )
     spark.stop()
+    shutil.rmtree(replica_dir, ignore_errors=True)
 
 
 def run_worker(cores: int) -> dict:
@@ -524,11 +550,15 @@ def main() -> None:
 
     def agg_level(level: int) -> dict:
         r = dict(samples[level][0])
-        for k in ("build_turns_per_sec", "build_fd_turns_per_sec", "qps_warm", "qps_cold"):
+        for k in (
+            "build_turns_per_sec", "build_fd_turns_per_sec",
+            "publish_turns_per_sec", "qps_warm", "qps_cold",
+        ):
             r[k] = best(level, k)
         # keep the times consistent with the best throughputs
         r["build_s"] = round(r["turns"] / r["build_turns_per_sec"], 3)
         r["build_fd_s"] = round(r["turns"] / r["build_fd_turns_per_sec"], 3)
+        r["publish_s"] = round(r["turns"] / r["publish_turns_per_sec"], 3)
         r["query_warm_s"] = round(r["queries"] / r["qps_warm"], 3)
         r["query_cold_s"] = round(r["queries"] / r["qps_cold"], 3)
         return r
@@ -570,6 +600,7 @@ def main() -> None:
         "samples": samples,
         "efficiency_build": eff("build_turns_per_sec"),
         "efficiency_build_fd": eff("build_fd_turns_per_sec"),
+        "efficiency_publish": eff("publish_turns_per_sec"),
         "efficiency_query_warm": eff("qps_warm"),
         "efficiency_query_cold": eff("qps_cold"),
     }
@@ -590,15 +621,29 @@ global term dictionary + corpus stats.  *build (file-direct)* = same
 fused encode, but each Python worker reads its range-sorted input file
 directly (pyarrow) — zero text bytes on the shared JVM→Python channel,
 as an executor would read the object store on a real cluster.
-*query* = replica-resident serving: the index is decoded ONCE per node
-into mmap-published flat arrays (every Python worker maps the same
-files — one physical copy in the page cache, ~ms per-worker attach, so
-worker-pool churn never triggers a re-decode), query batch fanned out
-via `parallelize(rows, n_splits)` (balanced splits), worker-side
-tokenization, dense vectorized BM25 scoring, in-kernel final rank — a
-single zero-shuffle stage per batch, since each query lives in exactly
-one split (rank-identical to the pure-Python
-oracle — tests/test_segments.py).
+*publish* = publish-at-build: the node-shared mmap replica store is
+materialized as part of the build — per-shard decode runs as a
+PARALLEL Spark stage (one task per shard writes flat per-shard arrays
+into the store), then one vectorized k-way scatter merge (O(postings),
+no parquet decode, no per-term Python loop) writes the 4 global
+arrays.  *query* = replica-resident serving against that store: every
+Python worker mmaps the same published files (one physical copy in the
+page cache, ~ms per-worker attach, so worker-pool churn never triggers
+a re-decode), query batch fanned out via `parallelize(rows, n_splits)`
+(balanced splits), worker-side tokenization, dense vectorized BM25
+scoring, in-kernel final rank — a single zero-shuffle stage per batch,
+since each query lives in exactly one split (rank-identical to the
+pure-Python oracle — tests/test_segments.py).
+
+**Cold path (two-batch sequence).**  Because the store is published at
+build time, serving never decodes the index: *qps (cold)* below is the
+FIRST query batch a fresh worker cohort runs — per-worker mmap attach
+plus first-shape JIT — and *qps (warm)* is the best of the next two
+batches of the same sequence.  The round-3 cold number (0.562
+efficiency) measured the old design, where the first batch paid the
+full single-process index decode; that cost now sits in *publish*,
+where the decode parallelizes with cores and is measured on its own
+row.
 
 ## Why N=2 vs 4N=8 on this sandbox
 
@@ -611,10 +656,10 @@ the host ceiling every engine flattens; a real 4× cluster adds whole
 nodes.  N=2 vs 4N=8 is the largest pair inside the host's linear
 region.
 
-| run | master | build | build turns/sec | build-fd | build-fd turns/sec | query (warm) | qps (warm) | qps (cold) |
-|---|---|---|---|---|---|---|---|---|
-| N | `local[{n}]` | {r_n['build_s']} s | {r_n['build_turns_per_sec']:,} | {r_n['build_fd_s']} s | {r_n['build_fd_turns_per_sec']:,} | {r_n['query_warm_s']} s | {r_n['qps_warm']:,} | {r_n['qps_cold']:,} |
-| 4N | `local[{n4}]` | {r_4n['build_s']} s | {r_4n['build_turns_per_sec']:,} | {r_4n['build_fd_s']} s | {r_4n['build_fd_turns_per_sec']:,} | {r_4n['query_warm_s']} s | {r_4n['qps_warm']:,} | {r_4n['qps_cold']:,} |
+| run | master | build | build turns/sec | build-fd | build-fd turns/sec | publish | query (warm) | qps (warm) | qps (cold, attach-only) |
+|---|---|---|---|---|---|---|---|---|---|
+| N | `local[{n}]` | {r_n['build_s']} s | {r_n['build_turns_per_sec']:,} | {r_n['build_fd_s']} s | {r_n['build_fd_turns_per_sec']:,} | {r_n['publish_s']} s | {r_n['query_warm_s']} s | {r_n['qps_warm']:,} | {r_n['qps_cold']:,} |
+| 4N | `local[{n4}]` | {r_4n['build_s']} s | {r_4n['build_turns_per_sec']:,} | {r_4n['build_fd_s']} s | {r_4n['build_fd_turns_per_sec']:,} | {r_4n['publish_s']} s | {r_4n['query_warm_s']} s | {r_4n['qps_warm']:,} | {r_4n['qps_cold']:,} |
 
 | metric | scaling efficiency (target ≥ 0.8) |
 |---|---|
@@ -623,8 +668,9 @@ region.
 | host calibration (REAL warm-query kernel: resident replica + dense scoring, plain multiprocessing, no Spark) | **{query_calib['host_query_kernel_efficiency']}** |
 | index-build turns/sec (Arrow-channel path) | **{result['efficiency_build']}** |
 | index-build turns/sec (file-direct path) | **{result['efficiency_build_fd']}** |
+| replica publish-at-build (parallel shard decode + serial merge) | {result['efficiency_publish']} |
 | BM25 query qps (warm) | **{result['efficiency_query_warm']}** |
-| BM25 query qps (cold, incl. per-worker replica load) | {result['efficiency_query_cold']} |
+| BM25 query qps (cold = first batch after publish-at-build: mmap attach only) | **{result['efficiency_query_cold']}** |
 
 **Engine-relative efficiency** (what the distributed path delivers of
 the bare host's same-kernel ceiling): file-direct build

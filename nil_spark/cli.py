@@ -69,10 +69,40 @@ def cmd_build(args) -> int:
     docs = assign_doc_ids(docs, ["conv_id", "turn_idx"])
     builder = CheckpointedIndexBuilder(args.index_dir, cfg)
     idx = builder.build_fused(docs) if args.build_path == "fused" else builder.build(docs)
+    published = None
+    if getattr(args, "publish_replica", False):
+        # publish-at-build: materialize the node-shared mmap replica
+        # store now (per-shard decode as a parallel Spark stage) so the
+        # first `query --topology replica` pays a ~ms mmap attach
+        # instead of the full index decode
+        import glob as _glob
+        import os as _os
+
+        from nil_spark.operators.segments import publish_replica
+
+        # derive avgdl exactly the way cmd_query's _open_index does, so
+        # the store key matches what serving computes (a float that
+        # differs in the last bit would key a second, useless store)
+        if _os.path.isdir(f"{args.index_dir}/docstats"):
+            from nil_spark.operators.index import corpus_stats
+
+            _, pub_avgdl = corpus_stats(
+                spark.read.parquet(f"{args.index_dir}/docstats")
+            )
+        else:
+            pub_avgdl = float(builder.manifest["corpus"]["avgdl"])
+        # same shard-set preference as cmd_query's replica topology:
+        # the doc-exclusive partial_segments layout when present, else
+        # the merged segments store
+        paths = sorted(
+            _glob.glob(f"{args.index_dir}/partial_segments/part-*.parquet")
+        ) or sorted(_glob.glob(f"{args.index_dir}/segments/part-*.parquet"))
+        published = publish_replica(paths, pub_avgdl, cfg, spark=spark)
     print(json.dumps({
         "n_docs": idx["n_docs"], "avgdl": round(idx["avgdl"], 3),
         "segments": idx["segments"].count(),
         "manifest": builder.manifest_path,
+        **({"replica_store": published} if published else {}),
     }))
     spark.stop()
     return 0
@@ -456,6 +486,10 @@ def main(argv=None) -> int:
     b.add_argument("--format", choices=["parquet", "csv", "json", "iceberg"],
                    default="parquet")
     b.add_argument("--index-dir", required=True)
+    b.add_argument("--publish-replica", action="store_true",
+                   help="also publish the node-shared mmap replica store "
+                        "at build time so the first replica-topology query "
+                        "batch attaches instead of decoding")
     b.add_argument("--build-path", choices=["fused", "classic"], default="fused",
                    help="fused = single-Arrow-stage build (fast path); "
                         "classic = explode/shuffle pipeline")

@@ -810,17 +810,6 @@ def _decode_shard_arrays(path: str, avgdl: float, k1: float, b: float):
     return uterms, offs, docs, tfn
 
 
-def _decode_shard(path: str, avgdl: float, k1: float, b: float) -> dict:
-    """Dict view of one decoded shard — no caching (used transiently by
-    the replica builder so a worker never holds both the per-shard
-    dicts and the merged replica)."""
-    uterms, offs, docs, tfn = _decode_shard_arrays(path, avgdl, k1, b)
-    return {
-        int(uterms[i]): (docs[offs[i]:offs[i + 1]], tfn[offs[i]:offs[i + 1]])
-        for i in range(len(uterms))
-    }
-
-
 def _load_shard(path: str, avgdl: float, k1: float, b: float):
     """Node-shared shard attach: same publish-once/mmap-everywhere
     store as the replica path, per shard file.  The worker-level LRU
@@ -1121,34 +1110,56 @@ class _ReplicaView:
         return e
 
 
+def _merge_flat_shards(flats: list) -> tuple:
+    """Vectorized k-way merge of per-shard flat posting arrays
+    [(uterms, offs, docs, tfn), ...] into the global 4-array replica
+    layout (terms sorted ascending; per-term postings concatenated in
+    shard order).  No per-term Python loop and no global postings sort:
+    per-(term, shard) destination offsets come from searchsorted +
+    cumsum, and each shard scatters its postings with one fancy-index
+    write — O(total postings) copies, O(vocab·shards) index math."""
+    flats = [f for f in flats if len(f[0])]
+    if not flats:
+        return (
+            np.empty(0, np.int64), np.zeros(1, np.int64),
+            np.empty(0, np.int64), np.empty(0, np.float64),
+        )
+    uterms_list = [np.asarray(f[0], np.int64) for f in flats]
+    counts_list = [np.diff(np.asarray(f[1], np.int64)) for f in flats]
+    gterms = np.unique(np.concatenate(uterms_list))
+    totals = np.zeros(len(gterms), np.int64)
+    idxs = []
+    for ut, cn in zip(uterms_list, counts_list):
+        ix = np.searchsorted(gterms, ut)
+        idxs.append(ix)
+        np.add.at(totals, ix, cn)
+    goffs = np.zeros(len(gterms) + 1, np.int64)
+    np.cumsum(totals, out=goffs[1:])
+    total = int(goffs[-1])
+    docs = np.empty(total, np.int64)
+    tfn = np.empty(total, np.float64)
+    cursor = goffs[:-1].copy()  # per-term write position
+    for (ut, offs, sdocs, stfn), ix, cn in zip(flats, idxs, counts_list):
+        offs = np.asarray(offs, np.int64)
+        # dest index of source posting t in term-block j:
+        #   cursor[ix[j]] + (t - offs[j])
+        pos = np.repeat(cursor[ix] - offs[:-1], cn) + np.arange(
+            len(sdocs), dtype=np.int64
+        )
+        docs[pos] = sdocs
+        tfn[pos] = stfn
+        cursor[ix] += cn
+    return gterms, goffs, docs, tfn
+
+
 def _build_replica_arrays(paths: tuple, avgdl: float, k1: float, b: float):
     """Decode + merge every shard into the flat 4-array replica layout
     (terms sorted ascending; per-term postings concatenated in shard
-    order)."""
-    pieces: dict[int, list] = {}
-    for p in paths:
-        # transient decode: do NOT populate the per-shard cache — that
-        # would leave ~2x the decoded index resident per worker
-        shard = _decode_shard(p, avgdl, k1, b)
-        for t, dv in shard.items():
-            pieces.setdefault(t, []).append(dv)
-    terms_sorted = sorted(pieces)
-    docs_parts: list = []
-    tfn_parts: list = []
-    lens = np.empty(len(terms_sorted), dtype=np.int64)
-    for i, t in enumerate(terms_sorted):
-        n = 0
-        for d, c in pieces[t]:
-            docs_parts.append(d)
-            tfn_parts.append(c)
-            n += len(d)
-        lens[i] = n
-    terms = np.asarray(terms_sorted, dtype=np.int64)
-    offs = np.zeros(len(terms) + 1, dtype=np.int64)
-    np.cumsum(lens, out=offs[1:])
-    docs = np.concatenate(docs_parts) if docs_parts else np.empty(0, np.int64)
-    tfn = np.concatenate(tfn_parts) if tfn_parts else np.empty(0, np.float64)
-    return terms, offs, docs, tfn
+    order).  Decode is vectorized per shard (_decode_shard_arrays) and
+    the merge is the vectorized k-way scatter (_merge_flat_shards)."""
+    return _merge_flat_shards(
+        [_decode_shard_arrays(p, avgdl, k1, b) for p in paths]
+    )
 
 
 _REPLICA_ARRAY_NAMES = ("terms", "offs", "docs", "tfn")
@@ -1266,6 +1277,90 @@ def _load_replica(paths: tuple, avgdl: float, k1: float, b: float) -> _ReplicaVi
     _REPLICA_CACHE.clear()  # one live replica per worker
     _REPLICA_CACHE[key] = view
     return view
+
+
+def publish_replica(
+    shard_paths: list[str],
+    avgdl: float,
+    cfg: EngineConfig,
+    spark: SparkSession | None = None,
+) -> str:
+    """Publish-at-build: materialize the node-shared mmap replica store
+    for ``shard_paths`` NOW, so the first serving batch attaches in
+    milliseconds instead of paying the full index decode (the cold-path
+    cost that otherwise lands on the first query after every build).
+
+    With a ``spark`` session the per-shard decode runs as a parallel
+    Spark stage — each task decodes one shard into flat ``.npy`` dumps
+    inside the store dir (atomic replace, idempotent on retry) — and
+    only the final vectorized k-way merge (one O(postings) scatter
+    pass, no parquet decode) is single-process.  Without a session the
+    whole build runs in-process.
+
+    Cluster note: the store lives under ``NIL_REPLICA_DIR`` (default
+    tmp), i.e. node-local disk.  In local mode — and on any cluster
+    whose serving executors share the build node — publish-at-build
+    removes the serving decode entirely.  On a multi-node cluster the
+    same function runs per node (serving nodes attach lazily and the
+    FIRST worker on a node that finds flat dumps on shared storage, or
+    no store at all, rebuilds/merges locally via ``_load_replica`` —
+    the publish lock keeps that to once per node).  The key is
+    identical to ``_load_replica``'s, so serving finds this store with
+    no coordination.
+    """
+    paths = tuple(sorted(shard_paths))
+    k1, b = cfg.bm25_k1, cfg.bm25_b
+    key = (paths, round(avgdl, 9), k1, b)
+    d = _replica_store_dir(key, paths)
+    done = os.path.join(d, "DONE")
+    if os.path.exists(done):
+        return d
+    n_flats = len(paths)
+    if spark is not None and n_flats > 1:
+        os.makedirs(d, exist_ok=True)
+
+        def _dump(item) -> int:
+            i, p = item
+            import numpy as _np
+            import os as _os
+
+            names = [f"flat{i:05d}.{n}.npy" for n in _REPLICA_ARRAY_NAMES]
+            if all(_os.path.exists(_os.path.join(d, n)) for n in names):
+                return 0
+            arrays = _decode_shard_arrays(p, avgdl, k1, b)
+            for name, a in zip(names, arrays):
+                # tmp must end in .npy or np.save appends the suffix
+                tmp = _os.path.join(d, f".{name}.{_os.getpid()}.tmp.npy")
+                _np.save(tmp, a)
+                _os.replace(tmp, _os.path.join(d, name))
+            return 1
+
+        spark.sparkContext.parallelize(
+            list(enumerate(paths)), n_flats
+        ).map(_dump).count()
+
+        def _merge_from_dumps():
+            flats = [
+                tuple(
+                    np.load(os.path.join(d, f"flat{i:05d}.{n}.npy"), mmap_mode="r")
+                    for n in _REPLICA_ARRAY_NAMES
+                )
+                for i in range(n_flats)
+            ]
+            return _merge_flat_shards(flats)
+
+        build_fn = _merge_from_dumps
+    else:
+        build_fn = lambda: _build_replica_arrays(paths, avgdl, k1, b)  # noqa: E731
+    _published_arrays(key, paths, build_fn)
+    # flat dumps served their purpose; keep the store lean
+    import contextlib
+    import glob as _glob
+
+    for f in _glob.glob(os.path.join(d, "flat*.npy")):
+        with contextlib.suppress(OSError):
+            os.remove(f)
+    return d
 
 
 def topk_replica_resident(

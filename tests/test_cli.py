@@ -106,6 +106,66 @@ def test_cli_query_topologies_rank_identical(cli_index, topology):
     assert np.allclose(got["bm25"].values, oracle["bm25"].values, atol=1e-6)
 
 
+def test_cli_publish_replica_at_build(tmp_path, monkeypatch):
+    """build --publish-replica must leave a completed mmap store that a
+    LATER query process (fresh JVM) attaches to without re-publishing —
+    rank-identical results, store mtimes untouched by the query."""
+    import glob
+
+    pdf = gen_transcripts(300, seed=31)
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False), str(tmp_path / "corpus.parquet")
+    )
+    idx_dir = str(tmp_path / "idx")
+    store_base = str(tmp_path / "replica_store")
+    os.makedirs(store_base)
+    env = {**os.environ, "NIL_REPLICA_DIR": store_base}
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "cli_main.py"), "--master", "local[2]",
+         "--shuffle-partitions", "4", "build", "--input",
+         str(tmp_path / "corpus.parquet"), "--index-dir", idx_dir,
+         "--publish-replica"],
+        capture_output=True, text=True, timeout=300, cwd=REPO, env=env,
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    info = json.loads(out.stdout.strip().splitlines()[-1])
+    store = info["replica_store"]
+    assert os.path.exists(os.path.join(store, "DONE"))
+    mtimes = {
+        f: os.path.getmtime(os.path.join(store, f)) for f in os.listdir(store)
+    }
+
+    q = gen_queries(pdf, n_queries=5, k=5, seed=32)
+    pq.write_table(pa.Table.from_pandas(q, preserve_index=False), str(tmp_path / "q.parquet"))
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "cli_main.py"), "--master", "local[2]",
+         "--shuffle-partitions", "4", "query", "--index-dir", idx_dir,
+         "--queries", str(tmp_path / "q.parquet"), "--out", str(tmp_path / "res"),
+         "--topology", "replica"],
+        capture_output=True, text=True, timeout=300, cwd=REPO, env=env,
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    # query attached to the published store: no new store dir appeared
+    # and the published files were not rewritten
+    stores = glob.glob(os.path.join(store_base, "nil_replica_*"))
+    assert stores == [store]
+    assert {
+        f: os.path.getmtime(os.path.join(store, f)) for f in os.listdir(store)
+    } == mtimes
+    got = (
+        pd.concat(
+            pq.read_table(os.path.join(tmp_path / "res", f)).to_pandas()
+            for f in os.listdir(tmp_path / "res")
+            if f.endswith(".parquet")
+        )
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    oracle = OracleIndex(pdf, EngineConfig(gram_size=1)).topk_frame(q)
+    oracle = oracle.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert (got["doc_id"].values == oracle["doc_id"].values).all()
+    assert np.allclose(got["bm25"].values, oracle["bm25"].values, atol=1e-6)
+
+
 @pytest.mark.parametrize("fmt", ["csv", "json"])
 def test_cli_build_from_csv_json_sources(tmp_path, fmt):
     """--format csv/json (the reference's own on-disk model is CSV):

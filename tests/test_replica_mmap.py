@@ -131,6 +131,80 @@ def test_concurrent_cold_load_single_publish(shard_paths, tmp_path):
     assert os.path.exists(os.path.join(tmp_path, stores[0], "DONE"))
 
 
+def test_merge_flat_shards_matches_dict_reference():
+    """The vectorized k-way scatter merge must agree with a brute-force
+    dict merge (term-sorted output, per-term postings concatenated in
+    shard order) on random shard layouts, including empty shards and
+    terms present in only some shards."""
+    import random
+
+    rng = random.Random(11)
+    for trial in range(5):
+        flats = []
+        expect: dict[int, list] = {}
+        n_shards = rng.randint(1, 5)
+        for s in range(n_shards):
+            terms = sorted(rng.sample(range(40), rng.randint(0, 12)))
+            docs_parts, tfn_parts, counts = [], [], []
+            for t in terms:
+                k = rng.randint(1, 4)
+                dv = np.array([s * 1000 + rng.randint(0, 99) for _ in range(k)], np.int64)
+                cv = np.round(np.random.default_rng(s * 100 + t).random(k), 6)
+                docs_parts.append(dv)
+                tfn_parts.append(cv)
+                counts.append(k)
+                expect.setdefault(t, []).append((dv, cv))
+            offs = np.zeros(len(terms) + 1, np.int64)
+            np.cumsum(counts, out=offs[1:])
+            flats.append(
+                (
+                    np.array(terms, np.int64),
+                    offs,
+                    np.concatenate(docs_parts) if docs_parts else np.empty(0, np.int64),
+                    np.concatenate(tfn_parts) if tfn_parts else np.empty(0, np.float64),
+                )
+            )
+        from nil_spark.operators.segments import _merge_flat_shards
+
+        gterms, goffs, docs, tfn = _merge_flat_shards(flats)
+        exp_terms = np.array(sorted(expect), np.int64)
+        np.testing.assert_array_equal(gterms, exp_terms)
+        for i, t in enumerate(exp_terms):
+            ed = np.concatenate([d for d, _ in expect[t]])
+            ec = np.concatenate([c for _, c in expect[t]])
+            np.testing.assert_array_equal(docs[goffs[i]:goffs[i + 1]], ed)
+            np.testing.assert_allclose(tfn[goffs[i]:goffs[i + 1]], ec)
+
+
+def test_publish_replica_at_build(spark, shard_paths, tmp_path, monkeypatch):
+    """publish_replica (parallel Spark decode stage + vectorized merge)
+    must produce a store byte-identical to the serving-side lazy build,
+    under the SAME key — so the first query batch after a published
+    build attaches via mmap with zero decode."""
+    from nil_spark.operators.segments import publish_replica
+
+    paths, avgdl = shard_paths
+    monkeypatch.setenv("NIL_REPLICA_DIR", str(tmp_path))
+    k1, b = CFG.bm25_k1, CFG.bm25_b
+    store = publish_replica(list(paths), avgdl, CFG, spark=spark)
+    assert os.path.exists(os.path.join(store, "DONE"))
+    # flat dumps cleaned, only the 4 merged arrays remain
+    assert sorted(f for f in os.listdir(store) if f.endswith(".npy")) == sorted(
+        n + ".npy" for n in ("terms", "offs", "docs", "tfn")
+    )
+    # the serving path must attach to THIS store (same key): mmap views
+    _REPLICA_CACHE.clear()
+    v = _load_replica(tuple(sorted(paths)), avgdl, k1, b)
+    assert isinstance(v.docs, np.memmap)
+    ref = _build_replica_arrays(tuple(sorted(paths)), avgdl, k1, b)
+    np.testing.assert_array_equal(np.asarray(v.terms), ref[0])
+    np.testing.assert_array_equal(np.asarray(v.offs), ref[1])
+    np.testing.assert_array_equal(np.asarray(v.docs), ref[2])
+    np.testing.assert_allclose(np.asarray(v.tfn), ref[3])
+    # idempotent second call: returns immediately (DONE short-circuit)
+    assert publish_replica(list(paths), avgdl, CFG, spark=spark) == store
+
+
 def test_lock_steal_release_is_owner_only(shard_paths, tmp_path, monkeypatch):
     """A publisher that outlives the publish deadline has its lock
     stolen by a healer.  Its finally-release must NOT remove the
