@@ -696,7 +696,17 @@ NIL_SCALE_QUERIES).  Raw JSON:
 {json.dumps(result, indent=2)}
 ```
 """
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
+    # append standalone bench artifacts (10x growth, skew, soak — each
+    # written by its own script into bench_artifacts/*.md) so a BENCH.md
+    # regeneration never loses them
+    repo = os.path.dirname(os.path.abspath(__file__))
+    art_dir = os.path.join(repo, "bench_artifacts")
+    if os.path.isdir(art_dir):
+        for f in sorted(os.listdir(art_dir)):
+            if f.endswith(".md"):
+                with open(os.path.join(art_dir, f)) as fh:
+                    md += "\n" + fh.read()
+    with open(os.path.join(repo, "BENCH.md"), "w") as f:
         f.write(md)
 
 

@@ -46,10 +46,17 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # Propagate over the ACTIVE vertex set only — vertices incident to
+    # at least one edge.  A near-dup pair graph touches a small
+    # fraction of the corpus (typically a few %), and dragging every
+    # singleton through every round multiplies each round's shuffle by
+    # |V|/|active| for labels that can never change.  Singletons join
+    # back as their own components at the end (one left join).
     # localCheckpoint per round truncates the iterative lineage —
     # without it Catalyst re-analyzes an exponentially deepening plan
     # (the standard pitfall of iterative DataFrame algorithms)
-    labels = verts.withColumn("comp", F.col("id")).localCheckpoint(eager=True)
+    active = sym.select(F.col("src").alias("id")).distinct()
+    labels = active.withColumn("comp", F.col("id")).localCheckpoint(eager=True)
     changed = 0
     for _ in range(max_iter):
         # smallest label in the closed neighborhood
@@ -83,7 +90,10 @@ def connected_components(
             f"diameter > max_iter — raise max_iter or use large-star/"
             f"small-star contraction for long-chain graphs"
         )
-    return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component"))
+    return verts.join(labels, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce(F.col("comp"), F.col("id")).alias("component"),
+    )
 
 
 def connected_components_star(

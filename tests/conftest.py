@@ -9,6 +9,10 @@ from nil_spark.session import get_spark
 from nil_spark.sources.transcripts import gen_queries, gen_transcripts
 
 
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running soak/scale tests")
+
+
 @pytest.fixture(scope="session")
 def spark():
     # warehouse + derby metastore in tmp so saveAsTable (bucketing
