@@ -101,6 +101,10 @@ class IncrementalIndexer:
             _glob.glob(
                 os.path.join(self.index_dir, "segments", "batch_id=*", "part-*.parquet")
             )
+        ) or sorted(  # fully-compacted index: deltas deleted, store lives in gen dirs
+            _glob.glob(
+                os.path.join(self.index_dir, "compacted", "gen=*", "part-*.parquet")
+            )
         )
         if not parts:
             return  # nothing absorbed yet — safe to stamp
