@@ -354,7 +354,9 @@ def cmd_build_stream(args) -> int:
     info = {"batches": len(inc.manifest["batches"]),
             "n_docs": inc.manifest["next_doc_id"]}
     if args.compact:
-        info["compact"] = inc.compact(spark)
+        info["compact"] = inc.compact(
+            spark, publish=getattr(args, "publish_replica", False)
+        )
     print(json.dumps(info))
     spark.stop()
     return 0
@@ -522,6 +524,10 @@ def main(argv=None) -> int:
     bs.add_argument("--input", required=True,
                     help="directory of transcript parquet files")
     bs.add_argument("--index-dir", required=True)
+    bs.add_argument("--publish-replica", action="store_true",
+                    help="with --compact: also publish the node-shared mmap "
+                         "replica store for the new generation, so the next "
+                         "serving batch attaches instead of decoding")
     bs.add_argument("--compact", action="store_true",
                     help="merge batch deltas into one term-sorted generation "
                          "after the drain")

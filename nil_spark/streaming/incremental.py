@@ -184,7 +184,7 @@ class IncrementalIndexer:
         q.awaitTermination()
 
     # -- compaction --------------------------------------------------------
-    def compact(self, spark: SparkSession) -> dict:
+    def compact(self, spark: SparkSession, publish: bool = False) -> dict:
         """Merge the accumulated per-batch segment deltas (plus any
         previous compacted generation) into ONE term-sorted store.
 
@@ -241,7 +241,38 @@ class IncrementalIndexer:
             shutil.rmtree(os.path.join(seg_root, f"batch_id={i}"), ignore_errors=True)
         if gen > 0:
             shutil.rmtree(old_gen_dir, ignore_errors=True)
-        return {"compacted_gen": new_gen, "merged_batches": len(delta_ids)}
+        out = {"compacted_gen": new_gen, "merged_batches": len(delta_ids)}
+        if publish:
+            # publish-at-compact: every compaction changes the shard
+            # path set, which keys a NEW replica store — without this,
+            # the first serving batch after each generation pays the
+            # full index decode (the same cold cost publish-at-build
+            # removes for batch indexes).  Path set + avgdl are derived
+            # exactly as the serving side does (generation dir + any
+            # deltas absorbed after this compaction's id snapshot).
+            import glob as _glob
+
+            from nil_spark.operators.segments import publish_replica
+
+            paths = sorted(_glob.glob(os.path.join(new_dir, "part-*.parquet")))
+            done = set(self.manifest["compacted_batch_ids"])
+            for b in self.manifest["batches"]:
+                if int(b["batch_id"]) not in done:
+                    paths += sorted(
+                        _glob.glob(
+                            os.path.join(
+                                seg_root, f"batch_id={int(b['batch_id'])}",
+                                "part-*.parquet",
+                            )
+                        )
+                    )
+            _, avgdl = index_ops.corpus_stats(
+                spark.read.parquet(os.path.join(self.index_dir, "docstats"))
+            )
+            out["replica_store"] = publish_replica(
+                paths, avgdl, self.cfg, spark=spark
+            )
+        return out
 
     # -- query-side view ---------------------------------------------------
     def load_index(self, spark: SparkSession) -> dict:

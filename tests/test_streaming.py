@@ -159,6 +159,48 @@ def test_stream_retry_idempotent(spark, transcripts_1k, queries_1k, stream_built
     assert ds.count() == ds.select("doc_id").distinct().count() == len(transcripts_1k)
 
 
+def test_compact_publishes_replica_store(
+    spark, transcripts_1k, tmp_path, monkeypatch
+):
+    """compact(publish=True) must leave a completed mmap replica store
+    under the SAME key the serving side computes (generation shard
+    paths + docstats avgdl) — so the first query batch after a
+    compaction attaches instead of re-decoding the new generation."""
+    import glob
+
+    from nil_spark.operators.index import corpus_stats
+    from nil_spark.operators.segments import _replica_store_dir
+
+    monkeypatch.setenv("NIL_REPLICA_DIR", str(tmp_path / "store"))
+    os.makedirs(tmp_path / "store")
+    input_dir, index_dir = str(tmp_path / "in"), str(tmp_path / "idx")
+    os.makedirs(input_dir)
+    ordered = transcripts_1k.sort_values(
+        ["conv_id", "turn_idx"], kind="mergesort"
+    ).reset_index(drop=True).iloc[:400]
+    ix = IncrementalIndexer(index_dir, CFG)
+    spark.createDataFrame(ordered, schema=TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(input_dir, "arrival0"))
+    ix.run_available(spark, input_dir + "/arrival*")
+    r = ix.compact(spark, publish=True)
+    store = r["replica_store"]
+    assert os.path.exists(os.path.join(store, "DONE"))
+
+    # the serving side (cli._open_streaming_index style) derives paths
+    # from the generation dir and avgdl from docstats: same store key
+    paths = tuple(sorted(glob.glob(
+        os.path.join(index_dir, "compacted", f"gen={r['compacted_gen']}",
+                     "part-*.parquet")
+    )))
+    assert paths
+    _, avgdl = corpus_stats(
+        spark.read.parquet(os.path.join(index_dir, "docstats"))
+    )
+    key = (paths, round(avgdl, 9), CFG.bm25_k1, CFG.bm25_b)
+    assert _replica_store_dir(key, paths) == store
+
+
 def test_compaction_rank_identical_and_cleans_deltas(
     spark, transcripts_1k, queries_1k, tmp_path
 ):
