@@ -672,6 +672,19 @@ region.
 | BM25 query qps (warm) | **{result['efficiency_query_warm']}** |
 | BM25 query qps (cold = first batch after publish-at-build: mmap attach only) | **{result['efficiency_query_cold']}** |
 
+Raw numbers move run-to-run with the shared host's external tenants —
+the in-run calibration samples above show the same spread on plain
+multiprocessing with no Spark (e.g. the build-kernel ceiling has
+ranged 0.43–0.86 *within one run*).  Compare engine numbers against
+the SAME run's kernel calibration (the engine-relative table below),
+not across runs: an Arrow-path build that measured 0.925 raw in one
+window and lower in another changed host, not engine.  *publish* is a
+one-shot per-build cost (store bytes ≪ index build work, I/O-bound
+serial merge after the parallel shard decode); at cluster scale each
+node publishes its own store independently, so it scales with nodes,
+not with cores inside one box — its single-box efficiency is reported
+for completeness, not as a serving-path claim.
+
 **Engine-relative efficiency** (what the distributed path delivers of
 the bare host's same-kernel ceiling): file-direct build
 {result['efficiency_build_fd']} / {kernel_calib['host_kernel_efficiency']} =
