@@ -13,10 +13,14 @@ as a Spark application.  On a cluster:
 (`cli_main.py` is the thin launcher at the repo root; inside the zip the
 same logic is `python -m`-able as ``nil_spark.cli:main``.)
 
-Inputs may be parquet paths or Iceberg table identifiers
-(``--format iceberg``): the reader is gated on the catalog actually
-being configured, since the Iceberg runtime jar is environment-provided.
-In this sandbox only the parquet path is exercised.
+Inputs may be parquet paths, CSV/JSONL dirs, or Iceberg tables
+(``--format iceberg``).  An Iceberg *path* (a directory with
+``metadata/version-hint.text``) is read by the engine-native
+pure-Python metadata layer (``nil_spark/sources/iceberg.py`` — manifest
+planning, bounds pruning, merge-on-read position deletes), which needs
+no runtime jar; anything else is treated as a catalog table identifier
+and read via ``spark.read.table`` (runtime jar + catalog conf
+environment-provided).
 """
 
 from __future__ import annotations
@@ -36,8 +40,16 @@ def read_docs(spark, path: str, fmt: str):
     the reference's own on-disk model is CSV, SURVEY §1.2), or Iceberg
     table (gated)."""
     if fmt == "iceberg":
-        # public API: spark.read.table over an Iceberg catalog table; the
-        # runtime jar + catalog conf must be on the cluster (not bundled)
+        import os as _os
+
+        if _os.path.exists(_os.path.join(path, "metadata", "version-hint.text")):
+            # engine-native reader (no runtime jar needed): manifest-planned
+            # file list, bounds pruning, merge-on-read position deletes
+            from nil_spark.sources.iceberg import read_iceberg
+
+            return read_iceberg(spark, path)
+        # catalog table identifier: the official runtime-jar route; jar +
+        # catalog conf must be on the cluster (not bundled)
         return spark.read.table(path)
     if fmt == "csv":
         from nil_spark.sources.transcripts import TRANSCRIPT_SCHEMA

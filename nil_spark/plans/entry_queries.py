@@ -1788,6 +1788,66 @@ FROM p
 """
 
 
+# --------------------------------------------- q: iceberg lifecycle
+
+
+def q_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule input exercised end-to-end: documents → Iceberg v2
+    table (engine-native pure-Python metadata layer, two appends,
+    identity-partitioned by lang) → v2 position-delete of
+    ``doc_id % 7 == 0`` → merge-on-read scan → per-lang aggregate.
+
+    The oracle sees none of the table machinery — it aggregates the
+    source parquet with the delete as a WHERE clause — so the row is
+    green only if create/append/delete/scan round-trip every row,
+    partition value, and delete position exactly.  The table is built
+    in a throwaway tmp dir; the aggregate is localCheckpoint-ed
+    (eager) before cleanup so the returned frame outlives the files.
+    """
+    import shutil
+    import tempfile
+
+    from nil_spark.sources.iceberg import IcebergTable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tmp = tempfile.mkdtemp(prefix="nil_iceberg_gate_")
+    try:
+        t = IcebergTable.create(
+            spark,
+            docs.filter(F.col("doc_id") % 2 == 0),
+            f"{tmp}/documents",
+            partition_by=["lang"],
+        )
+        t.append(spark, docs.filter(F.col("doc_id") % 2 == 1))
+        t.delete_where(spark, F.col("doc_id") % 7 == 0)
+        out = (
+            t.scan(spark)
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("doc_id").alias("sum_doc_id"),
+                F.sum(F.length("text")).alias("sum_text_len"),
+            )
+            .orderBy("lang")
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _iceberg_roundtrip_sql() -> str:
+    return """
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       sum(doc_id)::BIGINT AS sum_doc_id,
+       sum(length(text))::BIGINT AS sum_text_len
+FROM documents
+WHERE doc_id % 7 <> 0
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 # --------------------------------------------------------- registry
 
 REGISTRY: dict[str, tuple] = {
@@ -1830,6 +1890,7 @@ REGISTRY: dict[str, tuple] = {
     "tfidf_topk": (q_tfidf_topk, _tfidf_sql()),
     "quality_filter": (q_quality_filter, _quality_filter_sql()),
     "events_funnel": (q_events_funnel, _events_funnel_sql()),
+    "iceberg_roundtrip": (q_iceberg_roundtrip, _iceberg_roundtrip_sql()),
 }
 
 
