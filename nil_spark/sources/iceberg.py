@@ -823,6 +823,68 @@ class IcebergTable:
             return hi < lit
         return False
 
+    def incremental_files(
+        self, from_seq: int, to_seq: int | None = None
+    ) -> list[tuple[str, int, dict]]:
+        """Incremental *append* scan planning: data files committed with
+        ``from_seq < seq <= to_seq`` (Iceberg's incremental-read
+        contract), as ``(path, seq, partition_values)``.
+
+        Files written by *replace* (compaction) snapshots are skipped —
+        they re-house rows already emitted by the appends they fold, so
+        emitting them would duplicate the stream.  Delete snapshots
+        advance the sequence but add no data files (append-only stream
+        semantics: no retractions).  Caveat: expiry must keep at least
+        the snapshots spanning any unconsumed range (size
+        ``expire_keep_last`` to the consumer lag), else a fold of
+        not-yet-emitted appends is indistinguishable from fresh data.
+        """
+        md = self.metadata()
+        if md["current-snapshot-id"] == -1:
+            return []
+        if to_seq is None:
+            to_seq = md["last-sequence-number"]
+        ops = {s["sequence-number"]: s["summary"].get("operation") for s in md["snapshots"]}
+        snaps = [s for s in md["snapshots"] if s["sequence-number"] <= to_seq]
+        if not snaps:
+            return []
+        snap = max(snaps, key=lambda s: s["sequence-number"])
+        _m, manifests = read_container(snap["manifest-list"])
+        out: list[tuple[str, int, dict]] = []
+        for mf in manifests:
+            if mf["content"] != 0 or mf["sequence_number"] <= from_seq:
+                continue  # delete manifest, or wholly before the window
+            _mm, entries = read_container(mf["manifest_path"])
+            for e in entries:
+                if e["status"] == 2:
+                    continue
+                d = e["data_file"]
+                if d["content"] != 0:
+                    continue
+                seq = e["sequence_number"] or mf["sequence_number"]
+                if from_seq < seq <= to_seq and ops.get(seq) != "replace":
+                    out.append((d["file_path"], seq, self._partition_values(d["file_path"])))
+        return out
+
+    def incremental_scan(
+        self, spark: SparkSession, from_seq: int, to_seq: int | None = None
+    ) -> DataFrame:
+        """Rows appended in ``(from_seq, to_seq]`` as a DataFrame."""
+        files = [p for p, _s, _pv in self.incremental_files(from_seq, to_seq)]
+        schema = self.schema()
+        if not files:
+            return spark.createDataFrame([], schema)
+        part_cols = self.partition_columns()
+        file_schema = T.StructType([f for f in schema.fields if f.name not in part_cols])
+        reader = spark.read.schema(file_schema)
+        if part_cols:
+            reader = reader.option("basePath", self.data_dir)
+        df = reader.parquet(*files)
+        for f in schema.fields:
+            if f.name in part_cols:
+                df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
+        return df.select(*[f.name for f in schema.fields])
+
     def scan(
         self,
         spark: SparkSession,
