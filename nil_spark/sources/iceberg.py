@@ -40,10 +40,11 @@ number fencing here because data file paths are unique per commit
 (UUID-named), so a delete can only ever reference files that existed
 when it was committed — the spec's ``data_seq <= delete_seq`` rule is
 satisfied structurally; equality deletes DO carry the fence (per-file
-data sequence numbers ride the broadcastable plan).  Out of scope
-(documented, not silently wrong): non-identity partition transforms
-and schema evolution (the reader refuses on schema-id drift it cannot
-honor).
+data sequence numbers ride the broadcastable plan).  Additive schema
+evolution is supported (``add_column`` — old files surface the new
+column as null, no rewrite).  Out of scope (documented, not silently
+wrong): non-identity partition transforms, column rename/drop/type
+promotion.
 
 Single-writer assumption: commits are ``os.replace``-atomic on the
 version hint, the Hadoop-catalog convention.  Multi-writer setups need
@@ -344,6 +345,41 @@ class IcebergTable:
         with open(tmp, "w") as f:
             f.write(str(v))
         os.replace(tmp, os.path.join(self.meta_dir, "version-hint.text"))
+
+    def add_column(self, name: str, spark_type: T.DataType) -> None:
+        """Additive schema evolution: commit a new schema with ``name``
+        appended (fresh field-id, new schema-id).  Existing data files
+        simply lack the column — the scan's explicit read schema makes
+        Spark surface it as null there, which is exactly the Iceberg
+        contract for added columns (no rewrite).  Rename/drop/type
+        promotion stay out of scope.
+        """
+        md = self.metadata()
+        cur = next(s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"])
+        if any(f["name"] == name for f in cur["fields"]):
+            raise ValueError(f"column {name!r} already exists")
+        new_id = md["last-column-id"] + 1
+        ice_type = None
+        for cls, tname in _SPARK_TO_ICE.items():
+            if isinstance(spark_type, cls):
+                ice_type = tname
+        if ice_type is None:
+            raise ValueError(f"unsupported type for added column: {spark_type}")
+        new_schema = {
+            "type": "struct",
+            "schema-id": cur["schema-id"] + 1,
+            "fields": cur["fields"] + [
+                {"id": new_id, "name": name, "required": False, "type": ice_type}
+            ],
+        }
+        md["schemas"].append(new_schema)
+        md["current-schema-id"] = new_schema["schema-id"]
+        md["last-column-id"] = new_id
+        md["properties"]["schema.name-mapping.default"] = json.dumps(
+            [{"field-id": f["id"], "names": [f["name"]]} for f in new_schema["fields"]]
+        )
+        md["last-updated-ms"] = int(time.time() * 1000)
+        self._commit(md)
 
     def set_property(self, key: str, value: str) -> None:
         """Commit a table-property change (new metadata version)."""

@@ -98,6 +98,37 @@ def test_expire_snapshots_removes_unreferenced_files(spark, transcripts_df, tmp_
         assert os.path.exists(mf["manifest_path"])
 
 
+def test_add_column_schema_evolution(spark, transcripts_df, tmp_path):
+    """Additive evolution: the new column reads as null from
+    pre-evolution files (no rewrite) and as real values from files
+    appended after; scans/deletes keep working across the boundary."""
+    from pyspark.sql import types as T
+
+    p = str(tmp_path / "tbl")
+    t = write_iceberg(spark, transcripts_df.filter("turn_idx < 1"), p)
+    n_old = t.scan(spark).count()
+    t.add_column("quality", T.DoubleType())
+    assert t.schema().fieldNames()[-1] == "quality"
+    # old files surface nulls
+    got = t.scan(spark)
+    assert got.filter("quality IS NULL").count() == n_old
+    # new appends carry values
+    newer = transcripts_df.filter("turn_idx = 1").withColumn("quality", F.lit(0.5))
+    t.append(spark, newer)
+    assert t.scan(spark).filter("quality = 0.5").count() == newer.count()
+    assert t.scan(spark).count() == n_old + newer.count()
+    # the evolved column participates in scans + equality deletes
+    t.equality_delete(spark, t.scan(spark).filter("quality = 0.5")
+                      .select("conv_id", "turn_idx").limit(3))
+    assert t.scan(spark).count() == n_old + newer.count() - 3
+    # field-ids stay unique and monotone across the evolution
+    md = t.metadata()
+    ids = [f["id"] for s in md["schemas"] for f in s["fields"]]
+    assert md["last-column-id"] == max(ids)
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_column("quality", T.DoubleType())
+
+
 def test_streaming_sink_exactly_once(spark, transcripts_df, tmp_path):
     """The foreachBatch sink commits each batch id once: a replayed
     batch (same id) is skipped, a new id appends a snapshot."""
