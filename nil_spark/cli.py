@@ -362,7 +362,7 @@ def cmd_build_stream(args) -> int:
               file=sys.stderr)
         spark.stop()
         return 2
-    inc.run_available(spark, args.input)
+    inc.run_available(spark, args.input, fmt=getattr(args, "format", "parquet"))
     info = {"batches": len(inc.manifest["batches"]),
             "n_docs": inc.manifest["next_doc_id"]}
     if args.compact:
@@ -534,7 +534,12 @@ def main(argv=None) -> int:
         help="incremental streaming build over a transcript-file directory",
     )
     bs.add_argument("--input", required=True,
-                    help="directory of transcript parquet files")
+                    help="directory of transcript parquet files, or an "
+                         "Iceberg table dir with --format iceberg")
+    bs.add_argument("--format", choices=["parquet", "iceberg"],
+                    default="parquet",
+                    help="iceberg = incremental append scans of the table "
+                         "(the index follows the table's snapshots)")
     bs.add_argument("--index-dir", required=True)
     bs.add_argument("--publish-replica", action="store_true",
                     help="with --compact: also publish the node-shared mmap "

@@ -164,15 +164,31 @@ class IncrementalIndexer:
         self._save()
 
     # -- stream driver -----------------------------------------------------
-    def run_available(self, spark: SparkSession, input_dir: str) -> None:
-        """Process all currently-available input files once
+    def run_available(
+        self, spark: SparkSession, input_dir: str, fmt: str = "parquet"
+    ) -> None:
+        """Process all currently-available input once
         (Trigger.AvailableNow) and stop.  The streaming checkpoint under
-        the index dir makes re-runs skip already-absorbed files."""
-        stream = (
-            spark.readStream.schema(TRANSCRIPT_SCHEMA)
-            .option("maxFilesPerTrigger", 1)  # deterministic batch split
-            .parquet(input_dir)
-        )
+        the index dir makes re-runs skip already-absorbed files — or,
+        with ``fmt="iceberg"``, already-absorbed table snapshots: the
+        index then *follows the Iceberg table*, each drain picking up
+        exactly the snapshots committed since the last one.
+        """
+        if fmt == "iceberg":
+            from nil_spark.sources.iceberg_stream import IcebergStreamSource
+
+            spark.dataSource.register(IcebergStreamSource)
+            stream = (
+                spark.readStream.format("nil_iceberg")
+                .option("path", input_dir)
+                .load()
+            )
+        else:
+            stream = (
+                spark.readStream.schema(TRANSCRIPT_SCHEMA)
+                .option("maxFilesPerTrigger", 1)  # deterministic batch split
+                .parquet(input_dir)
+            )
         q = (
             stream.writeStream.foreachBatch(self.absorb_batch)
             .option(

@@ -363,3 +363,58 @@ def test_cli_streaming_layout_autodetect_and_stats(tmp_path):
     info = json.loads(out.stdout.strip().splitlines()[-1])
     assert info["layout"] == "streaming" and info["postings"] > 0
     assert info["n_docs"] == 200 and info["config_fingerprint"]
+
+
+def test_cli_build_stream_from_iceberg_table(spark, tmp_path):
+    """`build-stream --format iceberg`: the index follows the Iceberg
+    table — each drain absorbs exactly the snapshots committed since
+    the previous one, and the final index is rank-identical to the
+    oracle over the whole corpus."""
+    from nil_spark.sources.iceberg import write_iceberg
+    from nil_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+    pdf = (
+        gen_transcripts(400, seed=33)
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    half = len(pdf) // 2
+    tbl = str(tmp_path / "tbl")
+    idx_dir = str(tmp_path / "sidx")
+    t = write_iceberg(
+        spark, spark.createDataFrame(pdf.iloc[:half], schema=TRANSCRIPT_SCHEMA), tbl
+    )
+    out = _run(["build-stream", "--format", "iceberg", "--input", tbl,
+                "--index-dir", idx_dir])
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    info = json.loads(out.stdout.strip().splitlines()[-1])
+    assert info["batches"] == 1 and info["n_docs"] == half
+
+    # second snapshot -> second drain absorbs ONLY the new rows
+    t.append(spark, spark.createDataFrame(pdf.iloc[half:], schema=TRANSCRIPT_SCHEMA))
+    out = _run(["build-stream", "--format", "iceberg", "--input", tbl,
+                "--index-dir", idx_dir, "--compact"])
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    info = json.loads(out.stdout.strip().splitlines()[-1])
+    assert info["batches"] == 2 and info["n_docs"] == 400
+
+    q = gen_queries(pdf, n_queries=8, k=5, seed=34)
+    pq.write_table(pa.Table.from_pandas(q, preserve_index=False),
+                   str(tmp_path / "q.parquet"))
+    out = _run(["query", "--layout", "streaming", "--index-dir", idx_dir,
+                "--queries", str(tmp_path / "q.parquet"),
+                "--out", str(tmp_path / "res")])
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    got = (
+        pd.concat(
+            pq.read_table(os.path.join(tmp_path / "res", f)).to_pandas()
+            for f in os.listdir(tmp_path / "res")
+            if f.endswith(".parquet")
+        )
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    oracle = OracleIndex(pdf, EngineConfig(gram_size=1)).topk_frame(q)
+    oracle = oracle.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(got) == len(oracle) > 0
+    assert (got["doc_id"].values == oracle["doc_id"].values).all()
+    assert np.allclose(got["bm25"].values, oracle["bm25"].values, atol=1e-6)
