@@ -418,6 +418,51 @@ def cmd_query_stream(args) -> int:
     return 0
 
 
+def cmd_iceberg(args) -> int:
+    """Engine-native Iceberg table maintenance: `stats` (snapshot/file
+    inventory, one JSON line), `compact` (rewrite_data_files — fold
+    small files, absorb delete files into a replace snapshot), `expire`
+    (drop old snapshots + every file they alone reference)."""
+    import os as _os
+
+    from nil_spark.sources.iceberg import IcebergTable
+
+    if not _os.path.exists(_os.path.join(args.table, "metadata", "version-hint.text")):
+        print(json.dumps({"error": "not an Iceberg table", "table": args.table}),
+              file=sys.stderr)
+        return 2
+    t = IcebergTable(args.table)
+    if args.action == "stats":
+        md = t.metadata()
+        data, dels, _ = t.plan_files()
+        print(json.dumps({
+            "snapshots": len(md["snapshots"]),
+            "current_snapshot_id": md["current-snapshot-id"],
+            "last_sequence_number": md["last-sequence-number"],
+            "schema_fields": len(t.schema().fields),
+            "partition_columns": t.partition_columns(),
+            "data_files": len(data),
+            "delete_files": len(dels),
+            "properties": md["properties"].get("streaming.last-batch-id"),
+        }))
+        return 0
+    spark = get_spark(app="nil_spark_iceberg", master=args.master,
+                      shuffle_partitions=args.shuffle_partitions)
+    try:
+        if args.action == "compact":
+            t.rewrite_data_files(spark, target_files=args.target_files)
+            data, dels, _ = t.plan_files()
+            print(json.dumps({"compacted": True, "data_files": len(data),
+                              "delete_files": len(dels)}))
+        else:  # expire
+            removed = t.expire_snapshots(keep_last=args.keep_last)
+            print(json.dumps({"expired": True, "files_removed": removed,
+                              "snapshots": len(t.snapshots())}))
+    finally:
+        spark.stop()
+    return 0
+
+
 def cmd_stats(args) -> int:
     """Operational index introspection: corpus scalars, term/posting/
     chunk counts, df distribution, on-disk bytes, build lineage."""
@@ -564,6 +609,20 @@ def main(argv=None) -> int:
     stp = sub.add_parser("stats", help="index introspection (one JSON line)")
     stp.add_argument("--index-dir", required=True)
     stp.set_defaults(fn=cmd_stats)
+
+    ice = sub.add_parser(
+        "iceberg",
+        help="engine-native Iceberg table maintenance "
+             "(stats / compact / expire)",
+    )
+    ice.add_argument("--table", required=True, help="Iceberg table directory")
+    ice.add_argument("--action", choices=["stats", "compact", "expire"],
+                     default="stats")
+    ice.add_argument("--keep-last", type=int, default=2,
+                     help="snapshots to keep on expire")
+    ice.add_argument("--target-files", type=int, default=None,
+                     help="repartition target on compact")
+    ice.set_defaults(fn=cmd_iceberg)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -418,3 +418,43 @@ def test_cli_build_stream_from_iceberg_table(spark, tmp_path):
     assert len(got) == len(oracle) > 0
     assert (got["doc_id"].values == oracle["doc_id"].values).all()
     assert np.allclose(got["bm25"].values, oracle["bm25"].values, atol=1e-6)
+
+
+def test_cli_iceberg_maintenance(spark, tmp_path):
+    """`cli iceberg --action stats|compact|expire` over an engine-native
+    table: inventory, small-file fold, snapshot expiry."""
+    from nil_spark.sources.iceberg import write_iceberg
+    from nil_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+    pdf = gen_transcripts(200, seed=41)
+    tbl = str(tmp_path / "tbl")
+    t = write_iceberg(
+        spark,
+        spark.createDataFrame(pdf.iloc[:100], schema=TRANSCRIPT_SCHEMA).repartition(3),
+        tbl,
+    )
+    t.append(spark, spark.createDataFrame(pdf.iloc[100:], schema=TRANSCRIPT_SCHEMA).repartition(3))
+
+    out = _run(["iceberg", "--table", tbl, "--action", "stats"])
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    info = json.loads(out.stdout.strip().splitlines()[-1])
+    assert info["snapshots"] == 2 and info["data_files"] >= 2
+
+    out = _run(["iceberg", "--table", tbl, "--action", "compact",
+                "--target-files", "1"])
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    info = json.loads(out.stdout.strip().splitlines()[-1])
+    assert info["compacted"] and info["data_files"] == 1
+
+    out = _run(["iceberg", "--table", tbl, "--action", "expire",
+                "--keep-last", "1"])
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    info = json.loads(out.stdout.strip().splitlines()[-1])
+    assert info["expired"] and info["snapshots"] == 1 and info["files_removed"] > 0
+    # table still fully readable after maintenance
+    from nil_spark.sources.iceberg import IcebergTable
+
+    assert IcebergTable(tbl).scan(spark).count() == 200
+
+    out = _run(["iceberg", "--table", str(tmp_path / "nope"), "--action", "stats"])
+    assert out.returncode == 2
