@@ -145,6 +145,20 @@ def test_position_deletes_merge_on_read(spark, transcripts_df, tmp_path):
     assert t.scan(spark).count() == want.count() + 7
 
 
+def test_merge_on_read_plan_shape(spark, transcripts_df, tmp_path):
+    """Scale guard: the position-delete anti-join must broadcast the
+    delete set (KBs-to-MBs) — a shuffled anti-join would reshuffle the
+    full data relation at 100 TB."""
+    p = str(tmp_path / "tbl")
+    t = write_iceberg(spark, transcripts_df, p)
+    t.delete_where(spark, F.col("role") == "tool")
+    plan = t.scan(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    # and the scan itself reads parquet (no per-row Python source)
+    assert "Scan parquet" in plan or "FileScan parquet" in plan
+
+
 def test_index_build_from_iceberg(spark, transcripts_df, tmp_path):
     """North-rule end-to-end: Iceberg transcripts -> inverted index ->
     BM25 top-k, rank-identical to building from the in-memory frame."""
