@@ -398,6 +398,10 @@ class IcebergTable:
         partition_by: Sequence[str] | None = None,
     ) -> "IcebergTable":
         t = cls(path)
+        if os.path.exists(os.path.join(t.meta_dir, "version-hint.text")):
+            raise ValueError(
+                f"Iceberg table already exists at {t.path!r} — use append()"
+            )
         os.makedirs(t.meta_dir, exist_ok=True)
         os.makedirs(t.data_dir, exist_ok=True)
         ice_schema = _ice_schema_from_spark(df.schema)

@@ -42,6 +42,9 @@ def test_roundtrip_parity(spark, transcripts_df, tmp_path):
     assert md["format-version"] == 2
     assert md["current-snapshot-id"] == 1
     assert "schema.name-mapping.default" in md["properties"]
+    # double-create is refused (append is the way to add data)
+    with pytest.raises(ValueError, match="already exists"):
+        write_iceberg(spark, transcripts_df, str(tmp_path / "tbl"))
 
 
 def test_manifest_carries_spec_field_ids(spark, transcripts_df, tmp_path):
