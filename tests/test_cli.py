@@ -458,3 +458,22 @@ def test_cli_iceberg_maintenance(spark, tmp_path):
 
     out = _run(["iceberg", "--table", str(tmp_path / "nope"), "--action", "stats"])
     assert out.returncode == 2
+
+
+def test_cli_csv_swapped_header_fails_loudly(tmp_path):
+    """ADVICE r3: with a user-supplied schema Spark maps CSV columns by
+    POSITION unless enforceSchema=false.  A CSV whose header order
+    differs from the transcript schema must FAIL the build (header
+    validated against the schema), not silently misassign role/text."""
+    pdf = gen_transcripts(50, seed=35)
+    out_pdf = pdf.copy()
+    out_pdf["ts"] = out_pdf["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S")
+    # swap two columns in the on-disk order
+    out_pdf = out_pdf[["conv_id", "turn_idx", "text", "role", "tool", "ts"]]
+    src = str(tmp_path / "csv")
+    os.makedirs(src)
+    out_pdf.to_csv(os.path.join(src, "part0.csv"), index=False)
+    out = _run(["build", "--input", src, "--format", "csv",
+                "--index-dir", str(tmp_path / "idx")])
+    assert out.returncode != 0
+    assert "CSV header does not conform" in out.stderr or "header" in out.stderr.lower()
