@@ -326,6 +326,12 @@ def cmd_query(args) -> int:
                 spark, qpdf, paths, td_pdf, n_docs, avgdl, cfg,
                 tokenize_on="worker",
             )
+        elif topology == "wand":
+            from nil_spark.operators.wand import topk_replica_bmw
+
+            out = topk_replica_bmw(
+                spark, qpdf, paths, td_pdf, n_docs, avgdl, cfg
+            )
         elif topology == "term_sharded":
             # term-range routing reads the MERGED store's footers
             merged = sorted(
@@ -564,11 +570,15 @@ def main(argv=None) -> int:
                         "streaming = IncrementalIndexer layout (per-batch "
                         "deltas + compacted generations)")
     q.add_argument("--topology",
-                   choices=["join", "replica", "sharded", "term_sharded"],
+                   choices=["join", "replica", "wand", "sharded",
+                            "term_sharded"],
                    default="join",
                    help="join = segments stay a DataFrame (no residency "
                         "assumption); replica = node-shared mmap replica, "
                         "highest qps when a shard group fits node memory; "
+                        "wand = replica store traversed document-at-a-time "
+                        "with Block-Max WAND skipping (wins on huge posting "
+                        "lists with small k); "
                         "sharded = document-sharded scatter/gather; "
                         "term_sharded = term-range scatter/gather over the "
                         "merged store (footer-statistics routing)")

@@ -1149,6 +1149,18 @@ def _merge_flat_shards(flats: list) -> tuple:
         docs[pos] = sdocs
         tfn[pos] = stfn
         cursor[ix] += cn
+    # canonical layout: per-term postings sorted by doc id.  The dense
+    # resident path is order-insensitive, but the WAND/searchsorted
+    # paths (operators/wand.py) seek within a term's doc list — shard
+    # order only coincides with doc order when shard doc-ranges are
+    # disjoint and filename-ordered (the fused-build layout).  After an
+    # upstream repartition the ranges interleave, so detect and fix
+    # with one stable lexsort (publish-once cost).
+    tob = np.repeat(np.arange(len(gterms), dtype=np.int64), totals)
+    step_down = (np.diff(docs) < 0) & (np.diff(tob) == 0)
+    if step_down.any():
+        order = np.lexsort((docs, tob))
+        docs, tfn = docs[order], tfn[order]
     return gterms, goffs, docs, tfn
 
 
@@ -1180,13 +1192,16 @@ def _replica_store_dir(key: tuple, paths: tuple) -> str:
     return os.path.join(base, f"nil_replica_{fp}")
 
 
-def _published_arrays(key: tuple, paths: tuple, build_fn):
+def _published_arrays(
+    key: tuple, paths: tuple, build_fn, names: tuple = _REPLICA_ARRAY_NAMES
+):
     """Publish-or-attach for the node-shared array store.  First caller
-    on the node runs ``build_fn`` and publishes the 4 flat arrays as
-    ``.npy`` files (atomic rename + DONE marker, mkdir lock); every
-    other worker — and every later worker cohort — just mmaps the
-    published files.  Falls back to a private in-process build if the
-    publisher appears dead (lock held past the deadline)."""
+    on the node runs ``build_fn`` and publishes the flat arrays (one
+    per entry in ``names``) as ``.npy`` files (atomic rename + DONE
+    marker, mkdir lock); every other worker — and every later worker
+    cohort — just mmaps the published files.  Falls back to a private
+    in-process build if the publisher appears dead (lock held past the
+    deadline)."""
     import contextlib
     import uuid
 
@@ -1240,7 +1255,7 @@ def _published_arrays(key: tuple, paths: tuple, build_fn):
             try:
                 arrays = build_fn()
                 os.makedirs(d, exist_ok=True)
-                for n, a in zip(_REPLICA_ARRAY_NAMES, arrays):
+                for n, a in zip(names, arrays):
                     tmp = os.path.join(d, f".{n}.{os.getpid()}.tmp.npy")
                     np.save(tmp, a)
                     os.replace(tmp, os.path.join(d, n + ".npy"))
@@ -1257,8 +1272,7 @@ def _published_arrays(key: tuple, paths: tuple, build_fn):
                 # publisher died: build privately, don't wait again
                 return build_fn()
     return tuple(
-        np.load(os.path.join(d, n + ".npy"), mmap_mode="r")
-        for n in _REPLICA_ARRAY_NAMES
+        np.load(os.path.join(d, n + ".npy"), mmap_mode="r") for n in names
     )
 
 

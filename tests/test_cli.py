@@ -79,7 +79,7 @@ def test_cli_fingerprint_mismatch_fails_fast(cli_index):
     assert "config mismatch" in out.stderr
 
 
-@pytest.mark.parametrize("topology", ["replica", "sharded", "term_sharded"])
+@pytest.mark.parametrize("topology", ["replica", "wand", "sharded", "term_sharded"])
 def test_cli_query_topologies_rank_identical(cli_index, topology):
     """--topology replica/sharded must return the same ranks as the
     join path and the oracle (fresh JVM, as spark-submit would)."""

@@ -133,9 +133,10 @@ def test_concurrent_cold_load_single_publish(shard_paths, tmp_path):
 
 def test_merge_flat_shards_matches_dict_reference():
     """The vectorized k-way scatter merge must agree with a brute-force
-    dict merge (term-sorted output, per-term postings concatenated in
-    shard order) on random shard layouts, including empty shards and
-    terms present in only some shards."""
+    dict merge (term-sorted output, per-term postings in canonical doc
+    order — the searchsorted serving paths require it) on random shard
+    layouts, including empty shards, terms present in only some shards,
+    and interleaved shard doc-ranges."""
     import random
 
     rng = random.Random(11)
@@ -172,8 +173,11 @@ def test_merge_flat_shards_matches_dict_reference():
         for i, t in enumerate(exp_terms):
             ed = np.concatenate([d for d, _ in expect[t]])
             ec = np.concatenate([c for _, c in expect[t]])
-            np.testing.assert_array_equal(docs[goffs[i]:goffs[i + 1]], ed)
-            np.testing.assert_allclose(tfn[goffs[i]:goffs[i + 1]], ec)
+            # canonical per-term doc order; stable, so equal doc ids
+            # keep shard order
+            o = np.argsort(ed, kind="stable")
+            np.testing.assert_array_equal(docs[goffs[i]:goffs[i + 1]], ed[o])
+            np.testing.assert_allclose(tfn[goffs[i]:goffs[i + 1]], ec[o])
 
 
 def test_publish_replica_at_build(spark, shard_paths, tmp_path, monkeypatch):
