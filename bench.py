@@ -234,6 +234,21 @@ def main() -> None:
         q_times.append(time.perf_counter() - t0)
     query_s = min(q_times)
     queries["engine_bm25_batch"] = round(query_s, 3)
+
+    # Block-Max WAND serving over the same replica + query batch: the
+    # document-at-a-time path whose cost is O(evaluated docs), not
+    # O(posting mass) — apples-to-apples with engine_bm25_batch (same
+    # 200 queries, k=10, same node-shared store; block index published
+    # once on first use, untimed warm-up covers it)
+    from nil_spark.operators.wand import topk_replica_bmw
+
+    force(topk_replica_bmw(spark, qpdf.iloc[:n_warm], paths, termdict, n_docs, avgdl, cfg))
+    w_times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        force(topk_replica_bmw(spark, qpdf, paths, termdict, n_docs, avgdl, cfg))
+        w_times.append(time.perf_counter() - t0)
+    queries["engine_bm25_wand"] = round(min(w_times), 3)
     shutil.rmtree(shard_dir, ignore_errors=True)
     shutil.rmtree(replica_store, ignore_errors=True)
 

@@ -1,38 +1,60 @@
-"""Block-Max WAND: document-at-a-time BM25 top-k over the node-shared
-replica store.
+"""Block-Max WAND/MaxScore: document-at-a-time BM25 top-k over the
+node-shared replica store.
 
 The fifth serving path, and the literal traversal the design doc
-promises ("BM25 top-k with block-max WAND", SURVEY.md §1): posting
-cursors walk document-at-a-time, a pivot is selected from term upper
-bounds (WAND, Broder et al. CIKM'03), and per-block maxima refine the
-bound so whole blocks are skipped without decoding (BMW, Ding & Suel
-SIGIR'11).  Reference analog: the filter-then-verify staging of
-NILMain.kt:72-74 / OptimizedCloneDetection.kt:20 — the cheap bound that
-keeps exact scoring off most candidates — expressed as posting-cursor
-pruning rather than candidate-set filtration.
+promises ("BM25 top-k with block-max WAND", SURVEY.md §1): postings
+are consumed in global doc order, a WAND-style sum-of-upper-bounds
+test (Broder et al. CIKM'03) prunes candidates, per-block maxima let
+whole doc ranges be skipped without decoding (BMW, Ding & Suel
+SIGIR'11), and the term set is split MaxScore-style (Turtle & Flood
+IPM'95) into *essential* and *non-essential* lists.  Reference analog:
+the filter-then-verify staging of NILMain.kt:72-74 /
+OptimizedCloneDetection.kt:20 — the cheap bound that keeps exact
+scoring off most candidates — expressed as posting-cursor pruning
+rather than candidate-set filtration.
+
+Why the hybrid, not textbook pivot-at-a-time WAND: a pure Python/NumPy
+engine pays ~100 µs of interpreter and numpy-dispatch overhead per
+pivot step, and on realistic mixed-df queries the pivot advance is
+capped by the nearest *hot-term* cursor, so textbook WAND degenerates
+to ~2-doc steps (measured here: 28-50 s for 20 long queries, slower
+than dense scoring).  The MaxScore split removes hot terms from the
+traversal entirely — they are probed, not walked:
+
+* essential terms (few, rare, high upper bound) are traversed in
+  doc-ordered slabs of up to EVAL_SLAB postings — vectorized gather;
+* a slab whose summed per-term BLOCK maxima cannot reach the running
+  threshold is skipped wholesale (the block-max skip);
+* per gathered candidate, essential-exact + non-essential upper
+  bounds form the WAND bound; only candidates that can still reach
+  the top-k are probed into the non-essential lists (one vectorized
+  ``searchsorted`` per term per slab, never a cursor walk).
 
 Where it sits among the serving paths (all rank-identical):
 
 * ``topk_replica_resident`` — term-at-a-time dense accumulation;
   O(total touched postings) regardless of k.  Fastest when queries
-  touch a modest posting mass (this corpus).
+  touch a modest posting mass.
 * ``topk_replica_bmw`` (here) — document-at-a-time with skipping;
-  evaluates only docs whose bound can reach the running top-k.  The
-  shape that wins when posting lists are huge and k is small: cost is
-  O(evaluated docs · T log n), not O(posting mass).  At 10^12 turns a
-  hot term's posting list is ~10^9 entries; the dense path must touch
-  all of them, BMW touches the blocks that matter.
+  walks only essential posting lists and probes the rest.  The shape
+  that wins when hot posting lists are huge and k is small: cost is
+  O(essential posting mass + probes), not O(total posting mass).  At
+  10^12 turns a hot term's posting list is ~10^9 entries; the dense
+  path must touch all of them, this path touches none of it beyond
+  log-time probes for surviving candidates.
 
-Exactness (same discipline as ``topk_maxscore``): a doc is skipped
-only when an upper bound on its total score is below
+Exactness (same discipline as ``topk_maxscore``): a doc's score is
+left unevaluated only when an upper bound on it is below
 ``threshold - MAXSCORE_MARGIN``, where ``threshold`` is the k-th
 largest *raw* score among fully-evaluated docs (monotone nondecreasing
-over the traversal).  A skipped doc's raw score therefore sits more
-than MAXSCORE_MARGIN (1e-6) below the final k-th raw score; rounding
-to SCORE_DECIMALS (1e-8 buckets) cannot close a 1e-6 gap, so the
-rounded, doc_id-tie-broken top-k over evaluated docs equals the exact
-answer.  Final ranking: round BEFORE rank, ties by ascending doc_id —
-the repo-wide rank-identity pin.
+over the traversal, and the essential set only shrinks as it rises, so
+every doc is either gathered while its terms are still essential or
+provably under the bar).  A skipped doc's raw score therefore sits
+more than MAXSCORE_MARGIN (1e-6) below the final k-th raw score;
+rounding to SCORE_DECIMALS (1e-8 buckets) cannot close a 1e-6 gap, so
+the rounded, doc_id-tie-broken top-k over evaluated docs equals the
+exact answer.  Final ranking: round BEFORE rank, ties by ascending
+doc_id — the repo-wide rank-identity pin.
 """
 
 from __future__ import annotations
@@ -61,6 +83,11 @@ _BMW_ARRAY_NAMES = ("boffs", "blast", "bmax")
 _BMW_CACHE: dict = {}
 
 _INF = np.iinfo(np.int64).max
+
+# per-essential-term postings consumed per slab: large enough that
+# numpy slice work dominates the per-iteration interpreter cost, small
+# enough that the threshold still tightens between slabs
+EVAL_SLAB = 1024
 
 
 def build_block_index(view: _ReplicaView, block_size: int) -> tuple:
@@ -128,19 +155,27 @@ def wand_query(
     k: int,
     stats: dict | None = None,
 ) -> tuple:
-    """Block-Max WAND traversal for one query.
+    """Block-Max WAND/MaxScore traversal for one query (module
+    docstring has the full design and exactness argument).
 
     ``tlist`` is ``[(term, idf), ...]``; returns ``(doc_ids, scores)``
     rounded and ranked (round-before-rank, ties by ascending doc_id).
-    ``stats`` (optional) accumulates ``evaluated`` (docs fully scored)
-    and ``candidates`` (total postings under the query terms) so tests
-    and benches can see the pruning rate.
+    ``stats`` (optional) accumulates ``evaluated`` (docs gathered and
+    scored) and ``candidates`` (total postings under the query terms)
+    so tests and benches can see the pruning rate.
     """
-    import heapq
-
     boffs, blast, bmax = bidx
     terms_arr = view.terms
     offs = view.offs
+    # plain-ndarray views over the (possibly mmap'd) buffers: slicing
+    # np.memmap pays __array_finalize__ on EVERY op (~2 µs, measured as
+    # ~30% of kernel time); asarray shares the same pages but slices at
+    # base-class speed
+    docs_nd = np.asarray(view.docs)
+    tfn_nd = np.asarray(view.tfn)
+    blast_nd = np.asarray(blast)
+    bmax_nd = np.asarray(bmax)
+
     t_docs: list = []
     t_tfn: list = []
     t_idf: list = []
@@ -153,12 +188,12 @@ def wand_query(
             continue
         s, e = int(offs[i]), int(offs[i + 1])
         bs, be = int(boffs[i]), int(boffs[i + 1])
-        t_docs.append(view.docs[s:e])
-        t_tfn.append(view.tfn[s:e])
+        t_docs.append(docs_nd[s:e])
+        t_tfn.append(tfn_nd[s:e])
         t_idf.append(float(idf))
-        t_blast.append(blast[bs:be])
-        t_bmax.append(bmax[bs:be])
-        ubs.append(float(idf) * float(bmax[bs:be].max()))
+        t_blast.append(blast_nd[bs:be])
+        t_bmax.append(bmax_nd[bs:be])
+        ubs.append(float(idf) * float(bmax_nd[bs:be].max()))
     n = len(t_docs)
     if stats is not None:
         stats["candidates"] = stats.get("candidates", 0) + sum(
@@ -169,88 +204,131 @@ def wand_query(
 
     lens = [len(d) for d in t_docs]
     cur = [0] * n
-    curdoc = np.fromiter((int(d[0]) for d in t_docs), np.int64, count=n)
     ubs_arr = np.asarray(ubs, np.float64)
-    heap: list = []  # min-heap of raw scores of evaluated docs, size k
+    # the essential split is a suffix of the ub-ascending term order:
+    # terms in ub_order[:split] cannot, even all together, lift any doc
+    # over the threshold (cumulative bound under it) — probed, not
+    # walked (MaxScore).  split only grows as the threshold rises.
+    ub_order = [int(x) for x in np.argsort(ubs_arr, kind="stable")]
+    ub_csum = np.cumsum(ubs_arr[ub_order])
+    topk = np.empty(0, np.float64)  # k largest RAW scores evaluated so far
     out_docs: list = []
     out_scores: list = []
+    n_eval = 0
 
-    def _seek(t: int, target: int) -> None:
-        j = cur[t] + int(np.searchsorted(t_docs[t][cur[t]:], target))
-        cur[t] = j
-        curdoc[t] = int(t_docs[t][j]) if j < lens[t] else _INF
+    def _local_ub(t: int, lo: int, hi: int) -> float:
+        """idf × max block-max over blocks intersecting [lo, hi]; 0.0
+        when the term has no postings ≥ lo."""
+        bl = t_blast[t]
+        a = int(np.searchsorted(bl, lo))
+        if a >= len(bl):
+            return 0.0
+        b = int(np.searchsorted(bl, hi))
+        if b >= len(bl):
+            b = len(bl) - 1
+        return t_idf[t] * float(t_bmax[t][a : b + 1].max())
 
     while True:
-        threshold = heap[0] if len(heap) >= k else -math.inf
-        order = np.argsort(curdoc, kind="stable")
-        if curdoc[order[0]] == _INF:
-            break
-        # pivot: shortest prefix (by current doc) whose summed term
-        # upper bounds could still reach the threshold
-        csum = np.cumsum(ubs_arr[order])
-        live = np.flatnonzero(csum >= threshold - MAXSCORE_MARGIN)
-        if len(live) == 0:
+        threshold = float(topk.min()) if len(topk) >= k else -math.inf
+        split = int(np.searchsorted(ub_csum, threshold - MAXSCORE_MARGIN))
+        if split >= n:
             break  # even all terms together cannot reach the top-k
-        p = int(live[0])
-        pivot = int(curdoc[order[p]])
-        if pivot == _INF:
-            break
-        # fold in every term already sitting on the pivot doc (their
-        # contribution is real, not just a bound)
-        while p + 1 < n and int(curdoc[order[p + 1]]) == pivot:
-            p += 1
-        prefix = [int(x) for x in order[: p + 1]]
-        next_cap = int(curdoc[order[p + 1]]) if p + 1 < n else _INF
+        ess = ub_order[split:]
+        ness = ub_order[:split]
+        # cumulative bound of everything probed rather than walked —
+        # O(1), part of every candidate's WAND bound
+        ub_rest = float(ub_csum[split - 1]) if split else 0.0
 
-        # block-max refinement: exact per-block ceiling at the pivot
-        bound = 0.0
-        nshallow = _INF
-        for t in prefix:
-            bi = int(np.searchsorted(t_blast[t], pivot))
-            if bi >= len(t_blast[t]):
-                continue  # term has no postings >= pivot
-            bound += t_idf[t] * float(t_bmax[t][bi])
-            bl = int(t_blast[t][bi])
-            if bl < nshallow:
-                nshallow = bl
-        if bound >= threshold - MAXSCORE_MARGIN:
-            # evaluate the pivot exactly across the prefix
-            s = 0.0
-            for t in prefix:
-                _seek(t, pivot)
-                j = cur[t]
-                if j < lens[t] and int(t_docs[t][j]) == pivot:
-                    s += t_idf[t] * float(t_tfn[t][j])
-                    cur[t] = j + 1
-                    curdoc[t] = (
-                        int(t_docs[t][j + 1]) if j + 1 < lens[t] else _INF
-                    )
-            out_docs.append(pivot)
-            out_scores.append(s)
-            if len(heap) < k:
-                heapq.heappush(heap, s)
-            elif s > heap[0]:
-                heapq.heapreplace(heap, s)
+        # slab extent: from the smallest essential cursor doc out to
+        # the nearest essential EVAL_SLAB-th posting (min across terms
+        # bounds every gather to one slice)
+        lo = _INF
+        hi = _INF
+        for t in ess:
+            c = cur[t]
+            if c >= lens[t]:
+                continue
+            d0 = int(t_docs[t][c])
+            if d0 < lo:
+                lo = d0
+            dh = int(t_docs[t][min(c + EVAL_SLAB, lens[t]) - 1])
+            if dh < hi:
+                hi = dh
+        if lo == _INF:
+            break  # essential lists exhausted
+        if hi < lo:
+            hi = lo
+
+        # block-max slab skip (BMW): if the essential terms' block
+        # maxima over [lo, hi] plus everything probe-able cannot reach
+        # the threshold, skip the slab without gathering a posting
+        bound = ub_rest
+        ok = bound >= threshold - MAXSCORE_MARGIN
+        if not ok:
+            for t in reversed(ess):  # descending ub: fastest early-out
+                bound += _local_ub(t, lo, hi)
+                if bound >= threshold - MAXSCORE_MARGIN:
+                    ok = True
+                    break
+        if not ok:
+            for t in ess:
+                c = cur[t]
+                cur[t] = c + int(
+                    np.searchsorted(t_docs[t][c:], hi, side="right")
+                )
+            continue
+
+        # gather the essential slab [lo, hi] — the only cursor walk
+        parts_d: list = []
+        parts_s: list = []
+        for t in ess:
+            c = cur[t]
+            z = c + int(np.searchsorted(t_docs[t][c:], hi, side="right"))
+            if z > c:
+                parts_d.append(t_docs[t][c:z])
+                parts_s.append(t_idf[t] * t_tfn[t][c:z])
+            cur[t] = z
+        if len(parts_d) == 1:
+            u = parts_d[0]
+            ess_sc = parts_s[0]
         else:
-            # every doc in [pivot, min(nshallow, next_cap - 1)] is
-            # bounded by `bound` (< threshold - margin): only prefix
-            # terms can contain docs below next_cap, and each one's
-            # contribution there is capped by its current block max.
-            # Skip the whole range without decoding.
-            d2 = nshallow + 1 if nshallow != _INF else _INF
-            if next_cap < d2:
-                d2 = next_cap
-            if d2 <= pivot:
-                d2 = pivot + 1
-            for t in prefix:
-                _seek(t, d2)
+            u, inv = np.unique(np.concatenate(parts_d), return_inverse=True)
+            ess_sc = np.zeros(len(u), np.float64)
+            np.add.at(ess_sc, inv, np.concatenate(parts_s))
+        n_eval += len(u)
+
+        # WAND candidate bound: essential-exact + probed-terms bound.
+        # Survivors get their non-essential contributions looked up by
+        # one vectorized searchsorted per term (full list, no cursor —
+        # correct even after a term left the essential set).
+        if threshold > -math.inf:
+            live_m = ess_sc + ub_rest >= threshold - MAXSCORE_MARGIN
+            live = u[live_m]
+            sc = ess_sc[live_m]
+        else:
+            live = u
+            sc = ess_sc
+        if len(live):
+            for t in ness:
+                dlist = t_docs[t]
+                pos = np.searchsorted(dlist, live)
+                np.minimum(pos, lens[t] - 1, out=pos)
+                hit = dlist[pos] == live
+                if hit.any():
+                    sc[hit] += t_idf[t] * t_tfn[t][pos[hit]]
+            out_docs.append(live)
+            out_scores.append(sc)
+            pool = np.concatenate((topk, sc))
+            if len(pool) > k:
+                pool = np.partition(pool, len(pool) - k)[len(pool) - k :]
+            topk = pool
 
     if stats is not None:
-        stats["evaluated"] = stats.get("evaluated", 0) + len(out_docs)
+        stats["evaluated"] = stats.get("evaluated", 0) + n_eval
     if not out_docs:
         return np.empty(0, np.int64), np.empty(0, np.float64)
-    docs_arr = np.asarray(out_docs, np.int64)
-    sc = np.round(np.asarray(out_scores, np.float64), SCORE_DECIMALS)
+    docs_arr = np.concatenate(out_docs)
+    sc = np.round(np.concatenate(out_scores), SCORE_DECIMALS)
     top = np.lexsort((docs_arr, -sc))[: min(k, len(docs_arr))]
     return docs_arr[top], sc[top]
 

@@ -149,6 +149,94 @@ QUALIFY rank <= {BM25_K}
 """
 
 
+# -------------------------------------------- q: bm25 via the engine
+
+
+def q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME BM25 top-k answered by the real engine end-to-end:
+    fused index build (build_partial_segments) → node-shared mmap
+    replica → document-at-a-time Block-Max WAND serving
+    (operators/wand.py) — the north star's "top-k queries via
+    posting-list intersection with block-max WAND" literally, gated by
+    the identical DuckDB oracle as ``bm25_topk``.
+
+    Config is pinned to the oracle semantics: unigram terms
+    (gram_size=1), no min-size predicates (the oracle counts every doc
+    toward n/avgdl), stopword pruning disabled (the oracle scores hot
+    terms too).  The engine ranks at SCORE_DECIMALS (8 dp); the oracle
+    at 6 dp with doc_id ties — so the engine is asked for k + 40 and
+    the final 6-dp round + re-rank happens JVM-side.
+    """
+    import glob
+    import hashlib
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from nil_spark.config import EngineConfig
+    from nil_spark.operators.segments import (
+        DOCSTAT_SENTINEL,
+        build_partial_segments,
+    )
+    from nil_spark.operators.wand import topk_replica_bmw
+
+    cfg = EngineConfig(gram_size=1, min_chars=0, min_tokens=0,
+                       df_stopword_cutoff=2.0)
+    src = f"{sf_dir}/documents.parquet"
+    docs = spark.read.parquet(src).select("doc_id", "text")
+
+    # deterministic reusable index dir, keyed on the source file identity
+    # (the driver/bench call this repeatedly on immutable testdata)
+    st_src = os.stat(src) if os.path.isfile(src) else None
+    ident = (os.path.realpath(src),
+             st_src.st_mtime_ns if st_src else 0,
+             st_src.st_size if st_src else 0, "v1")
+    fp = hashlib.md5(repr(ident).encode()).hexdigest()[:16]
+    shard_dir = os.path.join(tempfile.gettempdir(), f"nil_gate_wand_{fp}")
+    if not os.path.exists(os.path.join(shard_dir, "_SUCCESS")):
+        build_partial_segments(docs.repartition(8), cfg).write.mode(
+            "overwrite"
+        ).parquet(shard_dir)
+
+    raw = spark.read.parquet(shard_dir)
+    st = (
+        raw.filter(F.col("term") == DOCSTAT_SENTINEL)
+        .agg(F.sum("n_postings").alias("n"),
+             F.sum(F.element_at("bm_max", 1)).alias("s"))
+        .collect()[0]
+    )
+    n_docs, avgdl = int(st["n"]), float(st["s"]) / int(st["n"])
+    td_pdf = (
+        raw.filter(F.col("term") != DOCSTAT_SENTINEL)
+        .groupBy("term")
+        .agg(F.sum("n_postings").cast("long").alias("df"))
+        .toPandas()
+    )
+    qpdf = pd.DataFrame(
+        {
+            "query_id": [i for i, _ in BM25_QUERIES],
+            "text": [t for _, t in BM25_QUERIES],
+            "k": [BM25_K + 40] * len(BM25_QUERIES),
+        }
+    )
+    eng = topk_replica_bmw(
+        spark, qpdf, sorted(glob.glob(shard_dir + "/part-*.parquet")),
+        td_pdf, n_docs, avgdl, cfg,
+    )
+    scored = eng.select(
+        "query_id", "doc_id", F.round("bm25", 6).alias("bm25")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_K)
+        .select("query_id", "rank", "doc_id", "bm25")
+    )
+
+
 # ------------------------------------------------- q: term dictionary
 
 
@@ -1852,6 +1940,7 @@ ORDER BY lang
 
 REGISTRY: dict[str, tuple] = {
     "bm25_topk": (q_bm25_topk, _bm25_sql()),
+    "bm25_wand_topk": (q_bm25_wand_topk, _bm25_sql()),
     "term_stats": (q_term_stats, _term_stats_sql()),
     "doc_stats": (q_doc_stats, _doc_stats_sql()),
     "ngram_postings": (q_ngram_postings, _ngram_postings_sql()),
