@@ -77,6 +77,8 @@ def main() -> None:
     import shutil
     import tempfile
 
+    import pandas as pd
+
     from pyspark.sql import functions as SF
 
     from nil_spark.config import EngineConfig
@@ -249,6 +251,17 @@ def main() -> None:
         force(topk_replica_bmw(spark, qpdf, paths, termdict, n_docs, avgdl, cfg))
         w_times.append(time.perf_counter() - t0)
     queries["engine_bm25_wand"] = round(min(w_times), 3)
+
+    # the same 20 long queries engine_maxscore_longq runs through the
+    # join-based segment path — on the BMW kernel the MaxScore term
+    # split keeps the walked set tiny even at ~60 terms/query
+    lqpdf = pd.DataFrame(lq, columns=["query_id", "text", "k"])
+    wl_times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        force(topk_replica_bmw(spark, lqpdf, paths, termdict, n_docs, avgdl, cfg))
+        wl_times.append(time.perf_counter() - t0)
+    queries["engine_wand_longq"] = round(min(wl_times), 3)
     shutil.rmtree(shard_dir, ignore_errors=True)
     shutil.rmtree(replica_store, ignore_errors=True)
 
