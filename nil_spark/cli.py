@@ -258,6 +258,17 @@ def cmd_query(args) -> int:
             }), file=sys.stderr)
             spark.stop()
             return 2
+        if getattr(args, "verify", "none") != "none":
+            # streaming-index doc ids come from the absorb sequence
+            # (next_doc_id), not the deterministic (conv_id, turn_idx)
+            # assignment --corpus re-derivation assumes — verification
+            # would silently score the wrong texts
+            print(json.dumps({
+                "error": "--verify is unsupported for streaming layout",
+                "hint": "query the batch-built index for verified serving",
+            }), file=sys.stderr)
+            spark.stop()
+            return 2
         opened = _open_streaming_index(spark, args.index_dir, cfg)
         if isinstance(opened, int):
             spark.stop()
@@ -285,6 +296,22 @@ def cmd_query(args) -> int:
 
     if "k" not in q.columns:
         q = q.withColumn("k", F.lit(args.k))
+    verify = getattr(args, "verify", "none")
+    q_final = q  # original k — what verification trims back to
+    if verify != "none":
+        if not getattr(args, "corpus", None):
+            print(json.dumps({
+                "error": "--verify needs --corpus",
+                "hint": "the index stores postings, not text; point "
+                        "--corpus at the transcripts the index was built "
+                        "from (doc ids are re-derived deterministically)",
+            }), file=sys.stderr)
+            spark.stop()
+            return 2
+        # retrieve k+margin so verification has a residue to trim
+        q = q.withColumn(
+            "k", (F.col("k") + F.lit(int(args.verify_margin))).cast("int")
+        )
     topology = getattr(args, "topology", "join")
     if topology == "join":
         out = topk_maxscore(q, segs, termdict, n_docs, avgdl, cfg)
@@ -344,6 +371,21 @@ def cmd_query(args) -> int:
             out = topk_maxscore_sharded(
                 spark, qpdf, paths, td_pdf, n_docs, avgdl, cfg
             )
+    if verify != "none":
+        from nil_spark.operators.search_verify import verify_topk
+
+        docs_txt = assign_doc_ids(
+            read_docs(spark, args.corpus, args.corpus_format),
+            ["conv_id", "turn_idx"],
+        ).select("doc_id", "text")
+        out = verify_topk(
+            out.select("query_id", "doc_id", "bm25"),
+            q_final.select("query_id", "text", "k"),
+            docs_txt,
+            cfg,
+            mode=verify,
+            delta=args.delta,
+        )
     out.write.mode("overwrite").parquet(args.out)
     print(json.dumps({"results": spark.read.parquet(args.out).count(),
                       "manifest": builder.manifest_path}))
@@ -582,6 +624,28 @@ def main(argv=None) -> int:
                         "sharded = document-sharded scatter/gather; "
                         "term_sharded = term-range scatter/gather over the "
                         "merged store (footer-statistics routing)")
+    q.add_argument("--verify", choices=["none", "overlap", "two_tier",
+                                        "always_lcs"],
+                   default="none",
+                   help="verification pass over retrieved candidates "
+                        "(filter-then-verify, OptimizedCloneDetection "
+                        "staging): overlap = tier-1 n-gram-overlap only; "
+                        "two_tier = overlap fast-accept + LCS on the "
+                        "residue; always_lcs = every candidate pays LCS. "
+                        "Requires --corpus for document text.")
+    q.add_argument("--delta", type=int, default=None,
+                   help="verification threshold %% (default: config's "
+                        "verification_threshold, 70)")
+    q.add_argument("--verify-margin", type=int, default=20,
+                   help="extra candidates retrieved per query before "
+                        "verification trims back to k")
+    q.add_argument("--corpus", default=None,
+                   help="the transcripts the index was built from "
+                        "(doc text for verification; ids re-derived by the "
+                        "same (conv_id, turn_idx) assignment as the build)")
+    q.add_argument("--corpus-format",
+                   choices=["parquet", "csv", "json", "iceberg"],
+                   default="parquet")
     q.set_defaults(fn=cmd_query)
 
     bs = sub.add_parser(

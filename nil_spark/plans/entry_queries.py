@@ -66,6 +66,19 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-k over documents — the flagship query (SURVEY §2: A1-A4,
     Q1, Q9 generalized; reference candidate counting
     NGramBasedLocation.kt:10-15)."""
+    scored = _bm25_scored(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_K)
+        .select("query_id", "rank", "doc_id", "bm25")
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, bm25) for every doc matching ≥1 query term —
+    the shared scored relation under bm25_topk and the verified
+    variant."""
     docs = _docs_toks(spark, sf_dir)
     dl = docs.select("doc_id", F.size("toks").cast("double").alias("dl"))
     stats = dl.agg(
@@ -114,12 +127,95 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum("partial"), 6).alias("bm25"))
     )
+    return scored
+
+
+# ------------------------------------- q: bm25 + verification pass
+
+
+VERIFY_MARGIN = 20  # candidates retrieved per query = BM25_K + this
+VERIFY_DELTA = 50   # accept iff ≥50% of the smaller distinct-token set overlaps
+
+
+def q_bm25_verified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-then-verify SEARCH: BM25 retrieval at k+margin, then the
+    tier-1 n-gram-overlap verification pass of
+    operators/search_verify.py (the north star's "LCS-style
+    verification pass on candidates" — this gate row exercises the
+    SQL-expressible overlap tier; the LCS tier is pinned by
+    tests/test_search_verify.py against a pure-Python oracle).
+    Mirrors OptimizedCloneDetection.kt:17-56 staging on the query path.
+    """
+    from nil_spark.config import EngineConfig
+    from nil_spark.operators.search_verify import verify_topk
+
+    scored = _bm25_scored(spark, sf_dir)
     w = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), F.col("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= BM25_K)
-        .select("query_id", "rank", "doc_id", "bm25")
+    cand = (
+        scored.withColumn("rrank", F.row_number().over(w))
+        .filter(F.col("rrank") <= BM25_K + VERIFY_MARGIN)
+        .select("query_id", "doc_id", "bm25")
     )
+    queries = spark.createDataFrame(
+        [(qid, text, BM25_K) for qid, text in BM25_QUERIES],
+        "query_id long, text string, k int",
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    out = verify_topk(
+        cand, queries, docs, EngineConfig(gram_size=1),
+        mode="overlap", delta=VERIFY_DELTA,
+    )
+    return out.select("query_id", "rank", "doc_id", "bm25", "sim")
+
+
+def _bm25_verified_sql() -> str:
+    vals = ", ".join(f"({i}, '{t}')" for i, t in BM25_QUERIES)
+    return f"""
+WITH {_DOCS_CTE},
+dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM docs),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+       FROM docs, unnest(toks) AS u(tok) GROUP BY 1, 2),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(query_id, qtext) AS (VALUES {vals}),
+qt AS (SELECT DISTINCT query_id, tok AS term
+       FROM q, unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) AS u(tok)),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum( ln(1 + (s.n - dfr.df + 0.5) / (dfr.df + 0.5))
+                    * (tf.tf * 2.2)
+                    / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6) AS bm25
+  FROM qt JOIN tf USING (term) JOIN dfr USING (term)
+       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  GROUP BY 1, 2),
+cand AS (
+  SELECT query_id, doc_id, bm25
+  FROM scored
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id)
+          <= {BM25_K + VERIFY_MARGIN}),
+qn AS (SELECT query_id, count(*)::DOUBLE AS nq FROM qt GROUP BY 1),
+dtok AS (SELECT DISTINCT doc_id, tok FROM docs, unnest(toks) AS u(tok)
+         WHERE doc_id IN (SELECT doc_id FROM cand)),
+dn AS (SELECT doc_id, count(*)::DOUBLE AS nd FROM dtok GROUP BY 1),
+ov AS (SELECT c.query_id, c.doc_id, count(*)::DOUBLE AS inter
+       FROM cand c
+       JOIN qt ON qt.query_id = c.query_id
+       JOIN dtok ON dtok.doc_id = c.doc_id AND dtok.tok = qt.term
+       GROUP BY 1, 2),
+sims AS (
+  SELECT c.query_id, c.doc_id, c.bm25,
+         floor(100 * coalesce(ov.inter, 0) / least(qn.nq, dn.nd))::INT AS sim
+  FROM cand c
+  JOIN qn USING (query_id)
+  JOIN dn ON dn.doc_id = c.doc_id
+  LEFT JOIN ov ON ov.query_id = c.query_id AND ov.doc_id = c.doc_id)
+SELECT query_id,
+       (row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id))::INT AS rank,
+       doc_id, bm25, sim
+FROM sims
+WHERE sim >= {VERIFY_DELTA}
+QUALIFY rank <= {BM25_K}
+"""
 
 
 def _bm25_sql() -> str:
@@ -1941,6 +2037,7 @@ ORDER BY lang
 REGISTRY: dict[str, tuple] = {
     "bm25_topk": (q_bm25_topk, _bm25_sql()),
     "bm25_wand_topk": (q_bm25_wand_topk, _bm25_sql()),
+    "bm25_verified_topk": (q_bm25_verified_topk, _bm25_verified_sql()),
     "term_stats": (q_term_stats, _term_stats_sql()),
     "doc_stats": (q_doc_stats, _doc_stats_sql()),
     "ngram_postings": (q_ngram_postings, _ngram_postings_sql()),

@@ -477,3 +477,62 @@ def test_cli_csv_swapped_header_fails_loudly(tmp_path):
                 "--index-dir", str(tmp_path / "idx")])
     assert out.returncode != 0
     assert "CSV header does not conform" in out.stderr or "header" in out.stderr.lower()
+
+
+def _read_res(res: str) -> pd.DataFrame:
+    return (
+        pd.concat(
+            pq.read_table(os.path.join(res, f)).to_pandas()
+            for f in os.listdir(res)
+            if f.endswith(".parquet")
+        )
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+
+
+def test_cli_query_verified(cli_index):
+    """--verify: delta=0 overlap accepts every candidate, so the
+    verified top-k must be rank-identical to the plain path (plus sim/
+    tier columns); delta=101 rejects everything; two_tier at the
+    default threshold returns a subset with sane tiers; --verify
+    without --corpus is a structured exit-2."""
+    tmp, idx_dir, pdf = cli_index
+    q = gen_queries(pdf, n_queries=6, k=5, seed=31)
+    qp = str(tmp / "q_verify.parquet")
+    pq.write_table(pa.Table.from_pandas(q, preserve_index=False), qp)
+    corpus = str(tmp / "corpus.parquet")
+
+    res0 = str(tmp / "res_v0")
+    out = _run(["query", "--index-dir", idx_dir, "--queries", qp, "--out", res0,
+                "--topology", "wand", "--verify", "overlap", "--delta", "0",
+                "--corpus", corpus])
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    got = _read_res(res0)
+    assert {"sim", "tier"} <= set(got.columns)
+    assert (got["tier"] == "ngram").all()
+    oracle = OracleIndex(pdf, EngineConfig(gram_size=1)).topk_frame(q)
+    oracle = oracle.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert (got["doc_id"].values == oracle["doc_id"].values).all()
+    assert np.allclose(got["bm25"].values, oracle["bm25"].values, atol=1e-6)
+
+    res1 = str(tmp / "res_v101")
+    out = _run(["query", "--index-dir", idx_dir, "--queries", qp, "--out", res1,
+                "--verify", "overlap", "--delta", "101", "--corpus", corpus])
+    assert out.returncode == 0
+    assert json.loads(out.stdout.strip().splitlines()[-1])["results"] == 0
+
+    res2 = str(tmp / "res_v2")
+    out = _run(["query", "--index-dir", idx_dir, "--queries", qp, "--out", res2,
+                "--verify", "two_tier", "--corpus", corpus])
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    two = _read_res(res2)
+    assert set(two["tier"]) <= {"ngram", "lcs"}
+    assert (two["sim"] >= 70).all()  # default delta
+    for qid, grp in two.groupby("query_id"):
+        assert list(grp["rank"]) == list(range(1, len(grp) + 1))
+        assert len(grp) <= 5
+
+    out = _run(["query", "--index-dir", idx_dir, "--queries", qp,
+                "--out", str(tmp / "res_v3"), "--verify", "two_tier"])
+    assert out.returncode == 2
+    assert "corpus" in json.loads(out.stderr.strip().splitlines()[-1])["error"]

@@ -192,3 +192,13 @@ def test_term_sharded_serving_single_shuffle(spark, _serving):
     df = topk_term_sharded(spark, qpdf, paths, termdict, n_docs, avgdl, cfg)
     ex = _shuffle_exchanges(df)
     assert len(ex) <= 1, "expected at most one shuffle, got:\n" + "\n".join(ex)
+
+
+def test_verified_search_stays_broadcast(spark):
+    """The verification stage must add NO sort-merge join: dterms (wide
+    shingle arrays, corpus-derived) streams while the narrow candidate
+    and query-term relations broadcast — the only exchanged rows in a
+    verified query belong to retrieval and the final rank window."""
+    plan = _plan(entry_mod.queries()["bm25_verified_topk"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, plan[:4000]
+    assert "BroadcastHashJoin" in plan
