@@ -262,6 +262,31 @@ def main() -> None:
         force(topk_replica_bmw(spark, lqpdf, paths, termdict, n_docs, avgdl, cfg))
         wl_times.append(time.perf_counter() - t0)
     queries["engine_wand_longq"] = round(min(wl_times), 3)
+
+    # end-to-end verified serving: BMW retrieval at k+margin, tier-1
+    # overlap fast-accept, LCS on the residue, BM25 re-rank — the full
+    # filter-then-verify query pipeline (operators/search_verify.py)
+    # over the same corpus + 200-query batch
+    from nil_spark.operators.search_verify import verify_topk
+
+    qv = qpdf.copy()
+    qv["k"] = qv["k"] + 20
+    queries_df = spark.createDataFrame(qpdf)
+    docs_txt = docs_b.select("doc_id", "text")
+
+    def _verified():
+        cand = topk_replica_bmw(
+            spark, qv, paths, termdict, n_docs, avgdl, cfg
+        ).select("query_id", "doc_id", "bm25")
+        return verify_topk(cand, queries_df, docs_txt, cfg, mode="two_tier")
+
+    force(_verified())  # untimed: first-use JIT for the verify shape
+    v_times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        force(_verified())
+        v_times.append(time.perf_counter() - t0)
+    queries["engine_bm25_verified"] = round(min(v_times), 3)
     shutil.rmtree(shard_dir, ignore_errors=True)
     shutil.rmtree(replica_store, ignore_errors=True)
 
