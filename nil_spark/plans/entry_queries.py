@@ -248,42 +248,30 @@ QUALIFY rank <= {BM25_K}
 # -------------------------------------------- q: bm25 via the engine
 
 
-def q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SAME BM25 top-k answered by the real engine end-to-end:
-    fused index build (build_partial_segments) → node-shared mmap
-    replica → document-at-a-time Block-Max WAND serving
-    (operators/wand.py) — the north star's "top-k queries via
-    posting-list intersection with block-max WAND" literally, gated by
-    the identical DuckDB oracle as ``bm25_topk``.
-
-    Config is pinned to the oracle semantics: unigram terms
-    (gram_size=1), no min-size predicates (the oracle counts every doc
-    toward n/avgdl), stopword pruning disabled (the oracle scores hot
-    terms too).  The engine ranks at SCORE_DECIMALS (8 dp); the oracle
-    at 6 dp with doc_id ties — so the engine is asked for k + 40 and
-    the final 6-dp round + re-rank happens JVM-side.
-    """
+def _gate_engine_index(spark: SparkSession, sf_dir: str):
+    """Build (or reuse) the oracle-parity engine index over
+    ``documents`` and return ``(shard_paths, td_pdf, n_docs, avgdl,
+    cfg)`` — shared by every gate row that exercises the real engine
+    (WAND serving, phrase search).  Config is pinned to the oracle
+    semantics: unigram terms (gram_size=1), no min-size predicates,
+    stopword pruning disabled.  The index dir is content-keyed in /tmp
+    (the driver/bench call these repeatedly on immutable testdata)."""
     import glob
     import hashlib
     import os
     import tempfile
-
-    import pandas as pd
 
     from nil_spark.config import EngineConfig
     from nil_spark.operators.segments import (
         DOCSTAT_SENTINEL,
         build_partial_segments,
     )
-    from nil_spark.operators.wand import topk_replica_bmw
 
     cfg = EngineConfig(gram_size=1, min_chars=0, min_tokens=0,
                        df_stopword_cutoff=2.0)
     src = f"{sf_dir}/documents.parquet"
     docs = spark.read.parquet(src).select("doc_id", "text")
 
-    # deterministic reusable index dir, keyed on the source file identity
-    # (the driver/bench call this repeatedly on immutable testdata)
     st_src = os.stat(src) if os.path.isfile(src) else None
     ident = (os.path.realpath(src),
              st_src.st_mtime_ns if st_src else 0,
@@ -309,6 +297,34 @@ def q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n_postings").cast("long").alias("df"))
         .toPandas()
     )
+    return (
+        sorted(glob.glob(shard_dir + "/part-*.parquet")),
+        td_pdf, n_docs, avgdl, cfg,
+    )
+
+
+def q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME BM25 top-k answered by the real engine end-to-end:
+    fused index build (build_partial_segments) → node-shared mmap
+    replica → document-at-a-time Block-Max WAND serving
+    (operators/wand.py) — the north star's "top-k queries via
+    posting-list intersection with block-max WAND" literally, gated by
+    the identical DuckDB oracle as ``bm25_topk``.
+
+    Config is pinned to the oracle semantics: unigram terms
+    (gram_size=1), no min-size predicates (the oracle counts every doc
+    toward n/avgdl), stopword pruning disabled (the oracle scores hot
+    terms too).  The engine ranks at SCORE_DECIMALS (8 dp); the oracle
+    at 6 dp with doc_id ties — so the engine is asked for k + 40 and
+    the final 6-dp round + re-rank happens JVM-side.
+    """
+    import pandas as pd
+
+    from nil_spark.operators.wand import topk_replica_bmw
+
+    shard_paths, td_pdf, n_docs, avgdl, cfg = _gate_engine_index(
+        spark, sf_dir
+    )
     qpdf = pd.DataFrame(
         {
             "query_id": [i for i, _ in BM25_QUERIES],
@@ -317,8 +333,7 @@ def q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     )
     eng = topk_replica_bmw(
-        spark, qpdf, sorted(glob.glob(shard_dir + "/part-*.parquet")),
-        td_pdf, n_docs, avgdl, cfg,
+        spark, qpdf, shard_paths, td_pdf, n_docs, avgdl, cfg,
     )
     scored = eng.select(
         "query_id", "doc_id", F.round("bm25", 6).alias("bm25")
@@ -331,6 +346,80 @@ def q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= BM25_K)
         .select("query_id", "rank", "doc_id", "bm25")
     )
+
+
+# ------------------------------------------ q: phrase search (engine)
+
+
+# fixed phrase query set: bigrams at varied df, a trigram, a
+# repeated-token phrase (pins the non-overlap count rule), a rare
+# trigram, and a phrase with a term absent from the vocabulary (pins
+# the index absence-implies-no-match inference)
+PHRASE_QUERIES = [
+    (0, "hash join"),
+    (1, "table scan"),
+    (2, "merge sort"),
+    (3, "fast query"),
+    (4, "key value"),
+    (5, "dup dup"),
+    (6, "value table part"),
+    (7, "scan slow fast"),
+    (8, "hash warehouse"),
+]
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search answered by the real engine end-to-end:
+    fused index build → node-shared mmap replica → conjunctive
+    posting-list intersection (operators/phrase.py) → contiguity
+    verification on the candidate docs only — the reference's
+    filter-then-verify staging (OptimizedCloneDetection.kt:17-56)
+    with the index as the location filter (NGramBasedLocation.kt:
+    10-15).  ``hits`` counts leftmost non-overlapping occurrences;
+    the oracle computes the identical count with a pure string
+    replace over the space-joined padded token string."""
+    import pandas as pd
+
+    from nil_spark.operators.phrase import phrase_search_replica
+
+    shard_paths, td_pdf, n_docs, avgdl, cfg = _gate_engine_index(
+        spark, sf_dir
+    )
+    qpdf = pd.DataFrame(
+        {
+            "query_id": [i for i, _ in PHRASE_QUERIES],
+            "text": [t for _, t in PHRASE_QUERIES],
+        }
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return phrase_search_replica(
+        spark, qpdf, shard_paths, td_pdf, n_docs, avgdl, cfg, docs
+    )
+
+
+def _phrase_sql() -> str:
+    # Encoding note: each token is wrapped as |tok|, so inter-token
+    # boundaries carry '||' — a match consumes its own trailing '|'
+    # and the NEXT occurrence still has its leading '|'.  A plain
+    # space-joined encoding undercounts back-to-back occurrences
+    # ("dup dup dup dup" ~ "dup dup" = 2, not 1) because replace()'s
+    # non-overlapping scan would eat the shared separator.  Tokens are
+    # [a-z0-9]+ so '|' never occurs inside one, and a match can only
+    # start at a token boundary — string-level leftmost-non-overlap
+    # counting on this encoding equals the engine's token-level rule.
+    vals = ", ".join(f"({i}, '{t}')" for i, t in PHRASE_QUERIES)
+    return f"""
+WITH {_DOCS_CTE},
+j AS (SELECT doc_id, '|' || array_to_string(toks, '||') || '|' AS s FROM docs),
+q(query_id, phrase) AS (VALUES {vals}),
+p AS (SELECT query_id, '|' || replace(phrase, ' ', '||') || '|' AS pat FROM q),
+h AS (SELECT p.query_id, j.doc_id,
+             ((len(s) - len(replace(s, pat, ''))) // len(pat))::INT AS hits
+      FROM j CROSS JOIN p)
+SELECT query_id, doc_id, hits FROM h WHERE hits >= 1
+"""
 
 
 # ------------------------------------------------- q: term dictionary
@@ -2037,6 +2126,7 @@ ORDER BY lang
 REGISTRY: dict[str, tuple] = {
     "bm25_topk": (q_bm25_topk, _bm25_sql()),
     "bm25_wand_topk": (q_bm25_wand_topk, _bm25_sql()),
+    "phrase_search": (q_phrase_search, _phrase_sql()),
     "bm25_verified_topk": (q_bm25_verified_topk, _bm25_verified_sql()),
     "term_stats": (q_term_stats, _term_stats_sql()),
     "doc_stats": (q_doc_stats, _doc_stats_sql()),
