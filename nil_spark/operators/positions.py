@@ -1,0 +1,344 @@
+"""Positional postings: a side-car position store and an index-native
+phrase search that never re-reads document text.
+
+The main segment format (operators/segments.py, SEGMENT_SCHEMA) stays
+frequency-only — BM25/WAND never pay for positions — and this module
+adds a SEPARATE term-sorted store of token positions, the classic
+side-file layout (Lucene keeps positions in ``.pos`` next to ``.doc``
+for the same reason).  Reference analog: NIL verifies candidate pairs
+by re-tokenizing source text (OptimizedCloneDetection.kt:17-56);
+at 100 TB the equivalent "re-read candidate text" join is the
+dominant phrase-query cost, and position lists remove it entirely —
+a phrase query touches only its own terms' postings.
+
+Store schema (POS_SCHEMA), one row per (term, chunk):
+  ``doc_blob``  varint doc-id gaps, absolute at chunk start
+  ``cnt_blob``  varint occurrence count per doc (posting order)
+  ``pos_blob``  varint token-position deltas, absolute at each
+                posting's first occurrence
+Positions are TOKEN-level (gram_size is irrelevant here: phrase
+contiguity is defined over tokens, and the store must stay
+full-vocabulary — no df stopword pruning — so that "term absent from
+the store" soundly implies "no document matches").
+
+Scale shape (100 TB): the build is the same fused single-Arrow-stage
+sweep as the frequency index (three global varint encodes per
+partition, byte-range slicing per chunk — no per-term Python); the
+store is written term-range sorted so a phrase query's
+``term IN (...)`` scan prunes to its own row groups via parquet
+min/max stats.  Query execution is one broadcast join (query terms
+are tiny) plus ONE shuffle keyed by query_id; per-query work is
+``sum(df_term)`` postings decoded, independent of corpus size.  Hot
+phrase terms bound the group like every other serving topology —
+df-based admission belongs to the caller (a phrase of pure stopwords
+is degenerate in any engine).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nil_spark.config import EngineConfig
+from nil_spark.functions import varint
+from nil_spark.functions.tokenize import _hash_token, tokenize_series
+
+POS_SCHEMA = (
+    "term long, chunk_idx int, first_doc long, last_doc long, "
+    "n_postings long, doc_blob binary, cnt_blob binary, pos_blob binary"
+)
+
+_POS_COLS = [
+    "term", "chunk_idx", "first_doc", "last_doc", "n_postings",
+    "doc_blob", "cnt_blob", "pos_blob",
+]
+
+# positions are packed as (doc_id << 32 | pos); token position must
+# fit 32 bits — a single document longer than 4.29e9 tokens is rejected
+# at build time rather than silently aliased
+_MAX_POS = (1 << 32) - 1
+
+
+def _encode_pos_table(
+    terms: np.ndarray, docs: np.ndarray, poss: np.ndarray, max_chunk: int
+) -> dict:
+    """Vectorized (term, doc, pos) occurrence table → POS_SCHEMA rows.
+
+    Input must be lexsorted by (term, doc, pos).  Three global varint
+    encodes (doc gaps, per-posting counts, position deltas) + one
+    cumsum-derived byte-range slice per chunk — no per-term Python,
+    the same construction discipline as segments._encode_run_table.
+    """
+    n_occ = len(terms)
+    # posting (= term,doc group) boundaries over occurrences
+    newp = np.empty(n_occ, dtype=bool)
+    newp[0] = True
+    newp[1:] = (terms[1:] != terms[:-1]) | (docs[1:] != docs[:-1])
+    p_start = np.flatnonzero(newp)                       # occ index
+    p_cnt = np.diff(np.append(p_start, n_occ))
+    g_term, g_doc = terms[p_start], docs[p_start]
+    occ_off = np.append(p_start, n_occ)                  # len groups+1
+
+    # chunking per term over POSTINGS (a doc's positions never split)
+    cuts = np.flatnonzero(np.diff(g_term)) + 1
+    starts = np.concatenate(([0], cuts))
+    ends = np.concatenate((cuts, [len(g_term)]))
+    run_lens = ends - starts
+    reps = (run_lens + max_chunk - 1) // max_chunk
+    rep_off = np.concatenate(([0], np.cumsum(reps)[:-1]))
+    chunk_run = np.repeat(np.arange(len(starts)), reps)
+    pos_in_run = np.arange(len(chunk_run)) - rep_off[chunk_run]
+    c_starts = starts[chunk_run] + pos_in_run * max_chunk    # group idx
+    c_ends = np.minimum(c_starts + max_chunk, ends[chunk_run])
+
+    # doc gaps, absolute at every chunk start
+    gaps = np.empty(len(g_doc), dtype=np.uint64)
+    gaps[1:] = (g_doc[1:] - g_doc[:-1]).astype(np.uint64)
+    gaps[c_starts] = g_doc[c_starts].astype(np.uint64)
+
+    # position deltas, absolute at every posting start
+    pdelta = np.empty(n_occ, dtype=np.uint64)
+    pdelta[1:] = (poss[1:] - poss[:-1]).astype(np.uint64)
+    pdelta[p_start] = poss[p_start].astype(np.uint64)
+
+    def bufs(vals: np.ndarray):
+        off = np.zeros(len(vals) + 1, dtype=np.int64)
+        off[1:] = np.cumsum(varint.byte_lengths(vals))
+        return varint.encode(vals), off
+
+    doc_buf, doc_off = bufs(gaps)
+    cnt_buf, cnt_off = bufs(p_cnt.astype(np.uint64))
+    pos_buf, pos_off = bufs(pdelta)
+
+    return {
+        "term": g_term[c_starts],
+        "chunk_idx": pos_in_run.astype(np.int32),
+        "first_doc": g_doc[c_starts],
+        "last_doc": g_doc[c_ends - 1],
+        "n_postings": c_ends - c_starts,
+        "doc_blob": [
+            doc_buf[doc_off[s]:doc_off[e]] for s, e in zip(c_starts, c_ends)
+        ],
+        "cnt_blob": [
+            cnt_buf[cnt_off[s]:cnt_off[e]] for s, e in zip(c_starts, c_ends)
+        ],
+        "pos_blob": [
+            pos_buf[pos_off[occ_off[s]]:pos_off[occ_off[e]]]
+            for s, e in zip(c_starts, c_ends)
+        ],
+    }
+
+
+def _pos_partition_frame(
+    pdf: pd.DataFrame, cfg: EngineConfig, max_chunk: int
+) -> pd.DataFrame | None:
+    """Fused per-partition kernel: (doc_id, text) → positional chunk
+    rows.  Applies the same min-size scan predicates as the frequency
+    build (a doc too small to index is not phrase-searchable either);
+    tokens are hashed at TOKEN level regardless of cfg.gram_size."""
+    pdf = pdf.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+    if cfg.min_chars > 0:
+        pdf = pdf[pdf["text"].fillna("").str.len() >= cfg.min_chars]
+    toks = tokenize_series(pdf["text"], cfg)
+    ids = pdf["doc_id"].to_numpy(np.int64)
+    dls = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(pdf))
+    if cfg.min_tokens > 0:
+        keep = dls >= cfg.min_tokens
+        toks = toks[keep]
+        ids, dls = ids[keep], dls[keep]
+    if dls.sum() == 0:
+        return None
+    if dls.max() > _MAX_POS:
+        raise ValueError(
+            f"document longer than {_MAX_POS} tokens cannot be "
+            "position-indexed (positions are packed into 32 bits)"
+        )
+    from itertools import chain
+
+    flat = np.asarray(list(chain.from_iterable(toks)), dtype=object)
+    codes, uniques = pd.factorize(flat)
+    uh = np.fromiter(
+        (_hash_token(u) for u in uniques), dtype=np.int64, count=len(uniques)
+    )
+    term_h = uh[codes]
+    doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64), dls)
+    doc_start = np.repeat(np.cumsum(dls) - dls, dls)
+    pos = np.arange(len(flat), dtype=np.int64) - doc_start
+
+    order = np.lexsort((pos, doc_idx, term_h))
+    rows = _encode_pos_table(
+        term_h[order], ids[doc_idx[order]], pos[order], max_chunk
+    )
+    return pd.DataFrame(rows, columns=_POS_COLS)
+
+
+def build_position_segments(
+    docs_with_ids: DataFrame, cfg: EngineConfig, max_chunk: int = 1 << 20
+) -> DataFrame:
+    """Single-pass fused positional build: (doc_id, text) →
+    POS_SCHEMA chunk rows, one Arrow stage, no shuffle.  Write the
+    result term-range sorted (``df.repartitionByRange('term')
+    .sortWithinPartitions('term', 'first_doc')``) when materializing a
+    store that phrase queries will term-prune against."""
+    def sweep(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [p for p in it if len(p)]
+        if not parts:
+            return
+        whole = (
+            pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        )
+        out = _pos_partition_frame(whole, cfg, max_chunk)
+        if out is not None:
+            yield out
+
+    return docs_with_ids.select("doc_id", "text").mapInPandas(
+        sweep, schema=POS_SCHEMA
+    )
+
+
+def _decode_pos_chunk(row) -> tuple[np.ndarray, np.ndarray]:
+    """One POS_SCHEMA row → (doc_ids per occurrence, abs positions)."""
+    docs = varint.decode_deltas(bytes(row.doc_blob))
+    cnts = varint.decode(bytes(row.cnt_blob)).astype(np.int64)
+    d = varint.decode(bytes(row.pos_blob)).astype(np.int64)
+    if len(d) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    c = np.cumsum(d)
+    p_start = np.cumsum(cnts) - cnts
+    base = c[p_start] - d[p_start]
+    pos = c - np.repeat(base, cnts)
+    return np.repeat(docs.astype(np.int64), cnts), pos
+
+
+def _greedy_hits(starts_keys: np.ndarray, m: int) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted packed match-start keys → (doc_ids, hits) under the
+    leftmost non-overlapping rule (resume ``m`` tokens past a match —
+    identical to phrase.count_phrase_hits)."""
+    if len(starts_keys) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int32)
+    docs = (starts_keys >> np.uint64(32)).astype(np.int64)
+    if m == 1:  # occurrences never overlap: every start counts
+        ud, cnt = np.unique(docs, return_counts=True)
+        return ud, cnt.astype(np.int32)
+    pos = (starts_keys & np.uint64(_MAX_POS)).astype(np.int64)
+    out_d, out_c = [], []
+    i, n = 0, len(docs)
+    while i < n:
+        d, c, last = docs[i], 0, -m
+        j = i
+        while j < n and docs[j] == d:
+            if pos[j] >= last + m:
+                c += 1
+                last = int(pos[j])
+            j += 1
+        out_d.append(int(d))
+        out_c.append(c)
+        i = j
+    return np.asarray(out_d, np.int64), np.asarray(out_c, np.int32)
+
+
+def phrase_hits_from_positions(
+    term_keys: dict, phrase_terms: list
+) -> tuple[np.ndarray, np.ndarray]:
+    """Core positional phrase matcher: ``term_keys`` maps term hash →
+    SORTED packed (doc << 32 | pos) occurrence keys; ``phrase_terms``
+    is the phrase's ordered (duplicates kept) term hashes.  A match
+    start is a key k of term 0 with k+j present in term j's keys for
+    every j — packed-key arithmetic never crosses a doc boundary
+    because positions occupy the low 32 bits and are < doc length."""
+    m = len(phrase_terms)
+    starts = term_keys.get(int(phrase_terms[0]))
+    if starts is None:
+        return np.empty(0, np.int64), np.empty(0, np.int32)
+    starts = starts.astype(np.uint64, copy=True)
+    for j in range(1, m):
+        if len(starts) == 0:
+            break
+        keys_j = term_keys.get(int(phrase_terms[j]))
+        if keys_j is None or len(keys_j) == 0:
+            starts = starts[:0]
+            break
+        probe = starts + np.uint64(j)
+        idx = np.searchsorted(keys_j, probe)
+        np.minimum(idx, len(keys_j) - 1, out=idx)
+        starts = starts[keys_j[idx] == probe]
+    return _greedy_hits(starts, m)
+
+
+def phrase_search_positional(
+    spark: SparkSession,
+    queries_pdf: pd.DataFrame,
+    pos_store: DataFrame,
+    cfg: EngineConfig,
+) -> DataFrame:
+    """Index-native phrase search: ``(query_id, text)`` queries over a
+    positional store → ``(query_id, doc_id, hits)`` with hits ≥ 1 —
+    the same contract as phrase.phrase_search_replica, with
+    verification answered from position lists instead of candidate
+    text.  Plan: term-pruned store scan → broadcast join with the
+    query-term table → ONE shuffle (groupBy query_id) → Arrow kernel.
+    """
+    qtoks = tokenize_series(queries_pdf["text"], cfg)
+    qmeta, qterm = [], set()
+    for qid, ts in zip(queries_pdf["query_id"], qtoks):
+        if len(ts) == 0:
+            continue
+        hs = [int(_hash_token(t)) for t in ts]
+        qmeta.append((int(qid), json.dumps(hs)))
+        qterm.update((int(qid), h) for h in set(hs))
+    if not qmeta:
+        return spark.createDataFrame([], "query_id long, doc_id long, hits int")
+
+    qmeta_df = spark.createDataFrame(qmeta, "query_id long, terms_json string")
+    qterm_df = spark.createDataFrame(
+        sorted(qterm), "query_id long, term long"
+    )
+    all_terms = sorted({t for _, t in qterm})
+    hit_chunks = (
+        pos_store.filter(F.col("term").isin(all_terms))
+        .join(F.broadcast(qterm_df), "term")
+        .join(F.broadcast(qmeta_df), "query_id")
+        .select(
+            "query_id", "terms_json", "term",
+            "doc_blob", "cnt_blob", "pos_blob",
+        )
+    )
+
+    def per_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": pd.Series(dtype="int64"),
+             "doc_id": pd.Series(dtype="int64"),
+             "hits": pd.Series(dtype="int32")}
+        )
+        if len(pdf) == 0:
+            return empty
+        qid = int(pdf["query_id"].iloc[0])
+        phrase_terms = json.loads(pdf["terms_json"].iloc[0])
+        term_keys = {}
+        for t, grp in pdf.groupby("term"):
+            parts = []
+            for row in grp.itertuples():
+                d, p = _decode_pos_chunk(row)
+                parts.append(
+                    (d.astype(np.uint64) << np.uint64(32))
+                    | p.astype(np.uint64)
+                )
+            keys = np.concatenate(parts) if len(parts) > 1 else parts[0]
+            keys.sort()
+            term_keys[int(t)] = keys
+        docs, hits = phrase_hits_from_positions(term_keys, phrase_terms)
+        keep = hits >= 1
+        docs, hits = docs[keep], hits[keep]
+        return pd.DataFrame(
+            {"query_id": np.full(len(docs), qid, np.int64),
+             "doc_id": docs, "hits": hits}
+        )
+
+    return hit_chunks.groupBy("query_id").applyInPandas(
+        per_query, schema="query_id long, doc_id long, hits int"
+    )

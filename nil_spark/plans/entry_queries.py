@@ -399,6 +399,51 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME phrase queries answered index-natively: positional
+    side-car store (operators/positions.py) → term-pruned scan →
+    position-list intersection — document text is never re-read, the
+    100 TB-correct phrase plan.  Gated by the identical oracle as
+    ``phrase_search``, so the two paths are pinned hash-identical."""
+    import hashlib
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from nil_spark.config import EngineConfig
+    from nil_spark.operators.positions import (
+        build_position_segments,
+        phrase_search_positional,
+    )
+
+    cfg = EngineConfig(gram_size=1, min_chars=0, min_tokens=0,
+                       df_stopword_cutoff=2.0)
+    src = f"{sf_dir}/documents.parquet"
+    docs = spark.read.parquet(src).select("doc_id", "text")
+    st_src = os.stat(src) if os.path.isfile(src) else None
+    ident = (os.path.realpath(src),
+             st_src.st_mtime_ns if st_src else 0,
+             st_src.st_size if st_src else 0, "pos-v1")
+    fp = hashlib.md5(repr(ident).encode()).hexdigest()[:16]
+    pos_dir = os.path.join(tempfile.gettempdir(), f"nil_gate_pos_{fp}")
+    if not os.path.exists(os.path.join(pos_dir, "_SUCCESS")):
+        (
+            build_position_segments(docs.repartition(8), cfg)
+            .repartitionByRange(4, "term")
+            .sortWithinPartitions("term", "first_doc")
+            .write.mode("overwrite").parquet(pos_dir)
+        )
+    store = spark.read.parquet(pos_dir)
+    qpdf = pd.DataFrame(
+        {
+            "query_id": [i for i, _ in PHRASE_QUERIES],
+            "text": [t for _, t in PHRASE_QUERIES],
+        }
+    )
+    return phrase_search_positional(spark, qpdf, store, cfg)
+
+
 def _phrase_sql() -> str:
     # Encoding note: each token is wrapped as |tok|, so inter-token
     # boundaries carry '||' — a match consumes its own trailing '|'
@@ -2127,6 +2172,7 @@ REGISTRY: dict[str, tuple] = {
     "bm25_topk": (q_bm25_topk, _bm25_sql()),
     "bm25_wand_topk": (q_bm25_wand_topk, _bm25_sql()),
     "phrase_search": (q_phrase_search, _phrase_sql()),
+    "phrase_search_positional": (q_phrase_search_positional, _phrase_sql()),
     "bm25_verified_topk": (q_bm25_verified_topk, _bm25_verified_sql()),
     "term_stats": (q_term_stats, _term_stats_sql()),
     "doc_stats": (q_doc_stats, _doc_stats_sql()),

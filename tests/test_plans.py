@@ -202,3 +202,17 @@ def test_verified_search_stays_broadcast(spark):
     plan = _plan(entry_mod.queries()["bm25_verified_topk"](spark, SF_DIR))
     assert "SortMergeJoin" not in plan, plan[:4000]
     assert "BroadcastHashJoin" in plan
+
+
+def test_positional_phrase_single_shuffle_and_term_pushdown(spark):
+    """Index-native phrase search: the only data shuffle is the
+    groupBy(query_id) into the position-intersection kernel; the
+    query-term join broadcasts; the term IN (...) predicate reaches
+    the positional-store parquet scan as a pushed filter."""
+    df = entry_mod.queries()["phrase_search_positional"](spark, SF_DIR)
+    ex = _shuffle_exchanges(df)
+    assert len(ex) == 1, "expected exactly one shuffle, got:\n" + "\n".join(ex)
+    assert "query_id" in ex[0], ex[0]
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan[:3000]
+    assert "In(term" in plan, "term IN filter not pushed:\n" + plan[:3000]

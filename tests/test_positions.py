@@ -1,0 +1,215 @@
+"""Positional store: encode/decode roundtrip, the packed-key phrase
+matcher vs the naive counter, and end-to-end parity between the
+positional path and the text-verify path on the same corpus."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from nil_spark.config import EngineConfig
+from nil_spark.functions.tokenize import _hash_token, tokenize_series
+from nil_spark.operators.phrase import count_phrase_hits
+from nil_spark.operators.positions import (
+    _decode_pos_chunk,
+    _encode_pos_table,
+    build_position_segments,
+    phrase_hits_from_positions,
+    phrase_search_positional,
+)
+
+VOCAB = ["a", "b", "c", "dup", "x"]
+
+
+# --------------------------------------------------- codec roundtrip
+
+
+@given(
+    n_terms=st.integers(1, 4),
+    n_docs=st.integers(1, 6),
+    seed=st.integers(0, 10_000),
+    max_chunk=st.sampled_from([1, 2, 3, 1 << 20]),
+)
+@settings(max_examples=100, deadline=None)
+def test_pos_encode_decode_roundtrip(n_terms, n_docs, seed, max_chunk):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for t in range(n_terms):
+        for d in range(n_docs):
+            k = int(rng.integers(0, 5))
+            if k == 0:
+                continue
+            ps = np.sort(rng.choice(200, size=k, replace=False))
+            rows.extend((t * 7 + 1, d * 3, int(p)) for p in ps)
+    if not rows:
+        return
+    arr = np.asarray(rows, dtype=np.int64)
+    order = np.lexsort((arr[:, 2], arr[:, 1], arr[:, 0]))
+    arr = arr[order]
+    enc = _encode_pos_table(arr[:, 0], arr[:, 1], arr[:, 2], max_chunk)
+    pdf = pd.DataFrame(enc)
+    got = []
+    for row in pdf.itertuples():
+        d, p = _decode_pos_chunk(row)
+        got.extend((int(row.term), int(dd), int(pp)) for dd, pp in zip(d, p))
+    got = np.asarray(sorted(got), dtype=np.int64)
+    assert np.array_equal(got, np.asarray(sorted(map(tuple, arr)), np.int64))
+
+
+# ------------------------------------------------ packed-key matcher
+
+
+def _keys_for(docs_toks: list) -> dict:
+    keys: dict = {}
+    for did, toks in enumerate(docs_toks):
+        for p, t in enumerate(toks):
+            h = int(_hash_token(t))
+            keys.setdefault(h, []).append((did << 32) | p)
+    return {
+        h: np.sort(np.asarray(v, dtype=np.uint64)) for h, v in keys.items()
+    }
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(VOCAB), max_size=30), min_size=1, max_size=6
+    ),
+    ph=st.lists(st.sampled_from(VOCAB), min_size=1, max_size=4),
+)
+@settings(max_examples=300, deadline=None)
+def test_positional_matcher_matches_naive(docs, ph):
+    term_keys = _keys_for(docs)
+    terms = [int(_hash_token(t)) for t in ph]
+    got_d, got_h = phrase_hits_from_positions(term_keys, terms)
+    got = dict(zip(got_d.tolist(), got_h.tolist()))
+    exp = {
+        did: count_phrase_hits(toks, ph)
+        for did, toks in enumerate(docs)
+        if count_phrase_hits(toks, ph) >= 0
+    }
+    exp = {k: v for k, v in exp.items() if v >= 1}
+    got = {k: v for k, v in got.items() if v >= 1}
+    assert got == exp
+
+
+# ------------------------------------------------------- end to end
+
+
+TEXTS = [
+    "the hash join beats the sort merge join",
+    "hash join hash join hash join",
+    "a hash, a join - never adjacent hash . join",
+    "dup dup dup dup",
+    "dup dup dup",
+    "no relevant terms here at all",
+    "",
+    "join hash",
+]
+
+
+@pytest.fixture(scope="module")
+def pos_store(spark, tmp_path_factory):
+    cfg = EngineConfig(gram_size=1, min_chars=0, min_tokens=0)
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(TEXTS)), "text": TEXTS}),
+        "doc_id long, text string",
+    )
+    out = str(tmp_path_factory.mktemp("pos") / "store")
+    (
+        build_position_segments(docs.repartition(3), cfg)
+        .repartitionByRange(2, "term")
+        .sortWithinPartitions("term", "first_doc")
+        .write.mode("overwrite").parquet(out)
+    )
+    return spark.read.parquet(out), cfg
+
+
+def test_positional_end_to_end_matches_naive(spark, pos_store):
+    store, cfg = pos_store
+    queries = pd.DataFrame(
+        {"query_id": [0, 1, 2, 3],
+         "text": ["hash join", "dup dup", "sort merge join", "zeta hash"]}
+    )
+    got = (
+        phrase_search_positional(spark, queries, store, cfg)
+        .toPandas()
+        .sort_values(["query_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    dtoks = tokenize_series(pd.Series(TEXTS), cfg)
+    exp = []
+    for qid, qt in zip(queries["query_id"], queries["text"]):
+        ph = list(tokenize_series(pd.Series([qt]), cfg)[0])
+        for did, dt in enumerate(dtoks):
+            h = count_phrase_hits(list(dt), ph)
+            if h >= 1:
+                exp.append((qid, did, h))
+    exp = (
+        pd.DataFrame(exp, columns=["query_id", "doc_id", "hits"])
+        .sort_values(["query_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"hits": "int64"}), exp.astype({"hits": "int64"})
+    )
+    g = got.set_index(["query_id", "doc_id"])["hits"]
+    assert g.loc[(0, 1)] == 3          # back-to-back triple
+    assert g.loc[(1, 3)] == 2          # greedy non-overlap
+    assert g.loc[(1, 4)] == 1
+    assert not (got["query_id"] == 3).any()  # absent term => no rows
+
+
+def test_positional_matches_text_verify_path(spark, pos_store, tmp_path):
+    """The two phrase implementations (index-native positional vs
+    replica-candidates + text verify) must be row-identical."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from nil_spark.operators.phrase import phrase_search_replica
+    from nil_spark.operators.segments import (
+        DOCSTAT_SENTINEL,
+        build_partial_segments,
+    )
+
+    store, cfg = pos_store
+    cfg2 = cfg.with_(df_stopword_cutoff=2.0)
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(TEXTS)), "text": TEXTS}),
+        "doc_id long, text string",
+    )
+    shard_dir = str(tmp_path / "freq")
+    build_partial_segments(docs, cfg2).write.mode("overwrite").parquet(shard_dir)
+    sdf = spark.read.parquet(shard_dir)
+    stats = (
+        sdf.filter(F.col("term") == DOCSTAT_SENTINEL)
+        .agg(F.sum("n_postings").alias("n"),
+             F.sum(F.element_at("bm_max", 1)).alias("s"))
+        .collect()[0]
+    )
+    n_docs, avgdl = int(stats["n"]), float(stats["s"]) / int(stats["n"])
+    td = (
+        sdf.filter(F.col("term") != DOCSTAT_SENTINEL)
+        .groupBy("term")
+        .agg(F.sum("n_postings").cast("long").alias("df"))
+        .toPandas()
+    )
+    queries = pd.DataFrame(
+        {"query_id": [0, 1], "text": ["hash join", "dup dup"]}
+    )
+    a = (
+        phrase_search_positional(spark, queries, store, cfg2)
+        .toPandas().sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+    )
+    b = (
+        phrase_search_replica(
+            spark, queries,
+            sorted(glob.glob(shard_dir + "/part-*.parquet")),
+            td, n_docs, avgdl, cfg2, docs,
+        )
+        .toPandas().sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
