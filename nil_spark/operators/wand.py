@@ -154,6 +154,7 @@ def wand_query(
     tlist: list,
     k: int,
     stats: dict | None = None,
+    allowed: np.ndarray | None = None,
 ) -> tuple:
     """Block-Max WAND/MaxScore traversal for one query (module
     docstring has the full design and exactness argument).
@@ -163,6 +164,14 @@ def wand_query(
     ``stats`` (optional) accumulates ``evaluated`` (docs gathered and
     scored) and ``candidates`` (total postings under the query terms)
     so tests and benches can see the pruning rate.
+
+    ``allowed`` (optional) is a SORTED int64 array of admissible doc
+    ids — the pre-filter of filtered search (a metadata predicate
+    pushed into retrieval).  Gathered candidates outside it are dropped
+    before scoring completes, so the threshold rises only on admissible
+    docs and the final top-k is exactly the top-k over the filtered
+    corpus.  Pruning stays sound: every skip bound is an upper bound
+    over ALL docs, hence over the allowed subset too.
     """
     boffs, blast, bmax = bidx
     terms_arr = view.terms
@@ -199,7 +208,7 @@ def wand_query(
         stats["candidates"] = stats.get("candidates", 0) + sum(
             len(d) for d in t_docs
         )
-    if n == 0:
+    if n == 0 or (allowed is not None and len(allowed) == 0):
         return np.empty(0, np.int64), np.empty(0, np.float64)
 
     lens = [len(d) for d in t_docs]
@@ -297,6 +306,15 @@ def wand_query(
             np.add.at(ess_sc, inv, np.concatenate(parts_s))
         n_eval += len(u)
 
+        if allowed is not None and len(u):
+            pos = np.searchsorted(allowed, u)
+            np.minimum(pos, len(allowed) - 1, out=pos)
+            adm = allowed[pos] == u
+            u = u[adm]
+            ess_sc = ess_sc[adm]
+            if len(u) == 0:
+                continue
+
         # WAND candidate bound: essential-exact + probed-terms bound.
         # Survivors get their non-essential contributions looked up by
         # one vectorized searchsorted per term (full list, no cursor —
@@ -343,6 +361,7 @@ def topk_replica_bmw(
     cfg: EngineConfig,
     n_splits: int | None = None,
     block_size: int = 128,
+    allowed: np.ndarray | None = None,
 ) -> DataFrame:
     """Distributed Block-Max WAND top-k: same replica topology as
     ``topk_replica_resident`` (index node-shared via mmap, the QUERY
@@ -350,6 +369,20 @@ def topk_replica_bmw(
     exactly ``n_splits`` pieces, zero shuffle), but the per-query
     kernel is the document-at-a-time BMW traversal instead of dense
     term-at-a-time accumulation.  Rank-identical to every other path.
+
+    ``allowed`` (optional) makes this FILTERED search: an int64 array
+    of admissible doc ids (any order, deduped here) shipped to workers
+    as a torrent broadcast — one copy per executor, the right shape for
+    selective predicates (the common case: a tenant, a language, a
+    date range).  For filters too large to broadcast, publish the
+    sorted id array node-shared exactly like the replica arrays
+    (``_published_arrays``) and mmap it in the kernel — same
+    decode-once/share-everywhere discipline; not needed at gate scale.
+    Corpus statistics (n_docs, avgdl, df→idf) deliberately stay
+    UNFILTERED: scores of surviving docs are identical to the
+    unfiltered engine's, so a cached unfiltered answer whose top-k all
+    pass the predicate is still valid — standard filtered-search
+    semantics (Lucene's FilteredQuery does the same).
     """
     from nil_spark.functions.tokenize import terms_for_tokens, tokenize_series
 
@@ -363,6 +396,13 @@ def topk_replica_bmw(
     paths = tuple(sorted(shard_paths))
     n_splits = n_splits or max(
         int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1
+    )
+    allowed_bc = (
+        spark.sparkContext.broadcast(
+            np.unique(np.asarray(allowed, dtype=np.int64))
+        )
+        if allowed is not None
+        else None
     )
 
     qtoks = tokenize_series(queries_pdf["text"], cfg)
@@ -397,11 +437,14 @@ def topk_replica_bmw(
             if view is None:
                 view = _load_replica(paths, avgdl, k1, b)
                 bidx = _load_block_index(paths, avgdl, k1, b, block_size)
+            adm = allowed_bc.value if allowed_bc is not None else None
             out_q, out_r, out_d, out_s = [], [], [], []
             for qid, kk, tj in zip(
                 pdf["query_id"], pdf["k"], pdf["terms_json"]
             ):
-                d, s = wand_query(view, bidx, json.loads(tj), int(kk))
+                d, s = wand_query(
+                    view, bidx, json.loads(tj), int(kk), allowed=adm
+                )
                 out_q.extend([int(qid)] * len(d))
                 out_r.extend(range(1, len(d) + 1))
                 out_d.extend(d.tolist())

@@ -399,23 +399,16 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SAME phrase queries answered index-natively: positional
-    side-car store (operators/positions.py) → term-pruned scan →
-    position-list intersection — document text is never re-read, the
-    100 TB-correct phrase plan.  Gated by the identical oracle as
-    ``phrase_search``, so the two paths are pinned hash-identical."""
+def _gate_pos_store(spark: SparkSession, sf_dir: str):
+    """Build (or reuse, content-keyed in /tmp) the gate positional
+    store over ``documents`` and return ``(store_df, cfg)`` — shared by
+    every positional gate row (phrase, proximity)."""
     import hashlib
     import os
     import tempfile
 
-    import pandas as pd
-
     from nil_spark.config import EngineConfig
-    from nil_spark.operators.positions import (
-        build_position_segments,
-        phrase_search_positional,
-    )
+    from nil_spark.operators.positions import build_position_segments
 
     cfg = EngineConfig(gram_size=1, min_chars=0, min_tokens=0,
                        df_stopword_cutoff=2.0)
@@ -434,7 +427,20 @@ def q_phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
             .sortWithinPartitions("term", "first_doc")
             .write.mode("overwrite").parquet(pos_dir)
         )
-    store = spark.read.parquet(pos_dir)
+    return spark.read.parquet(pos_dir), cfg
+
+
+def q_phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME phrase queries answered index-natively: positional
+    side-car store (operators/positions.py) → term-pruned scan →
+    position-list intersection — document text is never re-read, the
+    100 TB-correct phrase plan.  Gated by the identical oracle as
+    ``phrase_search``, so the two paths are pinned hash-identical."""
+    import pandas as pd
+
+    from nil_spark.operators.positions import phrase_search_positional
+
+    store, cfg = _gate_pos_store(spark, sf_dir)
     qpdf = pd.DataFrame(
         {
             "query_id": [i for i, _ in PHRASE_QUERIES],
@@ -464,6 +470,266 @@ h AS (SELECT p.query_id, j.doc_id,
              ((len(s) - len(replace(s, pat, ''))) // len(pat))::INT AS hits
       FROM j CROSS JOIN p)
 SELECT query_id, doc_id, hits FROM h WHERE hits >= 1
+"""
+
+
+# ------------------------------------- q: proximity ranking (engine)
+
+
+# fixed 2-term proximity query set: co-occurring hot pairs, a rare
+# pair, and a pair whose second term is absent from the vocabulary
+# (pins absence-implies-empty on the proximity path too)
+PROXIMITY_QUERIES = [
+    (0, "hash join"),
+    (1, "table scan"),
+    (2, "dup vector"),
+    (3, "key row"),
+    (4, "merge warehouse"),
+]
+PROXIMITY_K = 10
+
+
+def q_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity-ranked retrieval answered index-natively from the
+    positional side-car store (operators/positions.py): top-k docs by
+    ascending minimum token distance between the query's two terms —
+    the graded form of NIL's n-gram co-occurrence location signal
+    (NGramBasedLocation.kt:10-15), served without re-reading text.
+    Shares the content-keyed gate store with
+    ``phrase_search_positional``."""
+    import pandas as pd
+
+    from nil_spark.operators.positions import proximity_search_positional
+
+    store, cfg = _gate_pos_store(spark, sf_dir)
+    qpdf = pd.DataFrame(
+        {
+            "query_id": [i for i, _ in PROXIMITY_QUERIES],
+            "text": [t for _, t in PROXIMITY_QUERIES],
+        }
+    )
+    return proximity_search_positional(spark, qpdf, store, cfg, k=PROXIMITY_K)
+
+
+def _proximity_sql() -> str:
+    # engine positions are 0-based, generate_subscripts 1-based —
+    # pairwise differences are identical
+    vals = ", ".join(
+        f"({i}, '{t.split()[0]}', '{t.split()[1]}')"
+        for i, t in PROXIMITY_QUERIES
+    )
+    return f"""
+WITH {_DOCS_CTE},
+pos AS (SELECT doc_id, unnest(toks) AS tok,
+               generate_subscripts(toks, 1) AS p
+        FROM docs),
+q(query_id, t1, t2) AS (VALUES {vals}),
+d AS (SELECT q.query_id, a.doc_id,
+             min(abs(a.p - b.p))::BIGINT AS min_dist
+      FROM q
+      JOIN pos a ON a.tok = q.t1
+      JOIN pos b ON b.doc_id = a.doc_id AND b.tok = q.t2
+      GROUP BY 1, 2)
+SELECT query_id,
+       (row_number() OVER (PARTITION BY query_id ORDER BY min_dist, doc_id))::INT AS rank,
+       doc_id, min_dist
+FROM d QUALIFY rank <= {PROXIMITY_K}
+"""
+
+
+# --------------------------------------- q: filtered serving (engine)
+
+
+FILTER_LANG = "en"
+
+
+def q_bm25_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED search through the real engine: a metadata predicate
+    (``lang = 'en'``) pushed into Block-Max WAND retrieval as a sorted
+    admissible-doc array (operators/wand.py ``allowed=``) — candidates
+    outside the filter are dropped before they can enter the top-k
+    heap, so the engine returns the exact top-k over the filtered
+    corpus while corpus statistics (n, avgdl, df) stay unfiltered
+    (standard filtered-search semantics; scores of surviving docs are
+    identical to the unfiltered engine's).  Same 6-dp re-round +
+    re-rank discipline as ``bm25_wand_topk``."""
+    import numpy as np
+    import pandas as pd
+
+    from nil_spark.operators.wand import topk_replica_bmw
+
+    shard_paths, td_pdf, n_docs, avgdl, cfg = _gate_engine_index(
+        spark, sf_dir
+    )
+    allowed = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("lang") == FILTER_LANG)
+        .select("doc_id")
+        .toPandas()["doc_id"]
+        .to_numpy(np.int64)
+    )
+    qpdf = pd.DataFrame(
+        {
+            "query_id": [i for i, _ in BM25_QUERIES],
+            "text": [t for _, t in BM25_QUERIES],
+            "k": [BM25_K + 40] * len(BM25_QUERIES),
+        }
+    )
+    eng = topk_replica_bmw(
+        spark, qpdf, shard_paths, td_pdf, n_docs, avgdl, cfg,
+        allowed=allowed,
+    )
+    scored = eng.select(
+        "query_id", "doc_id", F.round("bm25", 6).alias("bm25")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_K)
+        .select("query_id", "rank", "doc_id", "bm25")
+    )
+
+
+def _bm25_filtered_sql() -> str:
+    vals = ", ".join(f"({i}, '{t}')" for i, t in BM25_QUERIES)
+    return f"""
+WITH {_DOCS_CTE},
+dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM docs),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+       FROM docs, unnest(toks) AS u(tok) GROUP BY 1, 2),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(query_id, qtext) AS (VALUES {vals}),
+qt AS (SELECT DISTINCT query_id, tok AS term
+       FROM q, unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) AS u(tok)),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum( ln(1 + (s.n - dfr.df + 0.5) / (dfr.df + 0.5))
+                    * (tf.tf * 2.2)
+                    / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6) AS bm25
+  FROM qt JOIN tf USING (term) JOIN dfr USING (term)
+       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  GROUP BY 1, 2)
+SELECT query_id,
+       (row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id))::INT AS rank,
+       doc_id, bm25
+FROM scored
+WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = '{FILTER_LANG}')
+QUALIFY rank <= {BM25_K}
+"""
+
+
+# --------------------------------- q: hybrid retrieval (RRF fusion)
+
+
+RRF_K0 = 60     # the standard RRF dampening constant (Cormack'09)
+RRF_POOL = 20   # candidate pool depth per retriever
+
+
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid sparse+dense retrieval with reciprocal-rank fusion
+    (Cormack et al., SIGIR'09): the BM25 text ranking and the exact
+    embedding-cosine ranking each contribute ``1/(60+rank)`` over
+    their top-``RRF_POOL``; docs are fused by sum, re-ranked, top-k
+    returned.  Query i pairs BM25_QUERIES[i]'s text with embedding
+    vec_id=i as the dense query vector (vec_id is doc_id in the
+    testdata contract).  Scale shape: both retrievers are existing
+    gate paths (filter-early BM25, broadcast-query brute cosine whose
+    LSH/IVF variants are the scale path); fusion itself is one
+    full-outer join on (query_id, doc_id) of two k-row-per-query
+    relations — negligible at any corpus size."""
+    from nil_spark.operators.ann import cosine_topk
+
+    n_q = 5
+    scored = _bm25_scored(spark, sf_dir).filter(F.col("query_id") < n_q)
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id")
+    )
+    text = (
+        scored.withColumn("r", F.row_number().over(wt))
+        .filter(F.col("r") <= RRF_POOL)
+        .select("query_id", "doc_id", F.col("r").alias("r_text"))
+    )
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < n_q).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    vec = cosine_topk(e, q, k=RRF_POOL).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.col("rank").alias("r_vec"),
+    )
+    fused = text.join(vec, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K0) + F.col("r_text")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(RRF_K0) + F.col("r_vec")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_K)
+        .select("query_id", "rank", "doc_id", "rrf")
+    )
+
+
+def _hybrid_rrf_sql() -> str:
+    vals = ", ".join(f"({i}, '{t}')" for i, t in BM25_QUERIES[:5])
+    return f"""
+WITH {_DOCS_CTE},
+dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM docs),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+       FROM docs, unnest(toks) AS u(tok) GROUP BY 1, 2),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(query_id, qtext) AS (VALUES {vals}),
+qt AS (SELECT DISTINCT query_id, tok AS term
+       FROM q, unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) AS u(tok)),
+bscored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum( ln(1 + (s.n - dfr.df + 0.5) / (dfr.df + 0.5))
+                    * (tf.tf * 2.2)
+                    / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6) AS bm25
+  FROM qt JOIN tf USING (term) JOIN dfr USING (term)
+       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  GROUP BY 1, 2),
+text AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS r_text
+  FROM bscored
+  QUALIFY r_text <= {RRF_POOL}),
+eq AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+       FROM embeddings WHERE vec_id < 5),
+cscored AS (
+  SELECT eq.query_id, e.vec_id AS doc_id,
+         round(list_dot_product(e.embedding::DOUBLE[], eq.qvec)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(eq.qvec, eq.qvec))), 6) AS cosine
+  FROM embeddings e CROSS JOIN eq),
+vec AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS r_vec
+  FROM cscored
+  QUALIFY r_vec <= {RRF_POOL}),
+fused AS (
+  SELECT coalesce(t.query_id, v.query_id) AS query_id,
+         coalesce(t.doc_id, v.doc_id) AS doc_id,
+         round(coalesce(1.0 / ({RRF_K0} + t.r_text), 0)
+               + coalesce(1.0 / ({RRF_K0} + v.r_vec), 0), 6) AS rrf
+  FROM text t
+  FULL OUTER JOIN vec v
+    ON t.query_id = v.query_id AND t.doc_id = v.doc_id)
+SELECT query_id,
+       (row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id))::INT AS rank,
+       doc_id, rrf
+FROM fused QUALIFY rank <= {BM25_K}
 """
 
 
@@ -2173,6 +2439,9 @@ REGISTRY: dict[str, tuple] = {
     "bm25_wand_topk": (q_bm25_wand_topk, _bm25_sql()),
     "phrase_search": (q_phrase_search, _phrase_sql()),
     "phrase_search_positional": (q_phrase_search_positional, _phrase_sql()),
+    "proximity_topk": (q_proximity_topk, _proximity_sql()),
+    "bm25_filtered_topk": (q_bm25_filtered_topk, _bm25_filtered_sql()),
+    "hybrid_rrf_topk": (q_hybrid_rrf_topk, _hybrid_rrf_sql()),
     "bm25_verified_topk": (q_bm25_verified_topk, _bm25_verified_sql()),
     "term_stats": (q_term_stats, _term_stats_sql()),
     "doc_stats": (q_doc_stats, _doc_stats_sql()),

@@ -216,3 +216,29 @@ def test_positional_phrase_single_shuffle_and_term_pushdown(spark):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan[:3000]
     assert "In(term" in plan, "term IN filter not pushed:\n" + plan[:3000]
+
+
+def test_proximity_single_shuffle_and_term_pushdown(spark):
+    """Index-native proximity ranking reuses the phrase plan verbatim:
+    one data shuffle (groupBy query_id into the distance kernel),
+    broadcast query-term join, term IN (...) pushed to the store scan."""
+    df = entry_mod.queries()["proximity_topk"](spark, SF_DIR)
+    ex = _shuffle_exchanges(df)
+    assert len(ex) == 1, "expected exactly one shuffle, got:\n" + "\n".join(ex)
+    assert "query_id" in ex[0], ex[0]
+    plan = _plan(df)
+    assert "In(term" in plan, "term IN filter not pushed:\n" + plan[:3000]
+
+
+def test_filtered_wand_zero_shuffle(spark):
+    """Filtered serving ships the admissible-doc array as a broadcast
+    variable, not a join: the query job stays zero-shuffle."""
+    df = entry_mod.queries()["bm25_filtered_topk"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    shuffles = [
+        l for l in plan.splitlines()
+        if "Exchange" in l and "BroadcastExchange" not in l
+    ]
+    # the final 6-dp re-rank window is the only permitted exchange
+    data = [l for l in shuffles if "terms_json" in l]
+    assert not data, "filter leaked a shuffle into serving:\n" + "\n".join(data)

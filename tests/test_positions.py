@@ -213,3 +213,76 @@ def test_positional_matches_text_verify_path(spark, pos_store, tmp_path):
         .toPandas().sort_values(["query_id", "doc_id"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+# ------------------------------------------------- proximity ranking
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(VOCAB), max_size=30), min_size=1, max_size=6
+    ),
+    pair=st.tuples(st.sampled_from(VOCAB), st.sampled_from(VOCAB)),
+)
+@settings(max_examples=300, deadline=None)
+def test_min_pair_distance_matches_naive(docs, pair):
+    """Adjacent-merge distance kernel vs the O(n²) all-pairs scan."""
+    from nil_spark.operators.positions import min_pair_distance
+
+    t1, t2 = pair
+    if t1 == t2:
+        return
+    term_keys = _keys_for(docs)
+    ka = term_keys.get(int(_hash_token(t1)), np.empty(0, np.uint64))
+    kb = term_keys.get(int(_hash_token(t2)), np.empty(0, np.uint64))
+    got_d, got_m = min_pair_distance(ka, kb)
+    got = dict(zip(got_d.tolist(), got_m.tolist()))
+    exp = {}
+    for did, toks in enumerate(docs):
+        pa = [p for p, t in enumerate(toks) if t == t1]
+        pb = [p for p, t in enumerate(toks) if t == t2]
+        if pa and pb:
+            exp[did] = min(abs(a - b) for a in pa for b in pb)
+    assert got == exp
+
+
+def test_proximity_end_to_end(spark, pos_store):
+    """Distributed proximity ranking over the tmp store: ranks,
+    distances, AND-semantics, and absent-term emptiness."""
+    from nil_spark.operators.positions import proximity_search_positional
+
+    store, cfg = pos_store
+    queries = pd.DataFrame(
+        {"query_id": [0, 1, 2], "text": ["hash join", "dup the", "zeta hash"]}
+    )
+    got = (
+        proximity_search_positional(spark, queries, store, cfg, k=10)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    dtoks = tokenize_series(pd.Series(TEXTS), cfg)
+    for qid, qt in zip(queries["query_id"], queries["text"]):
+        t1, t2 = qt.split()
+        exp = {}
+        for did, toks in enumerate(dtoks):
+            pa = [p for p, t in enumerate(toks) if t == t1]
+            pb = [p for p, t in enumerate(toks) if t == t2]
+            if pa and pb:
+                exp[did] = min(abs(a - b) for a in pa for b in pb)
+        sub = got[got["query_id"] == qid]
+        expected = sorted(exp.items(), key=lambda kv: (kv[1], kv[0]))[:10]
+        assert list(zip(sub["doc_id"], sub["min_dist"])) == expected, qt
+        assert list(sub["rank"]) == list(range(1, len(expected) + 1))
+    assert not (got["query_id"] == 2).any()  # absent term => no rows
+
+
+def test_proximity_rejects_single_term(spark, pos_store):
+    from nil_spark.operators.positions import proximity_search_positional
+
+    store, cfg = pos_store
+    with pytest.raises(ValueError, match="two distinct terms"):
+        proximity_search_positional(
+            spark, pd.DataFrame({"query_id": [0], "text": ["dup dup"]}),
+            store, cfg,
+        )

@@ -230,3 +230,96 @@ def test_bmw_serving_zero_shuffle(spark, queries_1k, wand_setup):
         if "Exchange" in l and "BroadcastExchange" not in l
     ]
     assert not shuffles, "expected zero-shuffle job:\n" + "\n".join(shuffles)
+
+
+# -------------------------------------------------- filtered serving
+
+
+def test_wand_kernel_filtered_fuzz_vs_naive():
+    """200 random (query, k, allowed-subset) trials: filtered BMW must
+    equal the naive full scoring restricted to the allowed docs —
+    including empty and full-corpus filters."""
+    from nil_spark.operators.query import SCORE_DECIMALS
+
+    rng = np.random.default_rng(29)
+    view, ndocs = _mk_view(rng)
+    bidx = build_block_index(view, 8)
+
+    def naive(tlist, k, allowed):
+        sc = np.zeros(ndocs)
+        for t, idf in tlist:
+            e = view.get(t)
+            if e is not None:
+                sc[e[0]] += idf * e[1]
+        nz = np.flatnonzero(sc > 0)
+        nz = nz[np.isin(nz, allowed)]
+        s = np.round(sc[nz], SCORE_DECIMALS)
+        o = np.lexsort((nz, -s))[:k]
+        return nz[o], s[o]
+
+    for trial in range(200):
+        nt = int(rng.integers(1, 9))
+        tl = [
+            (int(t), float(rng.random() * 3 + 0.05))
+            for t in rng.choice(len(view.terms), size=nt, replace=False)
+        ]
+        k = int(rng.integers(1, 20))
+        if trial % 20 == 0:
+            allowed = np.empty(0, np.int64)
+        elif trial % 20 == 1:
+            allowed = np.arange(ndocs, dtype=np.int64)
+        else:
+            sz = int(rng.integers(1, ndocs))
+            allowed = np.sort(
+                rng.choice(ndocs, size=sz, replace=False)
+            ).astype(np.int64)
+        gd, gs = wand_query(view, bidx, tl, k, allowed=allowed)
+        ed, es = naive(tl, k, allowed)
+        assert list(gd) == list(ed), (tl, k, len(allowed))
+        np.testing.assert_allclose(gs, es)
+
+
+def test_bmw_filtered_distributed(spark, queries_1k, wand_setup, tmp_path,
+                                  monkeypatch):
+    """Distributed filtered serving == the unfiltered path with an
+    exhaustive k, post-filtered and re-ranked (the unfiltered path is
+    itself oracle-pinned above)."""
+    monkeypatch.setenv("NIL_REPLICA_DIR", str(tmp_path))
+    paths, termdict, n_docs, avgdl = wand_setup
+    allowed = np.arange(0, n_docs, 3, dtype=np.int64)  # every third doc
+    q = queries_1k.copy()
+
+    got = (
+        topk_replica_bmw(
+            spark, q, paths, termdict, n_docs, avgdl, CFG,
+            block_size=8, allowed=allowed,
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert set(got["doc_id"]).issubset(set(allowed.tolist()))
+
+    deep = q.copy()
+    deep["k"] = n_docs
+    full = topk_replica_bmw(
+        spark, deep, paths, termdict, n_docs, avgdl, CFG, block_size=8
+    ).toPandas()
+    full = full[full["doc_id"].isin(allowed)]
+    exp_rows = []
+    for qid, grp in full.groupby("query_id"):
+        grp = grp.sort_values(
+            ["bm25", "doc_id"], ascending=[False, True]
+        ).head(int(q.loc[q["query_id"] == qid, "k"].iloc[0]))
+        for r, row in enumerate(grp.itertuples(), start=1):
+            exp_rows.append((qid, r, row.doc_id, row.bm25))
+    exp = (
+        __import__("pandas")
+        .DataFrame(exp_rows, columns=["query_id", "rank", "doc_id", "bm25"])
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert (got["query_id"].values == exp["query_id"].values).all()
+    assert (got["doc_id"].values == exp["doc_id"].values).all()
+    np.testing.assert_allclose(got["bm25"].values, exp["bm25"].values)
