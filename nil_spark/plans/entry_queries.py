@@ -733,6 +733,166 @@ FROM fused QUALIFY rank <= {BM25_K}
 """
 
 
+# ----------------------------------------- q: faceted search results
+
+
+def q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted navigation over search results: per query, the BM25
+    top-``RRF_POOL`` joined back to document metadata and counted per
+    ``lang`` facet — the aggregation a search UI renders next to the
+    ranked list.  Scale shape: the per-query result relation is k rows
+    — it BROADCASTS into the metadata join (the corpus never reshuffles
+    for a facet count), and the facet aggregate runs over
+    queries×k rows total."""
+    scored = _bm25_scored(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id")
+    )
+    top = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= RRF_POOL)
+        .select("query_id", "doc_id")
+    )
+    meta = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    return (
+        meta.join(F.broadcast(top), "doc_id")
+        .groupBy("query_id", "lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def _search_facets_sql() -> str:
+    vals = ", ".join(f"({i}, '{t}')" for i, t in BM25_QUERIES)
+    return f"""
+WITH {_DOCS_CTE},
+dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM docs),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+       FROM docs, unnest(toks) AS u(tok) GROUP BY 1, 2),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(query_id, qtext) AS (VALUES {vals}),
+qt AS (SELECT DISTINCT query_id, tok AS term
+       FROM q, unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) AS u(tok)),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum( ln(1 + (s.n - dfr.df + 0.5) / (dfr.df + 0.5))
+                    * (tf.tf * 2.2)
+                    / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6) AS bm25
+  FROM qt JOIN tf USING (term) JOIN dfr USING (term)
+       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  GROUP BY 1, 2),
+top AS (
+  SELECT query_id, doc_id FROM scored
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id)
+          <= {RRF_POOL})
+SELECT t.query_id, d.lang, count(*)::BIGINT AS n_docs
+FROM top t JOIN documents d USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------- q: fuzzy term suggestion
+
+
+# misspellings of vocabulary words — the "did you mean" input set
+SUGGEST_QUERIES = [
+    (0, "tabel"),
+    (1, "merg"),
+    (2, "windoow"),
+    (3, "haash"),
+    (4, "qury"),
+]
+SUGGEST_K = 5
+
+
+def q_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy term suggestion ("did you mean"): rank vocabulary terms by
+    character-trigram Jaccard against a misspelled query word — the
+    classic k-gram dictionary of IR (Manning et al. IIR §3.3.4), built
+    over the corpus vocabulary.  Scale shape: the vocabulary is
+    dictionary-sized (orders of magnitude below the corpus), the query
+    trigram set broadcasts, and the only corpus-wide work is the
+    distinct-token pass every index build already does."""
+    docs = _docs_toks(spark, sf_dir)
+    vocab = (
+        docs.select(F.explode("toks").alias("term"))
+        .distinct()
+        .filter(F.length("term") >= 3)
+    )
+    ttg = vocab.select(
+        "term",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length("term") - 2),
+                lambda i: F.col("term").substr(i, F.lit(3)),
+            )
+        ).alias("tgs"),
+    ).select(
+        "term",
+        F.size("tgs").cast("double").alias("nt"),
+        F.explode("tgs").alias("tg"),
+    )
+
+    qrows = []
+    for qid, w in SUGGEST_QUERIES:
+        tgs = sorted({w[i:i + 3] for i in range(len(w) - 2)})
+        qrows.extend((qid, t, float(len(tgs))) for t in tgs)
+    qtg = spark.createDataFrame(qrows, "query_id long, tg string, nq double")
+
+    scored = (
+        ttg.join(F.broadcast(qtg), "tg")
+        .groupBy("query_id", "term")
+        .agg(
+            F.count("*").cast("double").alias("inter"),
+            F.first("nt").alias("nt"),
+            F.first("nq").alias("nq"),
+        )
+        .select(
+            "query_id",
+            "term",
+            F.round(
+                F.col("inter") / (F.col("nq") + F.col("nt") - F.col("inter")), 6
+            ).alias("jacc"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("jacc").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SUGGEST_K)
+        .select("query_id", "rank", "term", "jacc")
+    )
+
+
+def _term_suggest_sql() -> str:
+    vals = ", ".join(f"({i}, '{w}')" for i, w in SUGGEST_QUERIES)
+    return f"""
+WITH {_DOCS_CTE},
+vocab AS (SELECT DISTINCT tok AS term FROM docs, unnest(toks) AS u(tok)
+          WHERE len(tok) >= 3),
+ttg AS (SELECT DISTINCT term, substr(term, i, 3) AS tg
+        FROM (SELECT term, unnest(generate_series(1, len(term) - 2)) AS i
+              FROM vocab)),
+tsz AS (SELECT term, count(*)::DOUBLE AS nt FROM ttg GROUP BY 1),
+q(query_id, qw) AS (VALUES {vals}),
+qtg AS (SELECT DISTINCT query_id, substr(qw, i, 3) AS tg
+        FROM (SELECT query_id, qw,
+                     unnest(generate_series(1, len(qw) - 2)) AS i
+              FROM q)),
+qsz AS (SELECT query_id, count(*)::DOUBLE AS nq FROM qtg GROUP BY 1),
+inter AS (SELECT query_id, term, count(*)::DOUBLE AS i
+          FROM qtg JOIN ttg USING (tg) GROUP BY 1, 2),
+scored AS (
+  SELECT query_id, term, round(i / (nq + nt - i), 6) AS jacc
+  FROM inter JOIN qsz USING (query_id) JOIN tsz USING (term))
+SELECT query_id,
+       (row_number() OVER (PARTITION BY query_id ORDER BY jacc DESC, term))::INT AS rank,
+       term, jacc
+FROM scored QUALIFY rank <= {SUGGEST_K}
+"""
+
+
 # ------------------------------------------------- q: term dictionary
 
 
@@ -2442,6 +2602,8 @@ REGISTRY: dict[str, tuple] = {
     "proximity_topk": (q_proximity_topk, _proximity_sql()),
     "bm25_filtered_topk": (q_bm25_filtered_topk, _bm25_filtered_sql()),
     "hybrid_rrf_topk": (q_hybrid_rrf_topk, _hybrid_rrf_sql()),
+    "search_facets": (q_search_facets, _search_facets_sql()),
+    "term_suggest": (q_term_suggest, _term_suggest_sql()),
     "bm25_verified_topk": (q_bm25_verified_topk, _bm25_verified_sql()),
     "term_stats": (q_term_stats, _term_stats_sql()),
     "doc_stats": (q_doc_stats, _doc_stats_sql()),
