@@ -110,11 +110,26 @@ def cmd_build(args) -> int:
             _glob.glob(f"{args.index_dir}/partial_segments/part-*.parquet")
         ) or sorted(_glob.glob(f"{args.index_dir}/segments/part-*.parquet"))
         published = publish_replica(paths, pub_avgdl, cfg, spark=spark)
+    n_pos = None
+    if getattr(args, "positions", False):
+        # positional side-car store (operators/positions.py): token-level
+        # position lists for phrase / proximity queries, term-range
+        # sorted so a query's term IN (...) scan prunes row groups
+        from nil_spark.operators.positions import build_position_segments
+
+        pos_df = (
+            build_position_segments(docs, cfg)
+            .repartitionByRange(max(args.shuffle_partitions // 4, 1), "term")
+            .sortWithinPartitions("term", "first_doc")
+        )
+        pos_df.write.mode("overwrite").parquet(f"{args.index_dir}/positions")
+        n_pos = spark.read.parquet(f"{args.index_dir}/positions").count()
     print(json.dumps({
         "n_docs": idx["n_docs"], "avgdl": round(idx["avgdl"], 3),
         "segments": idx["segments"].count(),
         "manifest": builder.manifest_path,
         **({"replica_store": published} if published else {}),
+        **({"position_chunks": n_pos} if n_pos is not None else {}),
     }))
     spark.stop()
     return 0
@@ -236,11 +251,73 @@ def _open_index(spark, args, cfg, builder):
     return segs, termdict, n_docs, avgdl
 
 
+def _cmd_query_positional(spark, args, cfg, mode: str) -> int:
+    """Phrase / proximity serving from the positional side-car store
+    (`build --positions`).  Answers come from position lists alone —
+    the corpus text is never re-read."""
+    import os
+
+    from nil_spark.operators.segments import _cfg_fingerprint
+
+    if _is_streaming_layout(args.index_dir):
+        print(json.dumps({
+            "error": f"--mode {mode} is unsupported for streaming layout",
+            "hint": "positional stores are written by the batch build "
+                    "(`build --positions`)",
+        }), file=sys.stderr)
+        return 2
+    builder = CheckpointedIndexBuilder(args.index_dir, cfg)
+    built_fp = builder.manifest.get("config_fingerprint")
+    if built_fp and built_fp != _cfg_fingerprint(cfg):
+        print(json.dumps({
+            "error": "config mismatch",
+            "index_fingerprint": built_fp,
+            "query_fingerprint": _cfg_fingerprint(cfg),
+            "hint": "pass the same --gram-size (and cfg) the index was built with",
+        }), file=sys.stderr)
+        return 2
+    pos_dir = f"{args.index_dir}/positions"
+    if not os.path.isdir(pos_dir):
+        print(json.dumps({
+            "error": "no positional store",
+            "index_dir": args.index_dir,
+            "hint": f"--mode {mode} needs the positional side-car store; "
+                    "rebuild with `build --positions`",
+        }), file=sys.stderr)
+        return 2
+    store = spark.read.parquet(pos_dir)
+    qpdf = spark.read.parquet(args.queries).toPandas()
+    from nil_spark.operators.positions import (
+        phrase_search_positional,
+        proximity_search_positional,
+    )
+
+    try:
+        if mode == "phrase":
+            out = phrase_search_positional(spark, qpdf, store, cfg)
+        else:
+            out = proximity_search_positional(spark, qpdf, store, cfg, k=args.k)
+    except ValueError as e:  # e.g. proximity query with one distinct term
+        print(json.dumps({"error": "bad query", "detail": str(e)}),
+              file=sys.stderr)
+        return 2
+    out.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"results": spark.read.parquet(args.out).count(),
+                      "mode": mode}))
+    return 0
+
+
 def cmd_query(args) -> int:
     spark = get_spark(app="nil_spark_query", master=args.master,
                       shuffle_partitions=args.shuffle_partitions)
     cfg = EngineConfig(gram_size=args.gram_size)
     from pyspark.sql import functions as F
+
+    mode = getattr(args, "mode", "bm25")
+    if mode != "bm25":
+        rc = _cmd_query_positional(spark, args, cfg, mode)
+        spark.stop()
+        return rc
 
     if getattr(args, "layout", "batch") == "streaming" or (
         getattr(args, "layout", "batch") == "batch"
@@ -313,6 +390,25 @@ def cmd_query(args) -> int:
             "k", (F.col("k") + F.lit(int(args.verify_margin))).cast("int")
         )
     topology = getattr(args, "topology", "join")
+    allowed = None
+    if getattr(args, "filter_docs", None):
+        # filtered search: the predicate's admissible doc ids, pushed
+        # into the WAND kernel (the only topology with in-kernel
+        # candidate admission)
+        if topology != "wand":
+            print(json.dumps({
+                "error": "--filter-docs requires --topology wand",
+                "hint": "the admissible-doc pre-filter is a WAND-kernel "
+                        "feature; other topologies would silently ignore it",
+            }), file=sys.stderr)
+            spark.stop()
+            return 2
+        import numpy as _np
+
+        allowed = (
+            spark.read.parquet(args.filter_docs)
+            .select("doc_id").toPandas()["doc_id"].to_numpy(_np.int64)
+        )
     if topology == "join":
         out = topk_maxscore(q, segs, termdict, n_docs, avgdl, cfg)
     else:
@@ -357,7 +453,8 @@ def cmd_query(args) -> int:
             from nil_spark.operators.wand import topk_replica_bmw
 
             out = topk_replica_bmw(
-                spark, qpdf, paths, td_pdf, n_docs, avgdl, cfg
+                spark, qpdf, paths, td_pdf, n_docs, avgdl, cfg,
+                allowed=allowed,
             )
         elif topology == "term_sharded":
             # term-range routing reads the MERGED store's footers
@@ -597,6 +694,9 @@ def main(argv=None) -> int:
                    help="also publish the node-shared mmap replica store "
                         "at build time so the first replica-topology query "
                         "batch attaches instead of decoding")
+    b.add_argument("--positions", action="store_true",
+                   help="also build the positional side-car store "
+                        "(<index-dir>/positions) for --mode phrase/proximity")
     b.add_argument("--build-path", choices=["fused", "classic"], default="fused",
                    help="fused = single-Arrow-stage build (fast path); "
                         "classic = explode/shuffle pipeline")
@@ -607,6 +707,15 @@ def main(argv=None) -> int:
     q.add_argument("--queries", required=True, help="parquet with (query_id, text[, k])")
     q.add_argument("--out", required=True)
     q.add_argument("-k", type=int, default=10)
+    q.add_argument("--mode", choices=["bm25", "phrase", "proximity"],
+                   default="bm25",
+                   help="bm25: ranked top-k; phrase: exact-phrase hit counts "
+                        "from the positional store; proximity: top-k by "
+                        "minimum token distance between two terms "
+                        "(both need `build --positions`)")
+    q.add_argument("--filter-docs", default=None,
+                   help="parquet of admissible doc_id rows — filtered search "
+                        "pushed into retrieval (requires --topology wand)")
     q.add_argument("--layout", choices=["batch", "streaming"], default="batch",
                    help="batch = CheckpointedIndexBuilder layout (default); "
                         "streaming = IncrementalIndexer layout (per-batch "

@@ -536,3 +536,172 @@ def test_cli_query_verified(cli_index):
                 "--out", str(tmp / "res_v3"), "--verify", "two_tier"])
     assert out.returncode == 2
     assert "corpus" in json.loads(out.stderr.strip().splitlines()[-1])["error"]
+
+
+@pytest.fixture(scope="module")
+def cli_pos_index(tmp_path_factory):
+    """An index built WITH the positional side-car store."""
+    tmp = tmp_path_factory.mktemp("cli_pos")
+    pdf = gen_transcripts(300, seed=31)
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False), str(tmp / "corpus.parquet")
+    )
+    idx_dir = str(tmp / "idx")
+    out = _run(["build", "--input", str(tmp / "corpus.parquet"),
+                "--index-dir", idx_dir, "--positions"])
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    info = json.loads(out.stdout.strip().splitlines()[-1])
+    assert info["position_chunks"] > 0
+    assert os.path.isdir(os.path.join(idx_dir, "positions"))
+    return tmp, idx_dir, pdf
+
+
+def _docs_in_id_order(pdf):
+    """doc_id = 0-based rank under (conv_id, turn_idx) — the CLI's
+    assign_doc_ids contract."""
+    return (
+        pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def test_cli_phrase_mode(cli_pos_index):
+    from nil_spark.functions.tokenize import tokenize_series
+    from nil_spark.operators.phrase import count_phrase_hits
+
+    tmp, idx_dir, pdf = cli_pos_index
+    ordered = _docs_in_id_order(pdf)
+    toks = tokenize_series(ordered["text"], EngineConfig(gram_size=1))
+    # pick a bigram that actually occurs so the assertion has teeth
+    target = None
+    for did, ts in enumerate(toks):
+        if len(ts) >= 2:
+            target = f"{ts[0]} {ts[1]}"
+            break
+    assert target is not None
+    q = pd.DataFrame({"query_id": [0], "text": [target]})
+    pq.write_table(pa.Table.from_pandas(q, preserve_index=False),
+                   str(tmp / "pq.parquet"))
+    out = _run(["query", "--index-dir", idx_dir, "--mode", "phrase",
+                "--queries", str(tmp / "pq.parquet"), "--out", str(tmp / "pres")])
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    got = (
+        pd.concat(
+            pq.read_table(os.path.join(tmp / "pres", f)).to_pandas()
+            for f in os.listdir(tmp / "pres") if f.endswith(".parquet")
+        )
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    ph = target.split()
+    exp = [
+        (0, did, count_phrase_hits(list(ts), ph))
+        for did, ts in enumerate(toks)
+        if count_phrase_hits(list(ts), ph) >= 1
+    ]
+    assert len(got) == len(exp) > 0
+    assert list(zip(got["doc_id"], got["hits"])) == [(d, h) for _, d, h in exp]
+
+
+def test_cli_proximity_mode_and_bad_query(cli_pos_index):
+    from nil_spark.functions.tokenize import tokenize_series
+
+    tmp, idx_dir, pdf = cli_pos_index
+    ordered = _docs_in_id_order(pdf)
+    toks = tokenize_series(ordered["text"], EngineConfig(gram_size=1))
+    pair = None
+    for ts in toks:
+        distinct = list(dict.fromkeys(ts))
+        if len(distinct) >= 2:
+            pair = (distinct[0], distinct[1])
+            break
+    assert pair is not None
+    q = pd.DataFrame({"query_id": [0], "text": [f"{pair[0]} {pair[1]}"]})
+    pq.write_table(pa.Table.from_pandas(q, preserve_index=False),
+                   str(tmp / "xq.parquet"))
+    out = _run(["query", "--index-dir", idx_dir, "--mode", "proximity",
+                "-k", "5",
+                "--queries", str(tmp / "xq.parquet"), "--out", str(tmp / "xres")])
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    got = (
+        pd.concat(
+            pq.read_table(os.path.join(tmp / "xres", f)).to_pandas()
+            for f in os.listdir(tmp / "xres") if f.endswith(".parquet")
+        )
+        .sort_values("rank").reset_index(drop=True)
+    )
+    exp = {}
+    for did, ts in enumerate(toks):
+        pa_ = [p for p, t in enumerate(ts) if t == pair[0]]
+        pb_ = [p for p, t in enumerate(ts) if t == pair[1]]
+        if pa_ and pb_:
+            exp[did] = min(abs(a - b) for a in pa_ for b in pb_)
+    top = sorted(exp.items(), key=lambda kv: (kv[1], kv[0]))[:5]
+    assert list(zip(got["doc_id"], got["min_dist"])) == top
+
+    # one distinct term -> structured exit 2, not a traceback
+    bad = pd.DataFrame({"query_id": [0], "text": [f"{pair[0]} {pair[0]}"]})
+    pq.write_table(pa.Table.from_pandas(bad, preserve_index=False),
+                   str(tmp / "bq.parquet"))
+    out = _run(["query", "--index-dir", idx_dir, "--mode", "proximity",
+                "--queries", str(tmp / "bq.parquet"), "--out", str(tmp / "bres")])
+    assert out.returncode == 2
+    assert "bad query" in out.stderr
+
+
+def test_cli_phrase_mode_without_store_fails_structured(cli_index):
+    tmp, idx_dir, pdf = cli_index  # built WITHOUT --positions
+    q = gen_queries(pdf, n_queries=1, k=3, seed=41)
+    pq.write_table(pa.Table.from_pandas(q, preserve_index=False),
+                   str(tmp / "npq.parquet"))
+    out = _run(["query", "--index-dir", idx_dir, "--mode", "phrase",
+                "--queries", str(tmp / "npq.parquet"), "--out", str(tmp / "npres")])
+    assert out.returncode == 2
+    assert "no positional store" in out.stderr
+
+
+def test_cli_filtered_wand(cli_index):
+    """--filter-docs restricts WAND serving to the admissible set and
+    equals the unfiltered answer post-filtered + re-ranked."""
+    tmp, idx_dir, pdf = cli_index
+    q = gen_queries(pdf, n_queries=6, k=4, seed=42)
+    pq.write_table(pa.Table.from_pandas(q, preserve_index=False),
+                   str(tmp / "fq.parquet"))
+    allowed = pd.DataFrame({"doc_id": np.arange(0, 400, 2, dtype=np.int64)})
+    pq.write_table(pa.Table.from_pandas(allowed, preserve_index=False),
+                   str(tmp / "allowed.parquet"))
+
+    out = _run(["query", "--index-dir", idx_dir, "--topology", "wand",
+                "--filter-docs", str(tmp / "allowed.parquet"),
+                "--queries", str(tmp / "fq.parquet"), "--out", str(tmp / "fres")])
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    got = (
+        pd.concat(
+            pq.read_table(os.path.join(tmp / "fres", f)).to_pandas()
+            for f in os.listdir(tmp / "fres") if f.endswith(".parquet")
+        )
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert (got["doc_id"] % 2 == 0).all()
+
+    deep = q.copy()
+    deep["k"] = 400
+    oracle = OracleIndex(pdf, EngineConfig(gram_size=1)).topk_frame(deep)
+    oracle = oracle[oracle["doc_id"] % 2 == 0]
+    exp_rows = []
+    for qid, grp in oracle.groupby("query_id"):
+        grp = grp.sort_values(["bm25", "doc_id"], ascending=[False, True]).head(4)
+        exp_rows.extend(
+            (qid, r, int(row.doc_id), row.bm25)
+            for r, row in enumerate(grp.itertuples(), start=1)
+        )
+    exp = pd.DataFrame(exp_rows, columns=["query_id", "rank", "doc_id", "bm25"])
+    assert len(got) == len(exp)
+    assert (got["doc_id"].values == exp["doc_id"].values).all()
+    assert np.allclose(got["bm25"].values, exp["bm25"].values, atol=1e-6)
+
+    # wrong topology -> structured refusal
+    out = _run(["query", "--index-dir", idx_dir, "--topology", "replica",
+                "--filter-docs", str(tmp / "allowed.parquet"),
+                "--queries", str(tmp / "fq.parquet"), "--out", str(tmp / "f2res")])
+    assert out.returncode == 2
+    assert "filter-docs requires" in out.stderr
