@@ -260,32 +260,46 @@ def _cmd_query_positional(spark, args, cfg, mode: str) -> int:
     from nil_spark.operators.segments import _cfg_fingerprint
 
     if _is_streaming_layout(args.index_dir):
-        print(json.dumps({
-            "error": f"--mode {mode} is unsupported for streaming layout",
-            "hint": "positional stores are written by the batch build "
-                    "(`build --positions`)",
-        }), file=sys.stderr)
-        return 2
-    builder = CheckpointedIndexBuilder(args.index_dir, cfg)
-    built_fp = builder.manifest.get("config_fingerprint")
-    if built_fp and built_fp != _cfg_fingerprint(cfg):
-        print(json.dumps({
-            "error": "config mismatch",
-            "index_fingerprint": built_fp,
-            "query_fingerprint": _cfg_fingerprint(cfg),
-            "hint": "pass the same --gram-size (and cfg) the index was built with",
-        }), file=sys.stderr)
-        return 2
-    pos_dir = f"{args.index_dir}/positions"
-    if not os.path.isdir(pos_dir):
-        print(json.dumps({
-            "error": "no positional store",
-            "index_dir": args.index_dir,
-            "hint": f"--mode {mode} needs the positional side-car store; "
-                    "rebuild with `build --positions`",
-        }), file=sys.stderr)
-        return 2
-    store = spark.read.parquet(pos_dir)
+        from nil_spark.streaming.incremental import IncrementalIndexer
+
+        try:
+            inc = IncrementalIndexer(args.index_dir, cfg)
+        except ValueError as e:  # config-fingerprint drift
+            print(json.dumps({"error": "config mismatch", "detail": str(e)}),
+                  file=sys.stderr)
+            return 2
+        try:
+            store = inc.position_store(spark)
+        except FileNotFoundError:
+            print(json.dumps({
+                "error": "no positional store",
+                "index_dir": args.index_dir,
+                "hint": f"--mode {mode} needs positional deltas; rebuild "
+                        "the streaming index with `build-stream --positions`",
+            }), file=sys.stderr)
+            return 2
+    else:
+        builder = CheckpointedIndexBuilder(args.index_dir, cfg)
+        built_fp = builder.manifest.get("config_fingerprint")
+        if built_fp and built_fp != _cfg_fingerprint(cfg):
+            print(json.dumps({
+                "error": "config mismatch",
+                "index_fingerprint": built_fp,
+                "query_fingerprint": _cfg_fingerprint(cfg),
+                "hint": "pass the same --gram-size (and cfg) the index "
+                        "was built with",
+            }), file=sys.stderr)
+            return 2
+        pos_dir = f"{args.index_dir}/positions"
+        if not os.path.isdir(pos_dir):
+            print(json.dumps({
+                "error": "no positional store",
+                "index_dir": args.index_dir,
+                "hint": f"--mode {mode} needs the positional side-car store; "
+                        "rebuild with `build --positions`",
+            }), file=sys.stderr)
+            return 2
+        store = spark.read.parquet(pos_dir)
     qpdf = spark.read.parquet(args.queries).toPandas()
     from nil_spark.operators.positions import (
         phrase_search_positional,
@@ -501,8 +515,11 @@ def cmd_build_stream(args) -> int:
     from nil_spark.streaming.incremental import IncrementalIndexer
 
     try:
-        inc = IncrementalIndexer(args.index_dir, cfg)
-    except ValueError as e:  # config-fingerprint drift vs existing index
+        inc = IncrementalIndexer(
+            args.index_dir, cfg,
+            positions=(True if getattr(args, "positions", False) else None),
+        )
+    except ValueError as e:  # config/positions drift vs existing index
         print(json.dumps({"error": "config mismatch", "detail": str(e)}),
               file=sys.stderr)
         spark.stop()
@@ -769,6 +786,9 @@ def main(argv=None) -> int:
                     help="iceberg = incremental append scans of the table "
                          "(the index follows the table's snapshots)")
     bs.add_argument("--index-dir", required=True)
+    bs.add_argument("--positions", action="store_true",
+                    help="absorb a positional side-car delta per batch "
+                         "(phrase/proximity serving on the streaming layout)")
     bs.add_argument("--publish-replica", action="store_true",
                     help="with --compact: also publish the node-shared mmap "
                          "replica store for the new generation, so the next "

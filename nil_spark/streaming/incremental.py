@@ -52,7 +52,16 @@ class IncrementalIndexer:
     """Maintains an append-only segment store under ``index_dir`` fed by
     a Structured Streaming query over ``input_dir``."""
 
-    def __init__(self, index_dir: str, cfg: EngineConfig):
+    def __init__(
+        self, index_dir: str, cfg: EngineConfig, positions: bool | None = None
+    ):
+        """``positions``: also absorb a positional side-car delta per
+        batch (phrase/proximity serving on the streaming layout).
+        ``None`` adopts whatever the existing manifest says (fresh
+        index: off).  Soundness constraint: the positional store must
+        cover EVERY absorbed doc (term absence must imply no match), so
+        enabling it on an index that already absorbed batches without
+        it is refused — rebuild or keep it off."""
         from nil_spark.operators.segments import _cfg_fingerprint
 
         self.index_dir = index_dir
@@ -63,6 +72,21 @@ class IncrementalIndexer:
         if os.path.exists(self.manifest_path):
             with open(self.manifest_path) as f:
                 self.manifest = json.load(f)
+            has_pos = bool(self.manifest.get("positions", False))
+            if positions is None:
+                positions = has_pos
+            elif positions and not has_pos and self.manifest["batches"]:
+                raise ValueError(
+                    f"index at {index_dir} absorbed "
+                    f"{len(self.manifest['batches'])} batches WITHOUT a "
+                    "positional store — enabling positions now would leave "
+                    "those docs invisible to phrase search; rebuild the "
+                    "streaming index with positions on from the start"
+                )
+            elif not positions and has_pos:
+                # keep absorbing positions: turning them off mid-stream
+                # would silently break the coverage invariant
+                positions = True
             # config drift fails fast: absorbing or querying with a
             # different tokenization/scoring config than the deltas
             # were built with silently corrupts the index / results —
@@ -82,12 +106,15 @@ class IncrementalIndexer:
                 # actually matches the current format before stamping
                 self._verify_legacy_segment_schema()
                 self.manifest["config_fingerprint"] = fp
+            self.manifest["positions"] = bool(positions)
         else:
             self.manifest = {
                 "next_doc_id": 0,
                 "batches": [],
                 "config_fingerprint": fp,
+                "positions": bool(positions),
             }
+        self.positions = bool(positions)
 
     def _verify_legacy_segment_schema(self) -> None:
         """For a manifest written before the config-fingerprint guard,
@@ -150,6 +177,32 @@ class IncrementalIndexer:
         docstats.write.mode("overwrite").parquet(
             os.path.join(self.index_dir, "docstats", f"batch_id={int(batch_id)}")
         )
+        if self.positions:
+            # positional side-car delta, same batch_id-keyed idempotence;
+            # term-range sorted within the batch so a phrase query's
+            # term IN (...) scan prunes each delta's row groups
+            from nil_spark.operators.positions import build_position_segments
+
+            n_part = max(
+                int(
+                    batch_df.sparkSession.conf.get(
+                        "spark.sql.shuffle.partitions", "32"
+                    )
+                )
+                // 8,
+                1,
+            )
+            (
+                build_position_segments(docs.select("doc_id", "text"), self.cfg)
+                .repartitionByRange(n_part, "term")
+                .sortWithinPartitions("term", "first_doc")
+                .write.mode("overwrite")
+                .parquet(
+                    os.path.join(
+                        self.index_dir, "positions", f"batch_id={int(batch_id)}"
+                    )
+                )
+            )
         n_rows = docs.count()
         dt.unpersist()
         self.manifest["next_doc_id"] = offset + n_rows
@@ -291,6 +344,23 @@ class IncrementalIndexer:
         return out
 
     # -- query-side view ---------------------------------------------------
+    def position_store(self, spark: SparkSession) -> DataFrame:
+        """Union of all per-batch positional deltas — directly
+        consumable by positions.phrase_search_positional /
+        proximity_search_positional (their kernels sort concatenated
+        chunk rows per term, so delta boundaries are invisible).  No
+        compaction step exists or is needed for correctness: each
+        delta is term-range sorted internally, so footer stats still
+        prune, and per-query cost is Σ df over deltas — the same
+        postings a compacted store would decode."""
+        pos_root = os.path.join(self.index_dir, "positions")
+        if not self.manifest.get("positions") or not os.path.isdir(pos_root):
+            raise FileNotFoundError(
+                f"no positional store under {self.index_dir} — build the "
+                "streaming index with positions=True"
+            )
+        return spark.read.parquet(pos_root).drop("batch_id")
+
     def load_index(self, spark: SparkSession) -> dict:
         """Handle dict compatible with segments.topk_maxscore, derived
         from the compacted generation (if any) plus the not-yet-compacted

@@ -705,3 +705,56 @@ def test_cli_filtered_wand(cli_index):
                 "--queries", str(tmp / "fq.parquet"), "--out", str(tmp / "f2res")])
     assert out.returncode == 2
     assert "filter-docs requires" in out.stderr
+
+
+def test_cli_stream_positions_phrase_query(tmp_path):
+    """Streaming lifecycle WITH positional deltas: build-stream
+    --positions then query --mode phrase on the streaming layout,
+    matching naive recomputation."""
+    from nil_spark.functions.tokenize import tokenize_series
+    from nil_spark.operators.phrase import count_phrase_hits
+
+    pdf = (
+        gen_transcripts(200, seed=33)
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    half = len(pdf) // 2
+    for i, chunk in enumerate((pdf.iloc[:half], pdf.iloc[half:])):
+        fp = str(in_dir / f"part-{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False), fp)
+        os.utime(fp, (1_700_000_000 + i, 1_700_000_000 + i))
+    idx_dir = str(tmp_path / "sidx")
+    out = _run(["build-stream", "--input", str(in_dir),
+                "--index-dir", idx_dir, "--positions"])
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    assert os.path.isdir(os.path.join(idx_dir, "positions", "batch_id=0"))
+
+    toks = tokenize_series(pdf["text"], EngineConfig(gram_size=1))
+    target = next(
+        f"{ts[0]} {ts[1]}" for ts in toks if len(ts) >= 2
+    )
+    q = pd.DataFrame({"query_id": [0], "text": [target]})
+    pq.write_table(pa.Table.from_pandas(q, preserve_index=False),
+                   str(tmp_path / "pq.parquet"))
+    out = _run(["query", "--index-dir", idx_dir, "--mode", "phrase",
+                "--queries", str(tmp_path / "pq.parquet"),
+                "--out", str(tmp_path / "pres")])
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    got = (
+        pd.concat(
+            pq.read_table(os.path.join(tmp_path / "pres", f)).to_pandas()
+            for f in os.listdir(tmp_path / "pres") if f.endswith(".parquet")
+        )
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    ph = target.split()
+    exp = [
+        (did, count_phrase_hits(list(ts), ph))
+        for did, ts in enumerate(toks)
+        if count_phrase_hits(list(ts), ph) >= 1
+    ]
+    assert len(got) == len(exp) > 0
+    assert list(zip(got["doc_id"], got["hits"])) == exp

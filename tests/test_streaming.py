@@ -278,3 +278,95 @@ def test_compaction_rank_identical_and_cleans_deltas(
     # idempotent no-op when nothing new arrived
     shutil.rmtree(fake_delta)
     assert ix.compact(spark)["merged_batches"] == 0
+
+
+# ------------------------------------------- positional side-car deltas
+
+
+def test_stream_positions_match_batch_store(
+    spark, transcripts_1k, tmp_path_factory
+):
+    """Phrase + proximity answers from the streaming positional deltas
+    must equal the batch-built positional store when batches arrive in
+    (conv_id, turn_idx) order — the same parity contract the frequency
+    index carries."""
+    import pandas as pd
+
+    from nil_spark.operators.positions import (
+        build_position_segments,
+        phrase_search_positional,
+        proximity_search_positional,
+    )
+
+    tmp = tmp_path_factory.mktemp("stream_pos")
+    input_dir, index_dir = str(tmp / "in"), str(tmp / "idx")
+    os.makedirs(input_dir)
+    ordered = transcripts_1k.sort_values(
+        ["conv_id", "turn_idx"], kind="mergesort"
+    ).reset_index(drop=True)
+    half = len(ordered) // 2
+    ix = IncrementalIndexer(index_dir, CFG, positions=True)
+    for i, part in enumerate((ordered.iloc[:half], ordered.iloc[half:])):
+        spark.createDataFrame(part, schema=TRANSCRIPT_SCHEMA).coalesce(
+            1
+        ).write.mode("overwrite").parquet(
+            os.path.join(input_dir, f"arrival{i}")
+        )
+        ix.run_available(spark, input_dir + "/arrival*")
+    assert ix.manifest["positions"] is True
+    s_store = ix.position_store(spark)
+
+    docs = assign_doc_ids(
+        spark.createDataFrame(transcripts_1k, schema=TRANSCRIPT_SCHEMA),
+        ["conv_id", "turn_idx"],
+    )
+    b_dir = str(tmp / "batch_pos")
+    build_position_segments(
+        docs.select("doc_id", "text"), CFG
+    ).write.mode("overwrite").parquet(b_dir)
+    b_store = spark.read.parquet(b_dir)
+
+    # phrase query from real corpus text: first bigram of the first doc
+    first_toks = ordered["text"].iloc[0].lower().split()
+    queries = pd.DataFrame(
+        {"query_id": [0], "text": [f"{first_toks[0]} {first_toks[1]}"]}
+    )
+    for fn, kw in (
+        (phrase_search_positional, {}),
+        (proximity_search_positional, {"k": 10}),
+    ):
+        got = (
+            fn(spark, queries, s_store, CFG, **kw)
+            .toPandas().sort_values(["query_id", "doc_id"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            fn(spark, queries, b_store, CFG, **kw)
+            .toPandas().sort_values(["query_id", "doc_id"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(exp) > 0, fn.__name__
+        pd.testing.assert_frame_equal(got, exp)
+
+    # reopening WITHOUT the flag adopts the manifest (keeps absorbing)
+    ix2 = IncrementalIndexer(index_dir, CFG)
+    assert ix2.positions is True
+
+
+def test_positions_cannot_be_enabled_after_the_fact(
+    spark, transcripts_1k, tmp_path_factory
+):
+    """The coverage invariant: a positional store missing some absorbed
+    docs would silently report 'no match' — enabling positions on an
+    index with position-less batches is refused."""
+    tmp = tmp_path_factory.mktemp("stream_pos_late")
+    input_dir, index_dir = str(tmp / "in"), str(tmp / "idx")
+    os.makedirs(input_dir)
+    part = transcripts_1k.iloc[:100]
+    ix = IncrementalIndexer(index_dir, CFG)
+    spark.createDataFrame(part, schema=TRANSCRIPT_SCHEMA).coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(input_dir, "arrival0"))
+    ix.run_available(spark, input_dir + "/arrival*")
+    with pytest.raises(ValueError, match="WITHOUT a positional store"):
+        IncrementalIndexer(index_dir, CFG, positions=True)
