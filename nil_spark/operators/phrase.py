@@ -191,6 +191,126 @@ def phrase_candidates_replica(
     return qdf.mapInPandas(per_split, schema="query_id long, doc_id long")
 
 
+def boolean_search_replica(
+    spark: SparkSession,
+    queries_pdf: pd.DataFrame,
+    shard_paths: list,
+    termdict_pdf: pd.DataFrame,
+    n_docs: int,
+    avgdl: float,
+    cfg: EngineConfig,
+    n_splits: int | None = None,
+) -> DataFrame:
+    """Boolean retrieval over the index: ``queries_pdf`` is
+    ``(query_id, must, must_not)`` — whitespace-tokenized term lists —
+    and the answer is every doc containing ALL ``must`` terms and NONE
+    of the ``must_not`` terms, as ``(query_id, doc_id)``.
+
+    Same machinery as phrase candidates: rarest-first conjunctive
+    intersection over the node-shared replica's posting lists (the
+    rarest term's doc list is the probe set, each further term prunes
+    it with one vectorized ``searchsorted``), then each exclusion term
+    anti-filters the survivors the same way.  Per-query cost is
+    O(min_df_must · (m + x) · log) — the corpus is never scanned, and
+    a ``must`` term absent from the dictionary means no match while an
+    absent ``must_not`` term is a no-op.  The same unpruned-dictionary
+    soundness rule applies (a stopword-pruned term would silently turn
+    NOT into a no-op and AND into a false negative), so a finite df
+    cutoff raises, exactly like phrase candidates.
+    """
+    if (
+        cfg.df_stopword_cutoff is not None
+        and float(cfg.df_stopword_cutoff) < 1.0
+    ):
+        raise ValueError(
+            "boolean retrieval needs an unpruned term dictionary: "
+            f"df_stopword_cutoff {cfg.df_stopword_cutoff} < 1.0 may have "
+            "dropped query terms from the index"
+        )
+    df_map = dict(
+        zip(
+            termdict_pdf["term"].astype(np.int64),
+            termdict_pdf["df"].astype(np.int64),
+        )
+    )
+    paths = tuple(sorted(shard_paths))
+    n_splits = n_splits or max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1
+    )
+    k1, b = cfg.bm25_k1, cfg.bm25_b
+
+    def _hashes(texts: pd.Series) -> list:
+        toks = tokenize_series(texts, cfg)
+        return [np.unique(terms_for_tokens(ts, cfg)) for ts in toks]
+
+    must_h = _hashes(queries_pdf["must"])
+    not_h = _hashes(queries_pdf["must_not"].fillna(""))
+    rows = []
+    for qid, mh, nh in zip(queries_pdf["query_id"], must_h, not_h):
+        if len(mh) == 0:
+            raise ValueError(
+                f"query {qid}: boolean retrieval needs at least one "
+                "must term (a pure-NOT query is a corpus scan)"
+            )
+        if any(int(t) not in df_map for t in mh):
+            continue  # a must term absent from the corpus: no match
+        order = np.argsort([df_map[int(t)] for t in mh], kind="stable")
+        rows.append((
+            int(qid),
+            json.dumps([int(t) for t in mh[order]]),
+            json.dumps([int(t) for t in nh if int(t) in df_map]),
+        ))
+    qdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n_splits) if rows
+        else spark.sparkContext.parallelize([], 1),
+        "query_id long, must_json string, not_json string",
+    )
+
+    def per_split(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        view = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if view is None:
+                view = _load_replica(paths, avgdl, k1, b)
+            out_q, out_d = [], []
+            for qid, mj, nj in zip(
+                pdf["query_id"], pdf["must_json"], pdf["not_json"]
+            ):
+                must = json.loads(mj)
+                entry = view.get(int(must[0]))
+                if entry is None:
+                    continue
+                cand = np.asarray(entry[0])
+                for t in must[1:]:
+                    if not len(cand):
+                        break
+                    entry = view.get(int(t))
+                    if entry is None:
+                        cand = cand[:0]
+                        break
+                    dlist = np.asarray(entry[0])
+                    pos = np.searchsorted(dlist, cand)
+                    np.minimum(pos, len(dlist) - 1, out=pos)
+                    cand = cand[dlist[pos] == cand]
+                for t in json.loads(nj):
+                    if not len(cand):
+                        break
+                    entry = view.get(int(t))
+                    if entry is None:
+                        continue
+                    dlist = np.asarray(entry[0])
+                    pos = np.searchsorted(dlist, cand)
+                    np.minimum(pos, len(dlist) - 1, out=pos)
+                    cand = cand[dlist[pos] != cand]
+                if len(cand):
+                    out_q.extend([int(qid)] * len(cand))
+                    out_d.extend(cand.tolist())
+            yield pd.DataFrame({"query_id": out_q, "doc_id": out_d})
+
+    return qdf.mapInPandas(per_split, schema="query_id long, doc_id long")
+
+
 def phrase_verify(
     candidates: DataFrame,
     queries: DataFrame,

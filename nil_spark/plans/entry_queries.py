@@ -473,6 +473,74 @@ SELECT query_id, doc_id, hits FROM h WHERE hits >= 1
 """
 
 
+# ------------------------------------- q: boolean retrieval (engine)
+
+
+# (query_id, must, must_not): AND-sets at varied selectivity, an empty
+# NOT, a NOT that prunes hard, and a must term absent from the corpus
+# (pins absence-implies-empty)
+BOOLEAN_QUERIES = [
+    (0, "hash join", "table"),
+    (1, "dup", ""),
+    (2, "key value row", "scan"),
+    (3, "merge warehouse", ""),
+    (4, "spark stream", "window"),
+]
+
+
+def q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean retrieval through the real engine: docs containing ALL
+    ``must`` terms and NONE of the ``must_not`` terms, answered by
+    rarest-first posting-list intersection + anti-filter over the
+    node-shared replica store (operators/phrase.py
+    boolean_search_replica) — the index-native AND/NOT the reference's
+    candidate counting (NGramBasedLocation.kt:10-15) implies but never
+    exposes."""
+    import pandas as pd
+
+    from nil_spark.operators.phrase import boolean_search_replica
+
+    shard_paths, td_pdf, n_docs, avgdl, cfg = _gate_engine_index(
+        spark, sf_dir
+    )
+    qpdf = pd.DataFrame(
+        {
+            "query_id": [i for i, _, _ in BOOLEAN_QUERIES],
+            "must": [m for _, m, _ in BOOLEAN_QUERIES],
+            "must_not": [x for _, _, x in BOOLEAN_QUERIES],
+        }
+    )
+    return boolean_search_replica(
+        spark, qpdf, shard_paths, td_pdf, n_docs, avgdl, cfg
+    )
+
+
+def _boolean_sql() -> str:
+    vals = ", ".join(
+        f"({i}, '{m}', '{x}')" for i, m, x in BOOLEAN_QUERIES
+    )
+    return f"""
+WITH {_DOCS_CTE},
+dtok AS (SELECT DISTINCT doc_id, tok FROM docs, unnest(toks) AS u(tok)),
+q(query_id, must, must_not) AS (VALUES {vals}),
+mt AS (SELECT DISTINCT query_id, tok
+       FROM q, unnest(list_filter(regexp_split_to_array(lower(must), '[^a-z0-9]+'), x -> x <> '')) AS u(tok)),
+nt AS (SELECT DISTINCT query_id, tok
+       FROM q, unnest(list_filter(regexp_split_to_array(lower(must_not), '[^a-z0-9]+'), x -> x <> '')) AS u(tok)),
+mc AS (SELECT query_id, count(*) AS m FROM mt GROUP BY 1),
+hit AS (SELECT mt.query_id, d.doc_id, count(*) AS c
+        FROM mt JOIN dtok d ON d.tok = mt.tok GROUP BY 1, 2),
+sel AS (SELECT h.query_id, h.doc_id
+        FROM hit h JOIN mc USING (query_id) WHERE h.c = mc.m),
+excl AS (SELECT DISTINCT nt.query_id, d.doc_id
+         FROM nt JOIN dtok d ON d.tok = nt.tok)
+SELECT s.query_id, s.doc_id
+FROM sel s LEFT JOIN excl e
+  ON e.query_id = s.query_id AND e.doc_id = s.doc_id
+WHERE e.doc_id IS NULL
+"""
+
+
 # ------------------------------------- q: proximity ranking (engine)
 
 
@@ -2600,6 +2668,7 @@ REGISTRY: dict[str, tuple] = {
     "phrase_search": (q_phrase_search, _phrase_sql()),
     "phrase_search_positional": (q_phrase_search_positional, _phrase_sql()),
     "proximity_topk": (q_proximity_topk, _proximity_sql()),
+    "boolean_search": (q_boolean_search, _boolean_sql()),
     "bm25_filtered_topk": (q_bm25_filtered_topk, _bm25_filtered_sql()),
     "hybrid_rrf_topk": (q_hybrid_rrf_topk, _hybrid_rrf_sql()),
     "search_facets": (q_search_facets, _search_facets_sql()),

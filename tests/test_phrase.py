@@ -163,3 +163,73 @@ def test_phrase_shorter_than_gram_refused(spark, tmp_path):
         phrase_candidates_replica(
             spark, q, shard_paths, td, n_docs, avgdl, tri
         )
+
+
+# --------------------------------------------------- boolean retrieval
+
+
+def test_boolean_search_matches_naive(spark, tmp_path):
+    from nil_spark.operators.phrase import boolean_search_replica
+
+    texts = [
+        "the hash join beats the sort merge join",
+        "hash join hash join hash join",
+        "a hash, a join - never adjacent hash . join",
+        "dup dup table dup dup",
+        "dup hash dup",
+        "no relevant terms here at all",
+        "",
+        "join hash table",
+    ]
+    shard_paths, td, n_docs, avgdl, cfg, _ = _build_index(spark, tmp_path, texts)
+    queries = pd.DataFrame(
+        {
+            "query_id": [0, 1, 2, 3],
+            "must": ["hash join", "dup", "hash", "zeta hash"],
+            "must_not": ["table", "hash", "", "join"],
+        }
+    )
+    got = (
+        boolean_search_replica(
+            spark, queries, shard_paths, td, n_docs, avgdl, cfg
+        )
+        .toPandas().sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+    )
+    import re
+
+    exp = []
+    for qid, must, mnot in zip(
+        queries["query_id"], queries["must"], queries["must_not"]
+    ):
+        ms = {t for t in re.split(r"[^a-z0-9]+", must.lower()) if t}
+        ns = {t for t in re.split(r"[^a-z0-9]+", mnot.lower()) if t}
+        for did, text in enumerate(texts):
+            toks = {t for t in re.split(r"[^a-z0-9]+", text.lower()) if t}
+            if ms <= toks and not (ns & toks):
+                exp.append((qid, did))
+    exp_df = (
+        pd.DataFrame(exp, columns=["query_id", "doc_id"])
+        .sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), exp_df.astype("int64"))
+    assert not (got["query_id"] == 3).any()  # absent must term => empty
+
+
+def test_boolean_search_guards(spark, tmp_path):
+    from nil_spark.operators.phrase import boolean_search_replica
+
+    shard_paths, td, n_docs, avgdl, cfg, _ = _build_index(
+        spark, tmp_path, ["hash join", "dup"]
+    )
+    with pytest.raises(ValueError, match="at least one must term"):
+        boolean_search_replica(
+            spark,
+            pd.DataFrame({"query_id": [0], "must": [""], "must_not": ["hash"]}),
+            shard_paths, td, n_docs, avgdl, cfg,
+        )
+    with pytest.raises(ValueError, match="unpruned term dictionary"):
+        boolean_search_replica(
+            spark,
+            pd.DataFrame({"query_id": [0], "must": ["hash"], "must_not": [""]}),
+            shard_paths, td, n_docs, avgdl, cfg.with_(df_stopword_cutoff=0.5),
+        )
