@@ -291,12 +291,18 @@ def _cmd_query_positional(spark, args, cfg, mode: str) -> int:
             }), file=sys.stderr)
             return 2
         pos_dir = f"{args.index_dir}/positions"
-        if not os.path.isdir(pos_dir):
+        # _SUCCESS required, not just the dir: a build killed mid-write
+        # leaves a partial store, and serving it would silently report
+        # "no match" for every doc whose chunks are missing — the same
+        # completeness discipline CheckpointedIndexBuilder applies to
+        # every other stage
+        if not os.path.exists(os.path.join(pos_dir, "_SUCCESS")):
             print(json.dumps({
                 "error": "no positional store",
                 "index_dir": args.index_dir,
-                "hint": f"--mode {mode} needs the positional side-car store; "
-                        "rebuild with `build --positions`",
+                "hint": f"--mode {mode} needs a COMPLETE positional "
+                        "side-car store (positions/_SUCCESS); rebuild "
+                        "with `build --positions`",
             }), file=sys.stderr)
             return 2
         store = spark.read.parquet(pos_dir)
@@ -329,6 +335,27 @@ def cmd_query(args) -> int:
 
     mode = getattr(args, "mode", "bm25")
     if mode != "bm25":
+        # the positional modes answer from position lists alone —
+        # ranked-retrieval flags don't compose with them; refusing
+        # beats silently ignoring (unfiltered/unverified results
+        # reported as if the flag applied)
+        incompatible = [
+            flag for flag, active in (
+                ("--filter-docs", bool(getattr(args, "filter_docs", None))),
+                ("--verify", getattr(args, "verify", "none") != "none"),
+                ("--topology", getattr(args, "topology", "join") != "join"),
+            ) if active
+        ]
+        if incompatible:
+            print(json.dumps({
+                "error": f"{' '.join(incompatible)} unsupported with "
+                         f"--mode {mode}",
+                "hint": "phrase/proximity serve from the positional store; "
+                        "filtered/verified/topology options apply to "
+                        "--mode bm25 only",
+            }), file=sys.stderr)
+            spark.stop()
+            return 2
         rc = _cmd_query_positional(spark, args, cfg, mode)
         spark.stop()
         return rc
@@ -357,6 +384,17 @@ def cmd_query(args) -> int:
             print(json.dumps({
                 "error": "--verify is unsupported for streaming layout",
                 "hint": "query the batch-built index for verified serving",
+            }), file=sys.stderr)
+            spark.stop()
+            return 2
+        if getattr(args, "filter_docs", None):
+            # the streaming layout serves via the join topology, which
+            # has no in-kernel admission filter — refuse rather than
+            # return unfiltered results under a filter flag
+            print(json.dumps({
+                "error": "--filter-docs is unsupported for streaming layout",
+                "hint": "--filter-docs needs --topology wand on a "
+                        "batch-built index",
             }), file=sys.stderr)
             spark.stop()
             return 2

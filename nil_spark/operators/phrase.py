@@ -81,6 +81,15 @@ def _count_hits_np(doc: np.ndarray, ph: np.ndarray) -> int:
     return c
 
 
+def _membership(dlist: np.ndarray, cand: np.ndarray) -> np.ndarray:
+    """Boolean mask over ``cand``: which values occur in the SORTED
+    posting doc list ``dlist`` (one vectorized searchsorted — the
+    shared intersection kernel of phrase and boolean retrieval)."""
+    pos = np.searchsorted(dlist, cand)
+    np.minimum(pos, len(dlist) - 1, out=pos)
+    return dlist[pos] == cand
+
+
 def phrase_candidates_replica(
     spark: SparkSession,
     queries_pdf: pd.DataFrame,
@@ -179,10 +188,7 @@ def phrase_candidates_replica(
                     if entry is None:
                         cand = cand[:0]
                         break
-                    dlist = np.asarray(entry[0])
-                    pos = np.searchsorted(dlist, cand)
-                    np.minimum(pos, len(dlist) - 1, out=pos)
-                    cand = cand[dlist[pos] == cand]
+                    cand = cand[_membership(np.asarray(entry[0]), cand)]
                 if len(cand):
                     out_q.extend([int(qid)] * len(cand))
                     out_d.extend(cand.tolist())
@@ -218,6 +224,17 @@ def boolean_search_replica(
     NOT into a no-op and AND into a false negative), so a finite df
     cutoff raises, exactly like phrase candidates.
     """
+    if cfg.gram_size != 1:
+        # with n-gram shingle terms, 'must' would mean contiguous-run
+        # containment (not AND-of-terms) and a must_not shorter than
+        # gram_size would produce zero index terms — NOT silently
+        # becomes a no-op.  Phrase queries WANT shingle contiguity;
+        # boolean semantics need unigram terms.
+        raise ValueError(
+            f"boolean retrieval needs a unigram index (gram_size=1, "
+            f"got {cfg.gram_size}): shingle terms change AND into "
+            "contiguity and can erase NOT clauses"
+        )
     if (
         cfg.df_stopword_cutoff is not None
         and float(cfg.df_stopword_cutoff) < 1.0
@@ -289,20 +306,14 @@ def boolean_search_replica(
                     if entry is None:
                         cand = cand[:0]
                         break
-                    dlist = np.asarray(entry[0])
-                    pos = np.searchsorted(dlist, cand)
-                    np.minimum(pos, len(dlist) - 1, out=pos)
-                    cand = cand[dlist[pos] == cand]
+                    cand = cand[_membership(np.asarray(entry[0]), cand)]
                 for t in json.loads(nj):
                     if not len(cand):
                         break
                     entry = view.get(int(t))
                     if entry is None:
                         continue
-                    dlist = np.asarray(entry[0])
-                    pos = np.searchsorted(dlist, cand)
-                    np.minimum(pos, len(dlist) - 1, out=pos)
-                    cand = cand[dlist[pos] != cand]
+                    cand = cand[~_membership(np.asarray(entry[0]), cand)]
                 if len(cand):
                     out_q.extend([int(qid)] * len(cand))
                     out_d.extend(cand.tolist())

@@ -58,9 +58,14 @@ _POS_COLS = [
     "doc_blob", "cnt_blob", "pos_blob",
 ]
 
-# positions are packed as (doc_id << 32 | pos); token position must
-# fit 32 bits — a single document longer than 4.29e9 tokens is rejected
-# at build time rather than silently aliased
+# positions are packed as (doc_id << 32 | pos); BOTH halves must fit
+# 32 bits — a document longer than 4.29e9 tokens OR a doc id beyond
+# 4.29e9 is rejected at build time rather than silently aliased (a
+# doc id overflowing the high half would merge its occurrences into
+# another doc's position list).  A corpus beyond 2^32 docs shards the
+# positional store by doc range: each shard packs its own ids, the
+# per-doc kernels are embarrassingly parallel across shards, and the
+# results union — nothing in the query plan crosses shard boundaries.
 _MAX_POS = (1 << 32) - 1
 
 
@@ -157,6 +162,12 @@ def _pos_partition_frame(
         raise ValueError(
             f"document longer than {_MAX_POS} tokens cannot be "
             "position-indexed (positions are packed into 32 bits)"
+        )
+    if ids.max() > _MAX_POS:
+        raise ValueError(
+            f"doc id {int(ids.max())} exceeds 32 bits — packed "
+            "(doc << 32 | pos) keys would alias it into another doc; "
+            "shard the positional store by doc range (module docstring)"
         )
     from itertools import chain
 

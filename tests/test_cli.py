@@ -301,6 +301,17 @@ def test_cli_build_stream_compact_query(tmp_path):
     assert (got["doc_id"].values == oracle["doc_id"].values).all()
     assert np.allclose(got["bm25"].values, oracle["bm25"].values, atol=1e-6)
 
+    # --filter-docs on a streaming layout: refused, not silently ignored
+    allowed = pd.DataFrame({"doc_id": np.arange(10, dtype=np.int64)})
+    pq.write_table(pa.Table.from_pandas(allowed, preserve_index=False),
+                   str(tmp_path / "allowed.parquet"))
+    out = _run(["query", "--layout", "streaming", "--index-dir", idx_dir,
+                "--filter-docs", str(tmp_path / "allowed.parquet"),
+                "--queries", str(tmp_path / "q.parquet"),
+                "--out", str(tmp_path / "fres")])
+    assert out.returncode == 2
+    assert "unsupported for streaming layout" in out.stderr
+
 
 def test_cli_stats(cli_index):
     tmp, idx_dir, pdf = cli_index
@@ -758,3 +769,36 @@ def test_cli_stream_positions_phrase_query(tmp_path):
     ]
     assert len(got) == len(exp) > 0
     assert list(zip(got["doc_id"], got["hits"])) == exp
+
+
+def test_cli_positional_mode_flag_conflicts(cli_pos_index):
+    """Ranked-retrieval flags refuse to combine with positional modes
+    instead of being silently ignored."""
+    tmp, idx_dir, pdf = cli_pos_index
+    q = pd.DataFrame({"query_id": [0], "text": ["hash join"]})
+    pq.write_table(pa.Table.from_pandas(q, preserve_index=False),
+                   str(tmp / "cq.parquet"))
+    allowed = pd.DataFrame({"doc_id": np.arange(10, dtype=np.int64)})
+    pq.write_table(pa.Table.from_pandas(allowed, preserve_index=False),
+                   str(tmp / "callowed.parquet"))
+    out = _run(["query", "--index-dir", idx_dir, "--mode", "phrase",
+                "--filter-docs", str(tmp / "callowed.parquet"),
+                "--queries", str(tmp / "cq.parquet"),
+                "--out", str(tmp / "cres")])
+    assert out.returncode == 2
+    assert "unsupported with --mode phrase" in out.stderr
+
+
+def test_cli_partial_positions_store_refused(cli_index):
+    """A positions/ dir without _SUCCESS (build killed mid-write) must
+    be refused, not served as an authoritative empty store."""
+    tmp, idx_dir, pdf = cli_index
+    os.makedirs(os.path.join(idx_dir, "positions"), exist_ok=True)
+    q = pd.DataFrame({"query_id": [0], "text": ["hash join"]})
+    pq.write_table(pa.Table.from_pandas(q, preserve_index=False),
+                   str(tmp / "ppq.parquet"))
+    out = _run(["query", "--index-dir", idx_dir, "--mode", "phrase",
+                "--queries", str(tmp / "ppq.parquet"),
+                "--out", str(tmp / "ppres")])
+    assert out.returncode == 2
+    assert "no positional store" in out.stderr

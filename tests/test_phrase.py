@@ -233,3 +233,17 @@ def test_boolean_search_guards(spark, tmp_path):
             pd.DataFrame({"query_id": [0], "must": ["hash"], "must_not": [""]}),
             shard_paths, td, n_docs, avgdl, cfg.with_(df_stopword_cutoff=0.5),
         )
+
+
+def test_boolean_search_refuses_ngram_index(spark, tmp_path):
+    from nil_spark.operators.phrase import boolean_search_replica
+
+    shard_paths, td, n_docs, avgdl, cfg, _ = _build_index(
+        spark, tmp_path, ["hash join table scan", "dup hash"]
+    )
+    with pytest.raises(ValueError, match="unigram index"):
+        boolean_search_replica(
+            spark,
+            pd.DataFrame({"query_id": [0], "must": ["hash"], "must_not": [""]}),
+            shard_paths, td, n_docs, avgdl, cfg.with_(gram_size=2),
+        )

@@ -286,3 +286,15 @@ def test_proximity_rejects_single_term(spark, pos_store):
             spark, pd.DataFrame({"query_id": [0], "text": ["dup dup"]}),
             store, cfg,
         )
+
+
+def test_build_rejects_doc_ids_beyond_32_bits():
+    """Packed (doc << 32 | pos) keys: a doc id overflowing the high
+    half would merge its occurrences into another doc's list — the
+    build must refuse, not alias."""
+    from nil_spark.operators.positions import _MAX_POS, _pos_partition_frame
+
+    cfg = EngineConfig(gram_size=1, min_chars=0, min_tokens=0)
+    pdf = pd.DataFrame({"doc_id": [_MAX_POS + 1], "text": ["hash join"]})
+    with pytest.raises(ValueError, match="exceeds 32 bits"):
+        _pos_partition_frame(pdf, cfg, 1 << 20)
