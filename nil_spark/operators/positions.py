@@ -494,3 +494,139 @@ def proximity_search_positional(
     return hit_chunks.groupBy("query_id").applyInPandas(
         per_query, schema=out_schema
     )
+
+
+# ------------------------------------------------ ordered span-near
+
+
+def min_ordered_gap(
+    keys_a: np.ndarray, keys_b: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc minimum ORDERED gap: for two distinct terms, the
+    smallest ``pos_b - pos_a > 0`` over occurrences where B follows A
+    in the same doc — the kernel under span-near ("B within W tokens
+    after A") queries.  Returns (doc_ids, min_gap) over exactly the
+    docs where B ever follows A.
+
+    One merge + one carry-forward scan, no pair enumeration: in the
+    merged per-doc position order, the best A for every B is the LAST
+    A at or before it, so ``np.maximum.accumulate`` over the merged
+    keys (A keys kept, B slots carrying the running A-max forward)
+    yields every B's nearest preceding A in one vectorized pass.  A
+    stale A carried across a doc boundary is dropped by an explicit
+    high-bits (doc) comparison — the raw key difference alone is NOT a
+    safe filter, because ``(d+1)<<32 | small_pos`` minus
+    ``d<<32 | large_pos`` can be arbitrarily small (hypothesis found
+    exactly this: A at (0,1), B at (1,0) → gap 2^32-1 but also e.g.
+    gap 1 for larger positions).  A doc with no A yet compares against
+    a -2^62 sentinel whose high bits match no doc.  Cost is
+    O((|A|+|B|) log) for the merge, linear after, the same class as
+    the unordered distance kernel.
+    """
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+    if len(keys_a) == 0 or len(keys_b) == 0:
+        return empty
+    keys = np.concatenate([keys_a, keys_b]).astype(np.int64)
+    lab_b = np.empty(len(keys), dtype=bool)
+    lab_b[: len(keys_a)] = False
+    lab_b[len(keys_a):] = True
+    order = np.argsort(keys, kind="stable")
+    keys = keys[order]
+    lab_b = lab_b[order]
+    sentinel = -(1 << 62)
+    last_a = np.maximum.accumulate(np.where(lab_b, sentinel, keys))
+    b_keys = keys[lab_b]
+    b_last_a = last_a[lab_b]
+    gaps = b_keys - b_last_a
+    bdocs = (b_keys >> 32).astype(np.int64)
+    # ordered pair only counts when its nearest preceding A is in the
+    # SAME doc (high 32 bits equal); the sentinel's high bits match
+    # no doc, so no-A-yet B's drop here too
+    ok = (b_last_a >> 32) == b_keys >> 32
+    if not ok.any():
+        return empty
+    gaps, bdocs = gaps[ok], bdocs[ok]
+    starts = np.flatnonzero(np.r_[True, bdocs[1:] != bdocs[:-1]])
+    return bdocs[starts], np.minimum.reduceat(gaps, starts)
+
+
+def span_near_positional(
+    spark: SparkSession,
+    queries_pdf: pd.DataFrame,
+    pos_store: DataFrame,
+    cfg: EngineConfig,
+    window: int,
+    k: int = 10,
+) -> DataFrame:
+    """Ordered span-near search (Lucene ``SpanNearQuery`` with
+    in_order=true, two clauses): top-k docs where the query's second
+    term follows its first within ``window`` tokens, ranked by
+    ascending minimum ordered gap then doc_id —
+    ``(query_id, rank, doc_id, min_gap)``.  Same plan as every
+    positional query: term-pruned store scan → broadcast query-term
+    join → ONE shuffle keyed by query_id → Arrow kernel."""
+    if window < 1:
+        raise ValueError(f"span_near window must be >= 1, got {window}")
+    qtoks = tokenize_series(queries_pdf["text"], cfg)
+    qmeta, qterm = [], set()
+    for qid, ts in zip(queries_pdf["query_id"], qtoks):
+        seen: list = []
+        for t in ts:
+            h = int(_hash_token(t))
+            if h not in seen:
+                seen.append(h)
+            if len(seen) == 2:
+                break
+        if len(seen) < 2:
+            raise ValueError(
+                f"span_near query {qid!r} needs two distinct terms, "
+                f"got {list(ts)!r}"
+            )
+        qmeta.append((int(qid), seen[0], seen[1]))
+        qterm.update((int(qid), h) for h in seen)
+    if not qmeta:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, min_gap long"
+        )
+
+    qmeta_df = spark.createDataFrame(qmeta, "query_id long, t1 long, t2 long")
+    qterm_df = spark.createDataFrame(sorted(qterm), "query_id long, term long")
+    all_terms = sorted({t for _, t in qterm})
+    hit_chunks = (
+        pos_store.filter(F.col("term").isin(all_terms))
+        .join(F.broadcast(qterm_df), "term")
+        .join(F.broadcast(qmeta_df), "query_id")
+        .select(
+            "query_id", "t1", "t2", "term",
+            "doc_blob", "cnt_blob", "pos_blob",
+        )
+    )
+
+    def per_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": pd.Series(dtype="int64"),
+             "rank": pd.Series(dtype="int32"),
+             "doc_id": pd.Series(dtype="int64"),
+             "min_gap": pd.Series(dtype="int64")}
+        )
+        if len(pdf) == 0:
+            return empty
+        qid = int(pdf["query_id"].iloc[0])
+        t1, t2 = int(pdf["t1"].iloc[0]), int(pdf["t2"].iloc[0])
+        term_keys = _term_keys(pdf)
+        ka, kb = term_keys.get(t1), term_keys.get(t2)
+        if ka is None or kb is None:
+            return empty
+        docs, gap = min_ordered_gap(ka, kb)
+        keep = gap <= window
+        docs, gap = docs[keep], gap[keep]
+        top = np.lexsort((docs, gap))[: min(k, len(docs))]
+        return pd.DataFrame(
+            {"query_id": np.full(len(top), qid, np.int64),
+             "rank": np.arange(1, len(top) + 1, dtype=np.int32),
+             "doc_id": docs[top], "min_gap": gap[top]}
+        )
+
+    return hit_chunks.groupBy("query_id").applyInPandas(
+        per_query, schema="query_id long, rank int, doc_id long, min_gap long"
+    )

@@ -605,6 +605,71 @@ FROM d QUALIFY rank <= {PROXIMITY_K}
 """
 
 
+# ----------------------------------- q: ordered span-near (engine)
+
+
+# ordered pairs: both orders of the same pair pin the in-order
+# semantics; plus a rare pair and an absent-term pair
+SPAN_NEAR_QUERIES = [
+    (0, "hash join"),
+    (1, "join hash"),
+    (2, "table scan"),
+    (3, "dup vector"),
+    (4, "scan warehouse"),
+]
+SPAN_NEAR_WINDOW = 5
+SPAN_NEAR_K = 10
+
+
+def q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered span-near search (Lucene SpanNearQuery, in_order=true):
+    top-k docs where the second term follows the first within
+    SPAN_NEAR_WINDOW tokens, answered index-natively from the
+    positional store by a carry-forward merge (every B's nearest
+    preceding A in one np.maximum.accumulate pass — no pair
+    enumeration).  Shares the content-keyed gate store with the other
+    positional rows."""
+    import pandas as pd
+
+    from nil_spark.operators.positions import span_near_positional
+
+    store, cfg = _gate_pos_store(spark, sf_dir)
+    qpdf = pd.DataFrame(
+        {
+            "query_id": [i for i, _ in SPAN_NEAR_QUERIES],
+            "text": [t for _, t in SPAN_NEAR_QUERIES],
+        }
+    )
+    return span_near_positional(
+        spark, qpdf, store, cfg, window=SPAN_NEAR_WINDOW, k=SPAN_NEAR_K
+    )
+
+
+def _span_near_sql() -> str:
+    vals = ", ".join(
+        f"({i}, '{t.split()[0]}', '{t.split()[1]}')"
+        for i, t in SPAN_NEAR_QUERIES
+    )
+    return f"""
+WITH {_DOCS_CTE},
+pos AS (SELECT doc_id, unnest(toks) AS tok,
+               generate_subscripts(toks, 1) AS p
+        FROM docs),
+q(query_id, t1, t2) AS (VALUES {vals}),
+d AS (SELECT q.query_id, a.doc_id,
+             min(b.p - a.p)::BIGINT AS min_gap
+      FROM q
+      JOIN pos a ON a.tok = q.t1
+      JOIN pos b ON b.doc_id = a.doc_id AND b.tok = q.t2
+                 AND b.p > a.p AND b.p - a.p <= {SPAN_NEAR_WINDOW}
+      GROUP BY 1, 2)
+SELECT query_id,
+       (row_number() OVER (PARTITION BY query_id ORDER BY min_gap, doc_id))::INT AS rank,
+       doc_id, min_gap
+FROM d QUALIFY rank <= {SPAN_NEAR_K}
+"""
+
+
 # --------------------------------------- q: filtered serving (engine)
 
 
@@ -2669,6 +2734,7 @@ REGISTRY: dict[str, tuple] = {
     "phrase_search_positional": (q_phrase_search_positional, _phrase_sql()),
     "proximity_topk": (q_proximity_topk, _proximity_sql()),
     "boolean_search": (q_boolean_search, _boolean_sql()),
+    "span_near": (q_span_near, _span_near_sql()),
     "bm25_filtered_topk": (q_bm25_filtered_topk, _bm25_filtered_sql()),
     "hybrid_rrf_topk": (q_hybrid_rrf_topk, _hybrid_rrf_sql()),
     "search_facets": (q_search_facets, _search_facets_sql()),

@@ -279,3 +279,23 @@ def test_random_corpora_boolean_and_positional_match_naive(
         if pa and pb:
             ex[d] = min(abs(a - b) for a in pa for b in pb)
     assert dict(zip(gx["doc_id"], gx["min_dist"])) == ex, pair
+
+    # ordered span-near vs naive (window 3 keeps it selective)
+    from nil_spark.operators.positions import span_near_positional
+
+    gs = (
+        span_near_positional(
+            spark,
+            pd.DataFrame({"query_id": [0], "text": [f"{pair[0]} {pair[1]}"]}),
+            store, cfg, window=3, k=max(len(texts), 1),
+        )
+        .toPandas().sort_values("doc_id")
+    )
+    es = {}
+    for d, ts in enumerate(dtoks):
+        pa = [p for p, t in enumerate(ts) if t == pair[0]]
+        pb = [p for p, t in enumerate(ts) if t == pair[1]]
+        gaps = [b - a for a in pa for b in pb if 0 < b - a <= 3]
+        if gaps:
+            es[d] = min(gaps)
+    assert dict(zip(gs["doc_id"], gs["min_gap"])) == es, pair

@@ -298,3 +298,81 @@ def test_build_rejects_doc_ids_beyond_32_bits():
     pdf = pd.DataFrame({"doc_id": [_MAX_POS + 1], "text": ["hash join"]})
     with pytest.raises(ValueError, match="exceeds 32 bits"):
         _pos_partition_frame(pdf, cfg, 1 << 20)
+
+
+# ----------------------------------------------- ordered span-near
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(VOCAB), max_size=30), min_size=1, max_size=6
+    ),
+    pair=st.tuples(st.sampled_from(VOCAB), st.sampled_from(VOCAB)),
+)
+@settings(max_examples=300, deadline=None)
+def test_min_ordered_gap_matches_naive(docs, pair):
+    """Carry-forward ordered-gap kernel vs the O(n²) all-pairs scan."""
+    from nil_spark.operators.positions import min_ordered_gap
+
+    t1, t2 = pair
+    if t1 == t2:
+        return
+    term_keys = _keys_for(docs)
+    ka = term_keys.get(int(_hash_token(t1)), np.empty(0, np.uint64))
+    kb = term_keys.get(int(_hash_token(t2)), np.empty(0, np.uint64))
+    got_d, got_g = min_ordered_gap(ka, kb)
+    got = dict(zip(got_d.tolist(), got_g.tolist()))
+    exp = {}
+    for did, toks in enumerate(docs):
+        pa = [p for p, t in enumerate(toks) if t == t1]
+        pb = [p for p, t in enumerate(toks) if t == t2]
+        gaps = [b - a for a in pa for b in pb if b > a]
+        if gaps:
+            exp[did] = min(gaps)
+    assert got == exp
+
+
+def test_span_near_end_to_end_ordered(spark, pos_store):
+    """span_near is ORDER-sensitive: 'hash join' and 'join hash' give
+    different answers on the same store; window bounds enforced."""
+    from nil_spark.operators.positions import span_near_positional
+
+    store, cfg = pos_store
+    queries = pd.DataFrame(
+        {"query_id": [0, 1], "text": ["hash join", "join hash"]}
+    )
+    got = (
+        span_near_positional(spark, queries, store, cfg, window=3, k=10)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    dtoks = tokenize_series(pd.Series(TEXTS), cfg)
+    for qid, qt in zip(queries["query_id"], queries["text"]):
+        t1, t2 = qt.split()
+        exp = {}
+        for did, ts in enumerate(dtoks):
+            pa = [p for p, t in enumerate(ts) if t == t1]
+            pb = [p for p, t in enumerate(ts) if t == t2]
+            gaps = [b - a for a in pa for b in pb if 0 < b - a <= 3]
+            if gaps:
+                exp[did] = min(gaps)
+        sub = got[got["query_id"] == qid]
+        expected = sorted(exp.items(), key=lambda kv: (kv[1], kv[0]))[:10]
+        assert list(zip(sub["doc_id"], sub["min_gap"])) == expected, qt
+    # the two orders disagree somewhere (TEXTS has 'join hash' at doc 7)
+    a = set(got[got["query_id"] == 0]["doc_id"])
+    b = set(got[got["query_id"] == 1]["doc_id"])
+    assert a != b
+
+
+def test_span_near_rejects_bad_window(spark, pos_store):
+    from nil_spark.operators.positions import span_near_positional
+
+    store, cfg = pos_store
+    with pytest.raises(ValueError, match="window must be >= 1"):
+        span_near_positional(
+            spark,
+            pd.DataFrame({"query_id": [0], "text": ["hash join"]}),
+            store, cfg, window=0,
+        )
