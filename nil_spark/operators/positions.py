@@ -630,3 +630,173 @@ def span_near_positional(
     return hit_chunks.groupBy("query_id").applyInPandas(
         per_query, schema="query_id long, rank int, doc_id long, min_gap long"
     )
+
+
+# ---------------------------------------------- minimal-window search
+
+
+def min_window(
+    occ_keys: list[np.ndarray],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-doc LEFTMOST minimal window covering all m terms:
+    ``occ_keys[i]`` is term i's sorted packed (doc << 32 | pos) keys;
+    returns (doc_ids, win_start, win_len) over exactly the docs
+    containing every term — the snippet-extraction primitive (the
+    smallest text region a highlighter should show).
+
+    Merge once, then the classic two-pointer sweep per candidate doc:
+    advance the right edge until all m term counts are positive,
+    shrink the left edge while coverage holds, record strict
+    improvements (so ties keep the FIRST — leftmost — window).  The
+    sweep is sequential by nature, but it runs only over docs that
+    survive the conjunctive containment check, and its cost is the
+    candidate docs' occurrence mass — the same bound every positional
+    kernel here carries.  Precedent for a per-doc Python loop on a
+    filtered residue: the LCS verify kernel (operators/clone.py), where
+    filtration guarantees the loop input is small.
+    """
+    empty = (
+        np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64),
+    )
+    m = len(occ_keys)
+    if m == 0 or any(len(k) == 0 for k in occ_keys):
+        return empty
+    # candidate docs: contained in EVERY term's doc set
+    doc_sets = [np.unique(k >> np.uint64(32)) for k in occ_keys]
+    cand = doc_sets[0]
+    for ds in doc_sets[1:]:
+        if len(cand) == 0:
+            return empty
+        pos = np.searchsorted(ds, cand)
+        np.minimum(pos, len(ds) - 1, out=pos)
+        cand = cand[ds[pos] == cand]
+    if len(cand) == 0:
+        return empty
+
+    keys = np.concatenate(occ_keys).astype(np.int64)
+    labs = np.concatenate(
+        [np.full(len(k), i, np.int32) for i, k in enumerate(occ_keys)]
+    )
+    order = np.argsort(keys, kind="stable")
+    keys = keys[order]
+    labs = labs[order]
+    docs_all = keys >> 32
+    # restrict the merged stream to candidate docs before looping
+    pos = np.searchsorted(cand, docs_all)
+    np.minimum(pos, len(cand) - 1, out=pos)
+    keep = cand[pos] == docs_all
+    keys = keys[keep]
+    labs = labs[keep]
+    docs_all = docs_all[keep]
+    poss = keys & _MAX_POS
+
+    out_d, out_s, out_w = [], [], []
+    bounds = np.flatnonzero(np.r_[True, docs_all[1:] != docs_all[:-1]])
+    bounds = np.append(bounds, len(docs_all))
+    for bi in range(len(bounds) - 1):
+        s, e = int(bounds[bi]), int(bounds[bi + 1])
+        p = poss[s:e]
+        lb = labs[s:e]
+        need = m
+        cnt = np.zeros(m, np.int64)
+        best_w, best_s = None, None
+        left = 0
+        for right in range(len(p)):
+            if cnt[lb[right]] == 0:
+                need -= 1
+            cnt[lb[right]] += 1
+            while need == 0:
+                w = int(p[right] - p[left])
+                if best_w is None or w < best_w:
+                    best_w, best_s = w, int(p[left])
+                cnt[lb[left]] -= 1
+                if cnt[lb[left]] == 0:
+                    need += 1
+                left += 1
+        if best_w is not None:
+            out_d.append(int(docs_all[s]))
+            out_s.append(best_s)
+            out_w.append(best_w)
+    return (
+        np.asarray(out_d, np.int64),
+        np.asarray(out_s, np.int64),
+        np.asarray(out_w, np.int64),
+    )
+
+
+def min_window_positional(
+    spark: SparkSession,
+    queries_pdf: pd.DataFrame,
+    pos_store: DataFrame,
+    cfg: EngineConfig,
+    k: int = 10,
+) -> DataFrame:
+    """Minimal-window search: per query (whitespace terms, duplicates
+    collapsed), the top-k docs by the smallest token window containing
+    ALL the query's terms — ``(query_id, rank, doc_id, win_start,
+    win_len)``, ranked by (win_len, doc_id), win_start = leftmost
+    minimal window.  This is the index-native form of snippet
+    selection: the window bounds point a highlighter at the exact text
+    region, and document text is never read to find it.  Same plan as
+    every positional query (term-pruned scan → broadcast join → one
+    query_id shuffle → Arrow kernel)."""
+    qtoks = tokenize_series(queries_pdf["text"], cfg)
+    qmeta, qterm = [], set()
+    for qid, ts in zip(queries_pdf["query_id"], qtoks):
+        hs = list(dict.fromkeys(int(_hash_token(t)) for t in ts))
+        if not hs:
+            continue
+        qmeta.append((int(qid), json.dumps(hs)))
+        qterm.update((int(qid), h) for h in hs)
+    if not qmeta:
+        return spark.createDataFrame(
+            [],
+            "query_id long, rank int, doc_id long, win_start long, win_len long",
+        )
+
+    qmeta_df = spark.createDataFrame(qmeta, "query_id long, terms_json string")
+    qterm_df = spark.createDataFrame(sorted(qterm), "query_id long, term long")
+    all_terms = sorted({t for _, t in qterm})
+    hit_chunks = (
+        pos_store.filter(F.col("term").isin(all_terms))
+        .join(F.broadcast(qterm_df), "term")
+        .join(F.broadcast(qmeta_df), "query_id")
+        .select(
+            "query_id", "terms_json", "term",
+            "doc_blob", "cnt_blob", "pos_blob",
+        )
+    )
+    schema = (
+        "query_id long, rank int, doc_id long, win_start long, win_len long"
+    )
+
+    def per_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": pd.Series(dtype="int64"),
+             "rank": pd.Series(dtype="int32"),
+             "doc_id": pd.Series(dtype="int64"),
+             "win_start": pd.Series(dtype="int64"),
+             "win_len": pd.Series(dtype="int64")}
+        )
+        if len(pdf) == 0:
+            return empty
+        qid = int(pdf["query_id"].iloc[0])
+        terms = json.loads(pdf["terms_json"].iloc[0])
+        term_keys = _term_keys(pdf)
+        occ = []
+        for t in terms:
+            kt = term_keys.get(int(t))
+            if kt is None:
+                return empty  # a term absent from the corpus: no doc
+            occ.append(kt)
+        docs, ws, wl = min_window(occ)
+        top = np.lexsort((docs, wl))[: min(k, len(docs))]
+        return pd.DataFrame(
+            {"query_id": np.full(len(top), qid, np.int64),
+             "rank": np.arange(1, len(top) + 1, dtype=np.int32),
+             "doc_id": docs[top], "win_start": ws[top], "win_len": wl[top]}
+        )
+
+    return hit_chunks.groupBy("query_id").applyInPandas(
+        per_query, schema=schema
+    )

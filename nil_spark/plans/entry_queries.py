@@ -670,6 +670,78 @@ FROM d QUALIFY rank <= {SPAN_NEAR_K}
 """
 
 
+# ---------------------------------- q: minimal-window search (engine)
+
+
+# three-term queries (the SQL oracle joins three occurrence tables);
+# the last one carries a term absent from the vocabulary
+MIN_WINDOW_QUERIES = [
+    (0, "hash join table"),
+    (1, "key value row"),
+    (2, "dup scan merge"),
+    (3, "spark window batch"),
+    (4, "hash join warehouse"),
+]
+MIN_WINDOW_K = 10
+
+
+def q_min_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal-window search (snippet selection): per query, the top-k
+    docs by the smallest token window containing ALL three query terms,
+    with the LEFTMOST such window's start — the region a highlighter
+    shows, located from position lists without reading text
+    (operators/positions.py min_window: conjunctive containment filter,
+    then the classic two-pointer sweep over candidate docs only)."""
+    import pandas as pd
+
+    from nil_spark.operators.positions import min_window_positional
+
+    store, cfg = _gate_pos_store(spark, sf_dir)
+    qpdf = pd.DataFrame(
+        {
+            "query_id": [i for i, _ in MIN_WINDOW_QUERIES],
+            "text": [t for _, t in MIN_WINDOW_QUERIES],
+        }
+    )
+    return min_window_positional(spark, qpdf, store, cfg, k=MIN_WINDOW_K)
+
+
+def _min_window_sql() -> str:
+    # engine positions are 0-based, generate_subscripts 1-based: window
+    # LENGTHS are differences (identical); the start is shifted by -1.
+    # min(st) among wl-minimal triples = the leftmost minimal window,
+    # which is exactly what the two-pointer records first.
+    vals = ", ".join(
+        f"({i}, '{t.split()[0]}', '{t.split()[1]}', '{t.split()[2]}')"
+        for i, t in MIN_WINDOW_QUERIES
+    )
+    return f"""
+WITH {_DOCS_CTE},
+pos AS (SELECT doc_id, unnest(toks) AS tok,
+               generate_subscripts(toks, 1) AS p
+        FROM docs),
+q(query_id, t1, t2, t3) AS (VALUES {vals}),
+t AS (SELECT q.query_id, a.doc_id,
+             greatest(a.p, b.p, c.p) - least(a.p, b.p, c.p) AS wl,
+             least(a.p, b.p, c.p) - 1 AS st
+      FROM q
+      JOIN pos a ON a.tok = q.t1
+      JOIN pos b ON b.doc_id = a.doc_id AND b.tok = q.t2
+      JOIN pos c ON c.doc_id = a.doc_id AND c.tok = q.t3),
+d AS (SELECT query_id, doc_id, min(wl)::BIGINT AS win_len
+      FROM t GROUP BY 1, 2),
+sel AS (SELECT t.query_id, t.doc_id, d.win_len,
+               min(t.st)::BIGINT AS win_start
+        FROM t JOIN d ON d.query_id = t.query_id
+                     AND d.doc_id = t.doc_id AND t.wl = d.win_len
+        GROUP BY 1, 2, 3)
+SELECT query_id,
+       (row_number() OVER (PARTITION BY query_id ORDER BY win_len, doc_id))::INT AS rank,
+       doc_id, win_start, win_len
+FROM sel QUALIFY rank <= {MIN_WINDOW_K}
+"""
+
+
 # --------------------------------------- q: filtered serving (engine)
 
 
@@ -2735,6 +2807,7 @@ REGISTRY: dict[str, tuple] = {
     "proximity_topk": (q_proximity_topk, _proximity_sql()),
     "boolean_search": (q_boolean_search, _boolean_sql()),
     "span_near": (q_span_near, _span_near_sql()),
+    "min_window": (q_min_window, _min_window_sql()),
     "bm25_filtered_topk": (q_bm25_filtered_topk, _bm25_filtered_sql()),
     "hybrid_rrf_topk": (q_hybrid_rrf_topk, _hybrid_rrf_sql()),
     "search_facets": (q_search_facets, _search_facets_sql()),

@@ -376,3 +376,62 @@ def test_span_near_rejects_bad_window(spark, pos_store):
             pd.DataFrame({"query_id": [0], "text": ["hash join"]}),
             store, cfg, window=0,
         )
+
+
+# ------------------------------------------------ minimal window
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(VOCAB), max_size=30), min_size=1, max_size=6
+    ),
+    terms=st.lists(st.sampled_from(VOCAB), min_size=1, max_size=3, unique=True),
+)
+@settings(max_examples=300, deadline=None)
+def test_min_window_matches_naive(docs, terms):
+    """Two-pointer minimal-window kernel vs brute force over all
+    occurrence combinations (min spread; ties -> leftmost start)."""
+    from itertools import product
+
+    from nil_spark.operators.positions import min_window
+
+    term_keys = _keys_for(docs)
+    occ = [
+        term_keys.get(int(_hash_token(t)), np.empty(0, np.uint64))
+        for t in terms
+    ]
+    got_d, got_s, got_w = min_window(occ)
+    got = {d: (s, w) for d, s, w in zip(got_d, got_s, got_w)}
+    exp = {}
+    for did, toks in enumerate(docs):
+        plists = [[p for p, t in enumerate(toks) if t == q] for q in terms]
+        if any(not pl for pl in plists):
+            continue
+        best = None
+        for combo in product(*plists):
+            wl = max(combo) - min(combo)
+            st_ = min(combo)
+            if best is None or (wl, st_) < best:
+                best = (wl, st_)
+        exp[did] = (best[1], best[0])
+    assert got == exp, terms
+
+
+def test_min_window_end_to_end(spark, pos_store):
+    from nil_spark.operators.positions import min_window_positional
+
+    store, cfg = pos_store
+    queries = pd.DataFrame(
+        {"query_id": [0, 1], "text": ["hash join sort", "zeta hash join"]}
+    )
+    got = (
+        min_window_positional(spark, queries, store, cfg, k=10)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    # doc 0: "the hash join beats the sort merge join" — window
+    # hash(1)..sort(5) = len 4 starting at 1; only doc containing all 3
+    sub = got[got["query_id"] == 0]
+    assert list(zip(sub["doc_id"], sub["win_start"], sub["win_len"])) == [
+        (0, 1, 4)
+    ]
+    assert not (got["query_id"] == 1).any()  # absent term => no rows
