@@ -742,6 +742,81 @@ FROM sel QUALIFY rank <= {MIN_WINDOW_K}
 """
 
 
+# ------------------------------------------ q: search-result snippets
+
+
+def q_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The search-result page, end to end: minimal-window ranking from
+    the positional store (q_min_window's plan), then ONE broadcast
+    join fetches text for the k winning docs only and slices out the
+    snippet — the highlighter's output.  Scale shape: the index
+    answers WHERE the snippet is; document text is touched for
+    queries×k rows total, never scanned."""
+    from nil_spark.operators.positions import min_window_positional
+
+    import pandas as pd
+
+    store, cfg = _gate_pos_store(spark, sf_dir)
+    qpdf = pd.DataFrame(
+        {
+            "query_id": [i for i, _ in MIN_WINDOW_QUERIES],
+            "text": [t for _, t in MIN_WINDOW_QUERIES],
+        }
+    )
+    ranked = min_window_positional(spark, qpdf, store, cfg, k=MIN_WINDOW_K)
+    toks = _docs_toks(spark, sf_dir)
+    return (
+        toks.join(F.broadcast(ranked), "doc_id")
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            F.array_join(
+                F.slice(
+                    "toks",
+                    F.col("win_start").cast("int") + 1,
+                    F.col("win_len").cast("int") + 1,
+                ),
+                " ",
+            ).alias("snippet"),
+        )
+    )
+
+
+def _search_snippets_sql() -> str:
+    vals = ", ".join(
+        f"({i}, '{t.split()[0]}', '{t.split()[1]}', '{t.split()[2]}')"
+        for i, t in MIN_WINDOW_QUERIES
+    )
+    return f"""
+WITH {_DOCS_CTE},
+pos AS (SELECT doc_id, unnest(toks) AS tok,
+               generate_subscripts(toks, 1) AS p
+        FROM docs),
+q(query_id, t1, t2, t3) AS (VALUES {vals}),
+t AS (SELECT q.query_id, a.doc_id,
+             greatest(a.p, b.p, c.p) - least(a.p, b.p, c.p) AS wl,
+             least(a.p, b.p, c.p) AS st
+      FROM q
+      JOIN pos a ON a.tok = q.t1
+      JOIN pos b ON b.doc_id = a.doc_id AND b.tok = q.t2
+      JOIN pos c ON c.doc_id = a.doc_id AND c.tok = q.t3),
+d AS (SELECT query_id, doc_id, min(wl) AS win_len FROM t GROUP BY 1, 2),
+sel AS (SELECT t.query_id, t.doc_id, d.win_len, min(t.st) AS win_start
+        FROM t JOIN d ON d.query_id = t.query_id
+                     AND d.doc_id = t.doc_id AND t.wl = d.win_len
+        GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT query_id,
+         (row_number() OVER (PARTITION BY query_id ORDER BY win_len, doc_id))::INT AS rank,
+         doc_id, win_start, win_len
+  FROM sel QUALIFY rank <= {MIN_WINDOW_K})
+SELECT r.query_id, r.rank, r.doc_id,
+       array_to_string(docs.toks[r.win_start:r.win_start + r.win_len], ' ') AS snippet
+FROM ranked r JOIN docs ON docs.doc_id = r.doc_id
+"""
+
+
 # --------------------------------------- q: filtered serving (engine)
 
 
@@ -2808,6 +2883,7 @@ REGISTRY: dict[str, tuple] = {
     "boolean_search": (q_boolean_search, _boolean_sql()),
     "span_near": (q_span_near, _span_near_sql()),
     "min_window": (q_min_window, _min_window_sql()),
+    "search_snippets": (q_search_snippets, _search_snippets_sql()),
     "bm25_filtered_topk": (q_bm25_filtered_topk, _bm25_filtered_sql()),
     "hybrid_rrf_topk": (q_hybrid_rrf_topk, _hybrid_rrf_sql()),
     "search_facets": (q_search_facets, _search_facets_sql()),
