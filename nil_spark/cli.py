@@ -308,6 +308,7 @@ def _cmd_query_positional(spark, args, cfg, mode: str) -> int:
         store = spark.read.parquet(pos_dir)
     qpdf = spark.read.parquet(args.queries).toPandas()
     from nil_spark.operators.positions import (
+        min_window_positional,
         phrase_search_positional,
         proximity_search_positional,
     )
@@ -315,6 +316,8 @@ def _cmd_query_positional(spark, args, cfg, mode: str) -> int:
     try:
         if mode == "phrase":
             out = phrase_search_positional(spark, qpdf, store, cfg)
+        elif mode == "window":
+            out = min_window_positional(spark, qpdf, store, cfg, k=args.k)
         else:
             out = proximity_search_positional(spark, qpdf, store, cfg, k=args.k)
     except ValueError as e:  # e.g. proximity query with one distinct term
@@ -762,12 +765,14 @@ def main(argv=None) -> int:
     q.add_argument("--queries", required=True, help="parquet with (query_id, text[, k])")
     q.add_argument("--out", required=True)
     q.add_argument("-k", type=int, default=10)
-    q.add_argument("--mode", choices=["bm25", "phrase", "proximity"],
+    q.add_argument("--mode", choices=["bm25", "phrase", "proximity", "window"],
                    default="bm25",
                    help="bm25: ranked top-k; phrase: exact-phrase hit counts "
                         "from the positional store; proximity: top-k by "
-                        "minimum token distance between two terms "
-                        "(both need `build --positions`)")
+                        "minimum token distance between two terms; window: "
+                        "top-k by smallest window containing ALL query terms "
+                        "with its start offset (snippet bounds) — the "
+                        "positional modes need `build --positions`")
     q.add_argument("--filter-docs", default=None,
                    help="parquet of admissible doc_id rows — filtered search "
                         "pushed into retrieval (requires --topology wand)")

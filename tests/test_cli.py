@@ -802,3 +802,53 @@ def test_cli_partial_positions_store_refused(cli_index):
                 "--out", str(tmp / "ppres")])
     assert out.returncode == 2
     assert "no positional store" in out.stderr
+
+
+def test_cli_window_mode(cli_pos_index):
+    """query --mode window returns minimal-window bounds matching the
+    naive all-combination scan."""
+    from itertools import product
+
+    from nil_spark.functions.tokenize import tokenize_series
+
+    tmp, idx_dir, pdf = cli_pos_index
+    ordered = _docs_in_id_order(pdf)
+    toks = tokenize_series(ordered["text"], EngineConfig(gram_size=1))
+    terms = None
+    for ts in toks:
+        distinct = list(dict.fromkeys(ts))
+        if len(distinct) >= 3:
+            terms = distinct[:3]
+            break
+    assert terms is not None
+    q = pd.DataFrame({"query_id": [0], "text": [" ".join(terms)]})
+    pq.write_table(pa.Table.from_pandas(q, preserve_index=False),
+                   str(tmp / "wq.parquet"))
+    out = _run(["query", "--index-dir", idx_dir, "--mode", "window",
+                "-k", "5",
+                "--queries", str(tmp / "wq.parquet"), "--out", str(tmp / "wres")])
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    got = (
+        pd.concat(
+            pq.read_table(os.path.join(tmp / "wres", f)).to_pandas()
+            for f in os.listdir(tmp / "wres") if f.endswith(".parquet")
+        )
+        .sort_values("rank").reset_index(drop=True)
+    )
+    exp = {}
+    for did, ts in enumerate(toks):
+        plists = [[p for p, t in enumerate(ts) if t == w] for w in terms]
+        if any(not pl for pl in plists):
+            continue
+        best = None
+        for combo in product(*plists):
+            wl, st = max(combo) - min(combo), min(combo)
+            if best is None or (wl, st) < best:
+                best = (wl, st)
+        exp[did] = best
+    top = sorted(
+        ((wl, did, st) for did, (wl, st) in exp.items())
+    )[:5]
+    assert list(zip(got["doc_id"], got["win_start"], got["win_len"])) == [
+        (did, st, wl) for wl, did, st in top
+    ]
