@@ -1,0 +1,291 @@
+"""Boolean query language: one parser, three backends.
+
+A small search DSL over tokenized documents —
+
+    expr   := or
+    or     := and ( OR and )*
+    and    := unary ( AND unary )*          (AND may also be implicit:
+                                             two adjacent unaries conjoin)
+    unary  := NOT unary | atom
+    atom   := '(' expr ')' | '"' word+ '"' | word
+
+— parsed once into an AST, then compiled to (a) a PySpark boolean
+``Column`` over a tokenized-documents relation, (b) an equivalent
+DuckDB SQL boolean expression, and (c) a pure-Python evaluator used as
+the property-test oracle.  The three backends share ONE semantic
+definition:
+
+ * a bare word matches documents whose token list contains it;
+ * a quoted phrase matches documents containing the words ADJACENT and
+   in order (Lucene phrase-query semantics at slop 0);
+ * AND / OR / NOT are set intersection / union / complement over the
+   matched doc sets.
+
+Phrase matching is implemented in all three backends as substring
+containment over the space-joined token list padded with sentinel
+spaces (`' ' || join(toks,' ') || ' '` contains `' a b '`) — exact
+adjacent-token semantics because tokens never contain spaces (the
+tokenizer splits on ``[^a-z0-9]+``).
+
+The reference has no query language — its one "query" is the clone
+pipeline itself — but its candidate counting
+(`NGramBasedLocation.kt:10-15`) is an implicit conjunctive query; this
+module exposes the boolean algebra a user of a full-text index
+actually types.  Grammar shape follows Lucene's classic QueryParser
+(public knowledge), restricted to the operators our index serves
+exactly.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+_TOKEN_RE = re.compile(
+    r"\s*(?:(?P<lparen>\()|(?P<rparen>\))|(?P<quote>\"[^\"]*\")"
+    r"|(?P<word>[A-Za-z0-9]+))"
+)
+
+_WORD_SPLIT = re.compile(r"[^a-z0-9]+")
+
+
+class QueryParseError(ValueError):
+    pass
+
+
+# ------------------------------------------------------------------ AST
+
+
+@dataclass(frozen=True)
+class Term:
+    word: str
+
+
+@dataclass(frozen=True)
+class Phrase:
+    words: tuple
+
+
+@dataclass(frozen=True)
+class And:
+    children: tuple
+
+
+@dataclass(frozen=True)
+class Or:
+    children: tuple
+
+
+@dataclass(frozen=True)
+class Not:
+    child: object
+
+
+# ------------------------------------------------------------- parsing
+
+
+def _lex(text: str) -> list:
+    out, pos = [], 0
+    while pos < len(text):
+        if text[pos].isspace():
+            pos += 1
+            continue
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise QueryParseError(f"bad character at {pos}: {text[pos]!r}")
+        pos = m.end()
+        if m.lastgroup == "word":
+            w = m.group("word")
+            up = w.upper()
+            if up in ("AND", "OR", "NOT"):
+                out.append((up, up))
+            else:
+                out.append(("WORD", w.lower()))
+        elif m.lastgroup == "quote":
+            words = [w for w in _WORD_SPLIT.split(m.group("quote").strip('"').lower()) if w]
+            if not words:
+                raise QueryParseError("empty phrase")
+            out.append(("PHRASE", tuple(words)))
+        elif m.lastgroup == "lparen":
+            out.append(("(", "("))
+        else:
+            out.append((")", ")"))
+    return out
+
+
+class _Parser:
+    def __init__(self, toks: list):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i][0] if self.i < len(self.toks) else None
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def parse(self):
+        node = self.or_expr()
+        if self.i != len(self.toks):
+            raise QueryParseError(f"trailing input at token {self.i}")
+        return node
+
+    def or_expr(self):
+        parts = [self.and_expr()]
+        while self.peek() == "OR":
+            self.next()
+            parts.append(self.and_expr())
+        return parts[0] if len(parts) == 1 else Or(tuple(parts))
+
+    def and_expr(self):
+        parts = [self.unary()]
+        while True:
+            p = self.peek()
+            if p == "AND":
+                self.next()
+                parts.append(self.unary())
+            elif p in ("WORD", "PHRASE", "NOT", "("):
+                # implicit AND between adjacent atoms
+                parts.append(self.unary())
+            else:
+                break
+        return parts[0] if len(parts) == 1 else And(tuple(parts))
+
+    def unary(self):
+        if self.peek() == "NOT":
+            self.next()
+            return Not(self.unary())
+        return self.atom()
+
+    def atom(self):
+        p = self.peek()
+        if p == "(":
+            self.next()
+            node = self.or_expr()
+            if self.peek() != ")":
+                raise QueryParseError("missing ')'")
+            self.next()
+            return node
+        if p == "WORD":
+            return Term(self.next()[1])
+        if p == "PHRASE":
+            words = self.next()[1]
+            return Phrase(words) if len(words) > 1 else Term(words[0])
+        raise QueryParseError(f"unexpected token {p}")
+
+
+def parse_query(text: str):
+    """Parse the DSL string into an AST. Raises QueryParseError."""
+    toks = _lex(text)
+    if not toks:
+        raise QueryParseError("empty query")
+    return _Parser(toks).parse()
+
+
+# ------------------------------------------------------ AST utilities
+
+
+def positive_terms(node) -> list:
+    """Distinct words contributing POSITIVE evidence (not under NOT) —
+    the BM25 scoring terms for a matched-doc ranking.  Phrase members
+    count as terms (Lucene scores phrase hits through their terms).
+    Sorted for determinism."""
+    out: set = set()
+
+    def walk(n, neg: bool):
+        if isinstance(n, Term):
+            if not neg:
+                out.add(n.word)
+        elif isinstance(n, Phrase):
+            if not neg:
+                out.update(n.words)
+        elif isinstance(n, Not):
+            walk(n.child, not neg)
+        elif isinstance(n, (And, Or)):
+            for c in n.children:
+                walk(c, neg)
+
+    walk(node, False)
+    return sorted(out)
+
+
+# ------------------------------------------------------ backend: Spark
+
+
+def compile_spark(node, toks_col, padded_col):
+    """Compile to a PySpark boolean Column.
+
+    ``toks_col``   — ArrayType(StringType) token-list Column;
+    ``padded_col`` — the space-padded joined string Column
+                     (``' ' || array_join(toks,' ') || ' '``), passed
+                     in so the concat is built once per relation, not
+                     once per phrase node.
+    """
+    from pyspark.sql import functions as F
+
+    if isinstance(node, Term):
+        return F.array_contains(toks_col, node.word)
+    if isinstance(node, Phrase):
+        return padded_col.contains(" " + " ".join(node.words) + " ")
+    if isinstance(node, Not):
+        return ~compile_spark(node.child, toks_col, padded_col)
+    if isinstance(node, And):
+        out = compile_spark(node.children[0], toks_col, padded_col)
+        for c in node.children[1:]:
+            out = out & compile_spark(c, toks_col, padded_col)
+        return out
+    if isinstance(node, Or):
+        out = compile_spark(node.children[0], toks_col, padded_col)
+        for c in node.children[1:]:
+            out = out | compile_spark(c, toks_col, padded_col)
+        return out
+    raise TypeError(f"unknown AST node {node!r}")
+
+
+# ------------------------------------------------------- backend: SQL
+
+
+def compile_duckdb(node, toks_expr: str, padded_expr: str) -> str:
+    """Compile to a DuckDB boolean SQL expression over ``toks_expr``
+    (a VARCHAR[] expression) and ``padded_expr`` (the space-padded
+    joined string expression)."""
+    if isinstance(node, Term):
+        return f"list_contains({toks_expr}, '{node.word}')"
+    if isinstance(node, Phrase):
+        ph = " ".join(node.words)
+        return f"contains({padded_expr}, ' {ph} ')"
+    if isinstance(node, Not):
+        return f"(NOT {compile_duckdb(node.child, toks_expr, padded_expr)})"
+    if isinstance(node, And):
+        inner = " AND ".join(
+            compile_duckdb(c, toks_expr, padded_expr) for c in node.children
+        )
+        return f"({inner})"
+    if isinstance(node, Or):
+        inner = " OR ".join(
+            compile_duckdb(c, toks_expr, padded_expr) for c in node.children
+        )
+        return f"({inner})"
+    raise TypeError(f"unknown AST node {node!r}")
+
+
+# ---------------------------------------------------- backend: Python
+
+
+def eval_python(node, toks: list) -> bool:
+    """Pure-Python oracle evaluator over one document's token list."""
+    if isinstance(node, Term):
+        return node.word in toks
+    if isinstance(node, Phrase):
+        n = len(node.words)
+        w = list(node.words)
+        return any(toks[i : i + n] == w for i in range(len(toks) - n + 1))
+    if isinstance(node, Not):
+        return not eval_python(node.child, toks)
+    if isinstance(node, And):
+        return all(eval_python(c, toks) for c in node.children)
+    if isinstance(node, Or):
+        return any(eval_python(c, toks) for c in node.children)
+    raise TypeError(f"unknown AST node {node!r}")

@@ -2931,6 +2931,14 @@ REGISTRY: dict[str, tuple] = {
 }
 
 
+# relevance / query-language queries live in their own module; merged
+# here so the driver sees one registry (import is at the bottom because
+# relevance_queries reuses the helpers defined above)
+from nil_spark.plans import relevance_queries as _rel  # noqa: E402
+
+REGISTRY.update(_rel.build_registry())
+
+
 def queries():
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
