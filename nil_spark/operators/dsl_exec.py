@@ -1,0 +1,325 @@
+"""Index-native execution of the boolean query DSL.
+
+``functions/querylang.py`` defines the language (AND / OR / NOT /
+"phrase" / parens) and its DataFrame + DuckDB backends; this module is
+the ENGINE backend — the AST executes against the index structures
+themselves, never the corpus:
+
+ * Term      → the term's posting doc list from the node-shared mmap
+               replica store (one searchsorted into the term array);
+ * Phrase    → resolved EXACTLY from the positional side-car store
+               (``positions.phrase_search_positional``: position-list
+               intersection, doc text never read) before the boolean
+               pass, then treated as a literal doc set;
+ * AND       → rarest-first vectorized intersection, with NOT children
+               applied as set difference (no complement materialized);
+ * OR        → sorted union;
+ * NOT       → complement against the dense doc universe (only when it
+               cannot be folded into an enclosing AND as a difference).
+
+Matched docs are then BM25-scored on the query's positive terms (tf
+from the replica postings, idf from the term dictionary df) with the
+engine's shared pins: round to 6 decimals BEFORE ranking, ties by
+ascending doc id.  The whole boolean+scoring pass is one zero-shuffle
+``mapInPandas`` stage over query splits, the same serving topology as
+WAND/boolean/phrase serving — the index is node-shared, only queries
+and top-k rows move.
+
+Scale notes: per-query cost is bounded by the posting mass under the
+query's terms (plus O(n_docs/64) bits for a top-level NOT — the one
+inherently corpus-sized operator, same as Lucene's
+MatchAllDocsQuery-backed NOT).  Phrase doc sets ride a broadcast: the
+right shape for selective phrases; a pathologically hot phrase should
+be rewritten as AND (the conjunctive superset) plus verify, which the
+planner can do because both forms are in the same algebra.
+
+Reference analog: NIL's candidate counting is an implicit conjunctive
+query (`NGramBasedLocation.kt:10-15`); this exposes the full boolean
+algebra over the same inverted-index structures.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from nil_spark.config import EngineConfig
+from nil_spark.functions.querylang import (
+    And,
+    Not,
+    Or,
+    Phrase,
+    Term,
+    parse_query,
+    positive_terms,
+)
+from nil_spark.functions.tokenize import _hash_token
+from nil_spark.operators.phrase import _membership
+from nil_spark.operators.segments import _load_replica
+
+_EMPTY = np.empty(0, np.int64)
+
+
+# ------------------------------------------------- AST serialization
+
+
+def _ast_json(node, phrase_ids: dict) -> dict:
+    """AST → JSON-able dict; phrases become references into the
+    broadcast phrase-docset table."""
+    if isinstance(node, Term):
+        return {"t": int(_hash_token(node.word))}
+    if isinstance(node, Phrase):
+        return {"p": phrase_ids[node.words]}
+    if isinstance(node, Not):
+        return {"n": _ast_json(node.child, phrase_ids)}
+    if isinstance(node, And):
+        return {"a": [_ast_json(c, phrase_ids) for c in node.children]}
+    if isinstance(node, Or):
+        return {"o": [_ast_json(c, phrase_ids) for c in node.children]}
+    raise TypeError(f"unknown AST node {node!r}")
+
+
+def _collect_phrases(node, out: set):
+    if isinstance(node, Phrase):
+        out.add(node.words)
+    elif isinstance(node, Not):
+        _collect_phrases(node.child, out)
+    elif isinstance(node, (And, Or)):
+        for c in node.children:
+            _collect_phrases(c, out)
+
+
+# ------------------------------------------------- kernel evaluation
+
+
+def _eval_node(node: dict, view, phrase_sets: dict, n_docs: int) -> np.ndarray:
+    """Evaluate a serialized AST node → SORTED unique int64 doc array."""
+    if "t" in node:
+        e = view.get(int(node["t"]))
+        return np.asarray(e[0], np.int64) if e is not None else _EMPTY
+    if "p" in node:
+        return phrase_sets[node["p"]]
+    if "o" in node:
+        parts = [
+            _eval_node(c, view, phrase_sets, n_docs) for c in node["o"]
+        ]
+        parts = [p for p in parts if len(p)]
+        if not parts:
+            return _EMPTY
+        u = np.concatenate(parts)
+        u.sort()
+        return u[np.concatenate(([True], u[1:] != u[:-1]))]
+    if "a" in node:
+        pos = [c for c in node["a"] if "n" not in c]
+        neg = [c["n"] for c in node["a"] if "n" in c]
+        if pos:
+            sets = sorted(
+                (
+                    _eval_node(c, view, phrase_sets, n_docs)
+                    for c in pos
+                ),
+                key=len,
+            )
+            cand = sets[0]
+            for s in sets[1:]:
+                if not len(cand):
+                    return _EMPTY
+                cand = cand[_membership(s, cand)]
+        else:
+            # all-negative conjunction: start from the universe
+            cand = np.arange(n_docs, dtype=np.int64)
+        for c in neg:
+            if not len(cand):
+                return _EMPTY
+            ex = _eval_node(c, view, phrase_sets, n_docs)
+            if len(ex):
+                cand = cand[~_membership(ex, cand)]
+        return cand
+    if "n" in node:
+        # bare NOT (not foldable into an enclosing AND): complement
+        # against the dense universe
+        child = _eval_node(node["n"], view, phrase_sets, n_docs)
+        mask = np.ones(n_docs, dtype=bool)
+        mask[child[(child >= 0) & (child < n_docs)]] = False
+        return np.flatnonzero(mask).astype(np.int64)
+    raise ValueError(f"bad AST node {node}")
+
+
+def _score_matches(
+    matched: np.ndarray, tlist: list, view, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """BM25-score ``matched`` docs over ``[(term, idf), ...]`` from the
+    replica postings; round-before-rank, ties by doc id; top-k."""
+    scores = np.zeros(len(matched), np.float64)
+    for t, idf in tlist:
+        e = view.get(int(t))
+        if e is None:
+            continue
+        dlist = np.asarray(e[0])
+        idx = np.searchsorted(dlist, matched)
+        np.minimum(idx, max(len(dlist) - 1, 0), out=idx)
+        hit = len(dlist) > 0
+        if not hit:
+            continue
+        ok = dlist[idx] == matched
+        scores[ok] += idf * np.asarray(e[1])[idx[ok]]
+    scores = np.round(scores, 6)
+    order = np.lexsort((matched, -scores))[:k]
+    return matched[order], scores[order]
+
+
+# ------------------------------------------------------ entry point
+
+
+def dsl_search_replica(
+    spark: SparkSession,
+    queries_pdf: pd.DataFrame,
+    shard_paths: list,
+    termdict_pdf: pd.DataFrame,
+    n_docs: int,
+    avgdl: float,
+    cfg: EngineConfig,
+    k: int = 10,
+    pos_store: DataFrame | None = None,
+    n_splits: int | None = None,
+) -> DataFrame:
+    """Execute DSL queries ``(query_id, dsl)`` index-natively →
+    ``(query_id, rank, doc_id, bm25)`` top-k.
+
+    Doc ids are assumed DENSE in [0, n_docs) for NOT complements — true
+    whenever no min-size predicate filtered docs out of the index;
+    refuse otherwise rather than silently mis-complement.  Queries with
+    no positive terms rank matches by doc id at score 0 (same pin as
+    the DataFrame backend).
+    """
+    if cfg.gram_size != 1:
+        raise ValueError(
+            f"DSL execution needs a unigram index (gram_size=1, got "
+            f"{cfg.gram_size})"
+        )
+    if (
+        cfg.df_stopword_cutoff is not None
+        and float(cfg.df_stopword_cutoff) < 1.0
+    ):
+        raise ValueError(
+            "DSL execution needs an unpruned term dictionary: "
+            f"df_stopword_cutoff {cfg.df_stopword_cutoff} < 1.0 may have "
+            "dropped query terms from the index"
+        )
+    if (cfg.min_tokens or 0) > 0 or (cfg.min_chars or 0) > 0:
+        raise ValueError(
+            "DSL NOT-complements assume dense doc ids; min-size "
+            "predicates filtered the index, so the dense universe "
+            "would over-match — build without min-size filters"
+        )
+
+    parsed = [
+        (int(qid), parse_query(str(text)))
+        for qid, text in zip(queries_pdf["query_id"], queries_pdf["dsl"])
+    ]
+
+    # 1) resolve every distinct phrase exactly from the positional store
+    phrases: set = set()
+    for _, ast in parsed:
+        _collect_phrases(ast, phrases)
+    phrase_ids = {ws: i for i, ws in enumerate(sorted(phrases))}
+    phrase_sets: dict = {i: _EMPTY for i in phrase_ids.values()}
+    if phrase_ids:
+        if pos_store is None:
+            raise ValueError(
+                "query set contains phrases but no positional store "
+                "was provided"
+            )
+        from nil_spark.operators.positions import phrase_search_positional
+
+        ppdf = pd.DataFrame(
+            {
+                "query_id": list(phrase_ids.values()),
+                "text": [" ".join(ws) for ws in phrase_ids.keys()],
+            }
+        )
+        hits = (
+            phrase_search_positional(spark, ppdf, pos_store, cfg)
+            .select("query_id", "doc_id")
+            .toPandas()
+        )
+        for pid, grp in hits.groupby("query_id"):
+            phrase_sets[int(pid)] = np.sort(
+                grp["doc_id"].to_numpy(np.int64)
+            )
+    phrase_bc = spark.sparkContext.broadcast(phrase_sets)
+
+    # 2) per-query payload: serialized AST + positive-term (hash, idf)
+    df_map = dict(
+        zip(
+            termdict_pdf["term"].astype(np.int64),
+            termdict_pdf["df"].astype(np.int64),
+        )
+    )
+    rows = []
+    for qid, ast in parsed:
+        tl = []
+        for w in positive_terms(ast):
+            t = int(_hash_token(w))
+            if t in df_map:
+                d = float(df_map[t])
+                tl.append(
+                    (t, math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)))
+                )
+        rows.append(
+            (qid, json.dumps(_ast_json(ast, phrase_ids)), json.dumps(tl))
+        )
+
+    paths = tuple(sorted(shard_paths))
+    n_splits = n_splits or max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1
+    )
+    k1, b = cfg.bm25_k1, cfg.bm25_b
+    qdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n_splits)
+        if rows
+        else spark.sparkContext.parallelize([], 1),
+        "query_id long, ast_json string, tlist_json string",
+    )
+
+    def per_split(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        view = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if view is None:
+                view = _load_replica(paths, avgdl, k1, b)
+            psets = phrase_bc.value
+            out_q, out_r, out_d, out_s = [], [], [], []
+            for qid, aj, tj in zip(
+                pdf["query_id"], pdf["ast_json"], pdf["tlist_json"]
+            ):
+                matched = _eval_node(
+                    json.loads(aj), view, psets, n_docs
+                )
+                if not len(matched):
+                    continue
+                d, s = _score_matches(
+                    matched, json.loads(tj), view, k
+                )
+                out_q.extend([int(qid)] * len(d))
+                out_r.extend(range(1, len(d) + 1))
+                out_d.extend(d.tolist())
+                out_s.extend(s.tolist())
+            yield pd.DataFrame(
+                {
+                    "query_id": out_q,
+                    "rank": out_r,
+                    "doc_id": out_d,
+                    "bm25": out_s,
+                }
+            )
+
+    return qdf.mapInPandas(
+        per_split, schema="query_id long, rank int, doc_id long, bm25 double"
+    )

@@ -679,6 +679,41 @@ WHERE rank <= {DSL_K}
 """
 
 
+def q_dsl_search_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME DSL queries executed index-natively
+    (operators/dsl_exec.py): phrases resolved from the positional
+    store, terms from replica postings, boolean algebra + BM25 scoring
+    in one zero-shuffle kernel — gated by the identical oracle as
+    ``dsl_search``, so the DataFrame and engine backends are pinned
+    hash-identical."""
+    import pandas as pd
+
+    from nil_spark.operators.dsl_exec import dsl_search_replica
+
+    EQ = _eq()
+    shard_paths, td_pdf, n_docs, avgdl, cfg = EQ._gate_engine_index(
+        spark, sf_dir
+    )
+    pos_store, _pcfg = EQ._gate_pos_store(spark, sf_dir)
+    qpdf = pd.DataFrame(
+        {
+            "query_id": [i for i, _ in DSL_QUERIES],
+            "dsl": [t for _, t in DSL_QUERIES],
+        }
+    )
+    return dsl_search_replica(
+        spark,
+        qpdf,
+        shard_paths,
+        td_pdf,
+        n_docs,
+        avgdl,
+        cfg,
+        k=DSL_K,
+        pos_store=pos_store,
+    )
+
+
 # --------------------------------------------------------- registry
 
 
@@ -690,4 +725,5 @@ def build_registry() -> dict:
         "ndcg_eval": (q_ndcg_eval, _ndcg_sql()),
         "collocations": (q_collocations, _collocations_sql()),
         "dsl_search": (q_dsl_search, _dsl_sql()),
+        "dsl_search_engine": (q_dsl_search_engine, _dsl_sql()),
     }
