@@ -263,6 +263,46 @@ def main() -> None:
         wl_times.append(time.perf_counter() - t0)
     queries["engine_wand_longq"] = round(min(wl_times), 3)
 
+    # Boolean query-DSL serving over the same replica: the 200-query
+    # batch rewritten as AND/OR/NOT expressions (three fixed shapes,
+    # cycling) — measures the boolean-algebra kernel + positive-term
+    # scoring.  Needs an unpruned dictionary (NOT soundness), so the
+    # idf map is the unfiltered df aggregate; postings come from the
+    # same partial shards, which keep hot terms.
+    from nil_spark.operators.dsl_exec import dsl_search_replica
+
+    td_full = (
+        raw.filter(SF.col("term") != DOCSTAT_SENTINEL)
+        .groupBy("term").agg(SF.sum("n_postings").cast("long").alias("df"))
+    ).toPandas()
+    cfg_dsl = cfg.with_(df_stopword_cutoff=2.0)
+    dsl_rows = []
+    for i, text in enumerate(qpdf["text"]):
+        ws = [w for w in str(text).split() if w][:3]
+        while len(ws) < 3:
+            ws.append(ws[-1] if ws else "a")
+        a, b, c = ws
+        if i % 3 == 0:
+            dsl_rows.append((i, f"{a} AND {b}"))
+        elif i % 3 == 1:
+            dsl_rows.append((i, f"{a} OR {b} NOT {c}"))
+        else:
+            dsl_rows.append((i, f"({a} OR {b}) AND NOT {c}"))
+    dsl_pdf = pd.DataFrame(dsl_rows, columns=["query_id", "dsl"])
+    force(dsl_search_replica(
+        spark, dsl_pdf.iloc[:n_warm], paths, td_full, n_docs, avgdl,
+        cfg_dsl, k=10, universe_mode="indexed",
+    ))
+    d_times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        force(dsl_search_replica(
+            spark, dsl_pdf, paths, td_full, n_docs, avgdl, cfg_dsl,
+            k=10, universe_mode="indexed",
+        ))
+        d_times.append(time.perf_counter() - t0)
+    queries["engine_dsl_batch"] = round(min(d_times), 3)
+
     # end-to-end verified serving: BMW retrieval at k+margin, tier-1
     # overlap fast-accept, LCS on the residue, BM25 re-rank — the full
     # filter-then-verify query pipeline (operators/search_verify.py)

@@ -35,6 +35,15 @@ from nil_spark.operators.segments import CheckpointedIndexBuilder, topk_maxscore
 from nil_spark.session import get_spark
 
 
+def _cfg_from_args(args) -> EngineConfig:
+    """Engine config from the shared CLI flags (one place, so build and
+    every query path fingerprint identically)."""
+    kw = {"gram_size": args.gram_size}
+    if getattr(args, "stopword_cutoff", None) is not None:
+        kw["df_stopword_cutoff"] = float(args.stopword_cutoff)
+    return EngineConfig(**kw)
+
+
 def read_docs(spark, path: str, fmt: str):
     """Transcripts source: parquet dir, CSV/JSONL dir (schema-applied —
     the reference's own on-disk model is CSV, SURVEY §1.2), or Iceberg
@@ -76,7 +85,7 @@ def read_docs(spark, path: str, fmt: str):
 def cmd_build(args) -> int:
     spark = get_spark(app="nil_spark_build", master=args.master,
                       shuffle_partitions=args.shuffle_partitions)
-    cfg = EngineConfig(gram_size=args.gram_size)
+    cfg = _cfg_from_args(args)
     docs = read_docs(spark, args.input, args.format)
     docs = assign_doc_ids(docs, ["conv_id", "turn_idx"])
     builder = CheckpointedIndexBuilder(args.index_dir, cfg)
@@ -330,10 +339,94 @@ def _cmd_query_positional(spark, args, cfg, mode: str) -> int:
     return 0
 
 
+def _cmd_query_dsl(spark, args, cfg) -> int:
+    """Boolean query-DSL serving (operators/dsl_exec.py): parse each
+    ``dsl`` string, resolve phrases from the positional store, execute
+    the boolean algebra + BM25 scoring against the replica postings.
+    NOT complements against the docs the index contains
+    (universe_mode='indexed' — sound for any build config)."""
+    import glob as _glob
+    import os
+
+    from nil_spark.functions.querylang import QueryParseError, parse_query
+    from nil_spark.operators.dsl_exec import (
+        _collect_phrases,
+        dsl_search_replica,
+    )
+
+    if _is_streaming_layout(args.index_dir):
+        print(json.dumps({
+            "error": "streaming-layout index",
+            "hint": "--mode dsl serves batch-built indexes; query the "
+                    "batch index or compact-and-copy the streaming one",
+        }), file=sys.stderr)
+        return 2
+    builder = CheckpointedIndexBuilder(args.index_dir, cfg)
+    opened = _open_index(spark, args, cfg, builder)
+    if isinstance(opened, int):
+        return opened
+    _segs, termdict, n_docs, avgdl = opened
+
+    q = spark.read.parquet(args.queries)
+    if "dsl" not in q.columns or "query_id" not in q.columns:
+        print(json.dumps({
+            "error": "bad query schema",
+            "columns": q.columns,
+            "hint": "--mode dsl needs parquet with (query_id, dsl)",
+        }), file=sys.stderr)
+        return 2
+    qpdf = q.select("query_id", "dsl").toPandas()
+
+    # parse up front: a typo'd query should fail structured with the
+    # offending query id, not as a worker-side traceback
+    phrases: set = set()
+    for qid, text in zip(qpdf["query_id"], qpdf["dsl"]):
+        try:
+            ast = parse_query(str(text))
+        except QueryParseError as e:
+            print(json.dumps({
+                "error": "bad dsl query",
+                "query_id": int(qid),
+                "detail": str(e),
+            }), file=sys.stderr)
+            return 2
+        _collect_phrases(ast, phrases)
+
+    pos_store = None
+    if phrases:
+        pos_dir = f"{args.index_dir}/positions"
+        if not os.path.exists(os.path.join(pos_dir, "_SUCCESS")):
+            print(json.dumps({
+                "error": "no positional store",
+                "index_dir": args.index_dir,
+                "hint": "the query set contains phrases; rebuild with "
+                        "`build --positions`",
+            }), file=sys.stderr)
+            return 2
+        pos_store = spark.read.parquet(pos_dir)
+
+    paths = sorted(
+        _glob.glob(f"{args.index_dir}/partial_segments/part-*.parquet")
+    ) or sorted(_glob.glob(f"{args.index_dir}/segments/part-*.parquet"))
+    try:
+        out = dsl_search_replica(
+            spark, qpdf, paths, termdict.toPandas(), n_docs, avgdl, cfg,
+            k=args.k, pos_store=pos_store, universe_mode="indexed",
+        )
+    except ValueError as e:  # pruned dictionary / shingle-term index
+        print(json.dumps({"error": "index unsuitable for dsl",
+                          "detail": str(e)}), file=sys.stderr)
+        return 2
+    out.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"results": spark.read.parquet(args.out).count(),
+                      "mode": "dsl"}))
+    return 0
+
+
 def cmd_query(args) -> int:
     spark = get_spark(app="nil_spark_query", master=args.master,
                       shuffle_partitions=args.shuffle_partitions)
-    cfg = EngineConfig(gram_size=args.gram_size)
+    cfg = _cfg_from_args(args)
     from pyspark.sql import functions as F
 
     mode = getattr(args, "mode", "bm25")
@@ -359,7 +452,11 @@ def cmd_query(args) -> int:
             }), file=sys.stderr)
             spark.stop()
             return 2
-        rc = _cmd_query_positional(spark, args, cfg, mode)
+        rc = (
+            _cmd_query_dsl(spark, args, cfg)
+            if mode == "dsl"
+            else _cmd_query_positional(spark, args, cfg, mode)
+        )
         spark.stop()
         return rc
 
@@ -552,7 +649,7 @@ def cmd_build_stream(args) -> int:
     Re-runs skip already-absorbed files via the stream checkpoint."""
     spark = get_spark(app="nil_spark_build_stream", master=args.master,
                       shuffle_partitions=args.shuffle_partitions)
-    cfg = EngineConfig(gram_size=args.gram_size)
+    cfg = _cfg_from_args(args)
     from nil_spark.streaming.incremental import IncrementalIndexer
 
     try:
@@ -585,7 +682,7 @@ def cmd_query_stream(args) -> int:
 
     spark = get_spark(app="nil_spark_query_stream", master=args.master,
                       shuffle_partitions=args.shuffle_partitions)
-    cfg = EngineConfig(gram_size=args.gram_size)
+    cfg = _cfg_from_args(args)
     if _is_streaming_layout(args.index_dir):
         opened = _open_streaming_index(spark, args.index_dir, cfg)
         if isinstance(opened, int):
@@ -674,7 +771,7 @@ def cmd_stats(args) -> int:
 
     spark = get_spark(app="nil_spark_stats", master=args.master,
                       shuffle_partitions=args.shuffle_partitions)
-    cfg = EngineConfig(gram_size=args.gram_size)
+    cfg = _cfg_from_args(args)
     if _is_streaming_layout(args.index_dir):
         opened = _open_streaming_index(spark, args.index_dir, cfg)
         if isinstance(opened, int):
@@ -741,6 +838,14 @@ def main(argv=None) -> int:
     ap.add_argument("--master", default="local[*]")
     ap.add_argument("--shuffle-partitions", type=int, default=32)
     ap.add_argument("--gram-size", type=int, default=1)
+    ap.add_argument("--stopword-cutoff", type=float, default=None,
+                    help="prune terms with df > cutoff*N from the term "
+                         "dictionary (engine default 0.5; set >= 1.0 to "
+                         "disable — required to build an index that can "
+                         "serve --mode dsl / boolean queries, whose NOT "
+                         "semantics need an unpruned dictionary). Part of "
+                         "the index config fingerprint: pass the same "
+                         "value at build and query time")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     b = sub.add_parser("build", help="build the checkpointed index")
@@ -765,14 +870,19 @@ def main(argv=None) -> int:
     q.add_argument("--queries", required=True, help="parquet with (query_id, text[, k])")
     q.add_argument("--out", required=True)
     q.add_argument("-k", type=int, default=10)
-    q.add_argument("--mode", choices=["bm25", "phrase", "proximity", "window"],
+    q.add_argument("--mode",
+                   choices=["bm25", "phrase", "proximity", "window", "dsl"],
                    default="bm25",
                    help="bm25: ranked top-k; phrase: exact-phrase hit counts "
                         "from the positional store; proximity: top-k by "
                         "minimum token distance between two terms; window: "
                         "top-k by smallest window containing ALL query terms "
                         "with its start offset (snippet bounds) — the "
-                        "positional modes need `build --positions`")
+                        "positional modes need `build --positions`; dsl: "
+                        "boolean AND/OR/NOT/\"phrase\" queries (parquet with "
+                        "(query_id, dsl)) executed index-natively — needs an "
+                        "index built with --stopword-cutoff >= 1.0, and "
+                        "build --positions when queries contain phrases")
     q.add_argument("--filter-docs", default=None,
                    help="parquet of admissible doc_id rows — filtered search "
                         "pushed into retrieval (requires --topology wand)")

@@ -97,8 +97,11 @@ def _collect_phrases(node, out: set):
 # ------------------------------------------------- kernel evaluation
 
 
-def _eval_node(node: dict, view, phrase_sets: dict, n_docs: int) -> np.ndarray:
-    """Evaluate a serialized AST node → SORTED unique int64 doc array."""
+def _eval_node(node: dict, view, phrase_sets: dict, universe) -> np.ndarray:
+    """Evaluate a serialized AST node → SORTED unique int64 doc array.
+    ``universe`` is a zero-arg callable returning the sorted doc-id
+    universe for NOT complements (built lazily: pure-positive queries
+    never pay for it)."""
     if "t" in node:
         e = view.get(int(node["t"]))
         return np.asarray(e[0], np.int64) if e is not None else _EMPTY
@@ -106,7 +109,7 @@ def _eval_node(node: dict, view, phrase_sets: dict, n_docs: int) -> np.ndarray:
         return phrase_sets[node["p"]]
     if "o" in node:
         parts = [
-            _eval_node(c, view, phrase_sets, n_docs) for c in node["o"]
+            _eval_node(c, view, phrase_sets, universe) for c in node["o"]
         ]
         parts = [p for p in parts if len(p)]
         if not parts:
@@ -120,7 +123,7 @@ def _eval_node(node: dict, view, phrase_sets: dict, n_docs: int) -> np.ndarray:
         if pos:
             sets = sorted(
                 (
-                    _eval_node(c, view, phrase_sets, n_docs)
+                    _eval_node(c, view, phrase_sets, universe)
                     for c in pos
                 ),
                 key=len,
@@ -132,21 +135,22 @@ def _eval_node(node: dict, view, phrase_sets: dict, n_docs: int) -> np.ndarray:
                 cand = cand[_membership(s, cand)]
         else:
             # all-negative conjunction: start from the universe
-            cand = np.arange(n_docs, dtype=np.int64)
+            cand = universe()
         for c in neg:
             if not len(cand):
                 return _EMPTY
-            ex = _eval_node(c, view, phrase_sets, n_docs)
+            ex = _eval_node(c, view, phrase_sets, universe)
             if len(ex):
                 cand = cand[~_membership(ex, cand)]
         return cand
     if "n" in node:
         # bare NOT (not foldable into an enclosing AND): complement
-        # against the dense universe
-        child = _eval_node(node["n"], view, phrase_sets, n_docs)
-        mask = np.ones(n_docs, dtype=bool)
-        mask[child[(child >= 0) & (child < n_docs)]] = False
-        return np.flatnonzero(mask).astype(np.int64)
+        # against the universe
+        child = _eval_node(node["n"], view, phrase_sets, universe)
+        u = universe()
+        if not len(child):
+            return u
+        return u[~_membership(child, u)]
     raise ValueError(f"bad AST node {node}")
 
 
@@ -187,16 +191,30 @@ def dsl_search_replica(
     k: int = 10,
     pos_store: DataFrame | None = None,
     n_splits: int | None = None,
+    universe_mode: str = "dense",
 ) -> DataFrame:
     """Execute DSL queries ``(query_id, dsl)`` index-natively →
     ``(query_id, rank, doc_id, bm25)`` top-k.
 
-    Doc ids are assumed DENSE in [0, n_docs) for NOT complements — true
-    whenever no min-size predicate filtered docs out of the index;
-    refuse otherwise rather than silently mis-complement.  Queries with
-    no positive terms rank matches by doc id at score 0 (same pin as
-    the DataFrame backend).
+    ``universe_mode`` fixes what NOT complements against:
+
+    * ``"dense"`` — the full corpus as ids [0, n_docs); exact
+      raw-corpus semantics (matches the DataFrame/SQL backends,
+      including docs the index holds no postings for).  Requires that
+      no min-size predicate filtered docs out of the index — doc ids
+      would have holes and the dense universe would over-match, so
+      that config is refused rather than silently wrong.
+    * ``"indexed"`` — the docs the index actually contains (unique
+      posting doc ids, computed once per node from the replica
+      arrays).  Always sound, any build config; Lucene's NOT
+      semantics.  Differs from "dense" only on docs with zero indexed
+      terms.
+
+    Queries with no positive terms rank matches by doc id at score 0
+    (same pin as the DataFrame backend).
     """
+    if universe_mode not in ("dense", "indexed"):
+        raise ValueError(f"unknown universe_mode {universe_mode!r}")
     if cfg.gram_size != 1:
         raise ValueError(
             f"DSL execution needs a unigram index (gram_size=1, got "
@@ -211,11 +229,14 @@ def dsl_search_replica(
             f"df_stopword_cutoff {cfg.df_stopword_cutoff} < 1.0 may have "
             "dropped query terms from the index"
         )
-    if (cfg.min_tokens or 0) > 0 or (cfg.min_chars or 0) > 0:
+    if universe_mode == "dense" and (
+        (cfg.min_tokens or 0) > 0 or (cfg.min_chars or 0) > 0
+    ):
         raise ValueError(
             "DSL NOT-complements assume dense doc ids; min-size "
             "predicates filtered the index, so the dense universe "
-            "would over-match — build without min-size filters"
+            "would over-match — build without min-size filters or use "
+            "universe_mode='indexed'"
         )
 
     parsed = [
@@ -289,6 +310,18 @@ def dsl_search_replica(
 
     def per_split(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         view = None
+        ucache: list = []
+
+        def universe() -> np.ndarray:
+            if not ucache:
+                if universe_mode == "dense":
+                    ucache.append(np.arange(n_docs, dtype=np.int64))
+                else:
+                    ucache.append(
+                        np.unique(np.asarray(view.docs, np.int64))
+                    )
+            return ucache[0]
+
         for pdf in it:
             if len(pdf) == 0:
                 continue
@@ -300,7 +333,7 @@ def dsl_search_replica(
                 pdf["query_id"], pdf["ast_json"], pdf["tlist_json"]
             ):
                 matched = _eval_node(
-                    json.loads(aj), view, psets, n_docs
+                    json.loads(aj), view, psets, universe
                 )
                 if not len(matched):
                     continue

@@ -1,0 +1,193 @@
+"""CLI --mode dsl: the boolean query language through the spark-submit
+surface (fresh JVMs), matched sets pinned to the pure-Python evaluator,
+and every refusal path structured (JSON on stderr, exit 2)."""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from nil_spark.functions.querylang import eval_python, parse_query
+from nil_spark.sources.transcripts import gen_transcripts
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args: list) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, "cli_main.py"),
+         "--master", "local[2]", "--shuffle-partitions", "4", *args],
+        capture_output=True, text=True, timeout=300, cwd=REPO,
+    )
+
+
+def _err(out) -> dict:
+    return json.loads(out.stderr.strip().splitlines()[-1])
+
+
+@pytest.fixture(scope="module")
+def dsl_index(tmp_path_factory):
+    """Index built boolean-capable: unpruned dictionary + positional
+    side-car store."""
+    tmp = tmp_path_factory.mktemp("cli_dsl")
+    pdf = gen_transcripts(300, seed=41)
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        str(tmp / "corpus.parquet"),
+    )
+    idx_dir = str(tmp / "idx")
+    out = _run(["--stopword-cutoff", "2.0",
+                "build", "--input", str(tmp / "corpus.parquet"),
+                "--index-dir", idx_dir, "--positions"])
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    return tmp, idx_dir, pdf
+
+
+def _toks_by_doc(pdf) -> dict:
+    """doc_id → token list under the CLI's assign_doc_ids contract
+    (0-based rank by (conv_id, turn_idx)) and the engine tokenizer."""
+    ordered = pdf.sort_values(
+        ["conv_id", "turn_idx"], kind="mergesort"
+    ).reset_index(drop=True)
+    return {
+        i: [t for t in re.split(r"[^a-z0-9]+", txt.lower()) if t]
+        for i, txt in enumerate(ordered["text"])
+    }
+
+
+def test_cli_dsl_matches_python_oracle(dsl_index):
+    tmp, idx_dir, pdf = dsl_index
+    toks = _toks_by_doc(pdf)
+    # pick two words that actually occur so the queries have real work
+    from collections import Counter
+
+    freq = Counter(t for ts in toks.values() for t in ts)
+    w1, w2 = [w for w, _ in freq.most_common(2)]
+    dsls = [
+        f"{w1} AND NOT {w2}",
+        f'"{w1} {w2}" OR {w2}',
+        f"NOT {w1}",
+    ]
+    qpdf = pd.DataFrame({"query_id": range(len(dsls)), "dsl": dsls})
+    pq.write_table(
+        pa.Table.from_pandas(qpdf, preserve_index=False),
+        str(tmp / "dslq.parquet"),
+    )
+    out = _run(["--stopword-cutoff", "2.0",
+                "query", "--index-dir", idx_dir, "--mode", "dsl",
+                "-k", "100000",
+                "--queries", str(tmp / "dslq.parquet"),
+                "--out", str(tmp / "dslres")])
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    assert json.loads(out.stdout.strip().splitlines()[-1])["mode"] == "dsl"
+
+    got = pd.concat(
+        pq.read_table(os.path.join(tmp / "dslres", f)).to_pandas()
+        for f in os.listdir(tmp / "dslres")
+        if f.endswith(".parquet")
+    )
+    got_sets = {
+        int(q): set(g["doc_id"].tolist())
+        for q, g in got.groupby("query_id")
+    }
+    for i, dsl in enumerate(dsls):
+        ast = parse_query(dsl)
+        exp = {d for d, ts in toks.items() if eval_python(ast, ts)}
+        assert got_sets.get(i, set()) == exp, dsl
+
+
+def test_cli_dsl_parse_error_structured(dsl_index):
+    tmp, idx_dir, _ = dsl_index
+    qpdf = pd.DataFrame({"query_id": [7], "dsl": ["(unclosed AND"]})
+    pq.write_table(
+        pa.Table.from_pandas(qpdf, preserve_index=False),
+        str(tmp / "badq.parquet"),
+    )
+    out = _run(["--stopword-cutoff", "2.0",
+                "query", "--index-dir", idx_dir, "--mode", "dsl",
+                "--queries", str(tmp / "badq.parquet"),
+                "--out", str(tmp / "badres")])
+    assert out.returncode == 2
+    e = _err(out)
+    assert e["error"] == "bad dsl query" and e["query_id"] == 7
+
+
+def test_cli_dsl_pruned_index_refused(tmp_path):
+    """An index built with the default stopword pruning cannot serve
+    NOT soundly — the CLI must refuse structured, not silently
+    mis-answer."""
+    pdf = gen_transcripts(200, seed=43)
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        str(tmp_path / "corpus.parquet"),
+    )
+    idx_dir = str(tmp_path / "idx")
+    out = _run(["build", "--input", str(tmp_path / "corpus.parquet"),
+                "--index-dir", idx_dir])
+    assert out.returncode == 0
+    qpdf = pd.DataFrame({"query_id": [0], "dsl": ["hello AND world"]})
+    pq.write_table(
+        pa.Table.from_pandas(qpdf, preserve_index=False),
+        str(tmp_path / "q.parquet"),
+    )
+    out = _run(["query", "--index-dir", idx_dir, "--mode", "dsl",
+                "--queries", str(tmp_path / "q.parquet"),
+                "--out", str(tmp_path / "res")])
+    assert out.returncode == 2
+    assert _err(out)["error"] == "index unsuitable for dsl"
+
+
+def test_cli_dsl_phrase_without_positions_refused(tmp_path):
+    pdf = gen_transcripts(200, seed=44)
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        str(tmp_path / "corpus.parquet"),
+    )
+    idx_dir = str(tmp_path / "idx")
+    out = _run(["--stopword-cutoff", "2.0",
+                "build", "--input", str(tmp_path / "corpus.parquet"),
+                "--index-dir", idx_dir])  # no --positions
+    assert out.returncode == 0
+    qpdf = pd.DataFrame({"query_id": [0], "dsl": ['"agent tool call"']})
+    pq.write_table(
+        pa.Table.from_pandas(qpdf, preserve_index=False),
+        str(tmp_path / "q.parquet"),
+    )
+    out = _run(["--stopword-cutoff", "2.0",
+                "query", "--index-dir", idx_dir, "--mode", "dsl",
+                "--queries", str(tmp_path / "q.parquet"),
+                "--out", str(tmp_path / "res")])
+    assert out.returncode == 2
+    assert _err(out)["error"] == "no positional store"
+
+
+def test_cli_dsl_flag_conflicts_and_schema(dsl_index):
+    tmp, idx_dir, _ = dsl_index
+    qpdf = pd.DataFrame({"query_id": [0], "text": ["not the dsl column"]})
+    pq.write_table(
+        pa.Table.from_pandas(qpdf, preserve_index=False),
+        str(tmp / "wrongschema.parquet"),
+    )
+    # ranked-retrieval flags don't compose with dsl mode
+    out = _run(["--stopword-cutoff", "2.0",
+                "query", "--index-dir", idx_dir, "--mode", "dsl",
+                "--topology", "wand",
+                "--queries", str(tmp / "wrongschema.parquet"),
+                "--out", str(tmp / "x1")])
+    assert out.returncode == 2
+    assert "--topology" in _err(out)["error"]
+    # (query_id, dsl) schema required
+    out = _run(["--stopword-cutoff", "2.0",
+                "query", "--index-dir", idx_dir, "--mode", "dsl",
+                "--queries", str(tmp / "wrongschema.parquet"),
+                "--out", str(tmp / "x2")])
+    assert out.returncode == 2
+    assert _err(out)["error"] == "bad query schema"
