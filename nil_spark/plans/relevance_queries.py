@@ -679,6 +679,141 @@ WHERE rank <= {DSL_K}
 """
 
 
+# -------------------------------------------- q: corrected search
+
+
+CORRECTED_QUERIES = [
+    (0, "hassh join"),        # hassh → hash
+    (1, "tabel scan dup"),    # tabel → table
+    (2, "fast qeury"),        # qeury → query
+    (3, "merge sort"),        # nothing to correct
+    (4, "zzzzzzzzzz scan"),   # no close correction: term dropped
+]
+CORRECT_MAX_DIST = 2
+CORRECTED_K = 10
+
+
+def q_search_corrected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spell-corrected retrieval ("did you mean", applied): query terms
+    absent from the corpus vocabulary are replaced by the vocabulary
+    term at minimum edit distance (ties alphabetical; dropped when the
+    closest term is further than CORRECT_MAX_DIST edits), then BM25 as
+    usual.  Scale shape: corrections join the tiny MISSING-term set
+    (broadcast) against the dictionary-sized vocabulary — never the
+    corpus; the retrieval plan is the standard filter-early BM25."""
+    EQ = _eq()
+    docs = EQ._docs_toks(spark, sf_dir)
+    vocab = docs.select(F.explode("toks").alias("vterm")).distinct()
+
+    q = spark.createDataFrame(CORRECTED_QUERIES, "query_id long, qtext string")
+    qt = (
+        q.select(
+            "query_id",
+            F.explode(
+                F.filter(F.split(F.lower("qtext"), EQ.TOKEN_SPLIT), lambda x: x != "")
+            ).alias("qterm"),
+        )
+        .dropDuplicates(["query_id", "qterm"])
+    )
+    present = qt.join(
+        vocab, qt["qterm"] == vocab["vterm"], "left_semi"
+    ).select("query_id", F.col("qterm").alias("term"))
+    missing = qt.join(
+        vocab, qt["qterm"] == vocab["vterm"], "left_anti"
+    )
+
+    corr_w = Window.partitionBy("query_id", "qterm").orderBy(
+        F.col("dist"), F.col("vterm")
+    )
+    corrections = (
+        vocab.crossJoin(F.broadcast(missing))
+        .withColumn("dist", F.levenshtein("qterm", "vterm"))
+        .withColumn("rn", F.row_number().over(corr_w))
+        .filter((F.col("rn") == 1) & (F.col("dist") <= CORRECT_MAX_DIST))
+        .select("query_id", F.col("vterm").alias("term"))
+    )
+    qct = present.unionByName(corrections).dropDuplicates(
+        ["query_id", "term"]
+    )
+
+    # standard filter-early BM25 over the corrected term set
+    dl = docs.select("doc_id", F.size("toks").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    qterms = qct.select("term").distinct()
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("term"))
+        .join(F.broadcast(qterms), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfr = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    w = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    return (
+        tf.join(F.broadcast(qct), "term")
+        .join(F.broadcast(dfr), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (F.col("tf") * 2.2)
+                / (F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl")))
+            ).alias("partial"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("partial"), 6).alias("bm25"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= CORRECTED_K)
+        .select("query_id", "rank", "doc_id", "bm25")
+    )
+
+
+def _search_corrected_sql() -> str:
+    EQ = _eq()
+    vals = ", ".join(f"({i}, '{t}')" for i, t in CORRECTED_QUERIES)
+    return f"""
+WITH {EQ._DOCS_CTE},
+vocab AS (SELECT DISTINCT tok AS vterm FROM docs, unnest(toks) AS u(tok)),
+q(query_id, qtext) AS (VALUES {vals}),
+qt AS (SELECT DISTINCT query_id, tok AS qterm
+       FROM q, unnest(list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) AS u(tok)),
+present AS (SELECT query_id, qterm AS term FROM qt
+            WHERE EXISTS (SELECT 1 FROM vocab v WHERE v.vterm = qt.qterm)),
+missing AS (SELECT query_id, qterm FROM qt
+            WHERE NOT EXISTS (SELECT 1 FROM vocab v WHERE v.vterm = qt.qterm)),
+corr AS (SELECT query_id, vterm AS term FROM (
+           SELECT m.query_id, m.qterm, v.vterm,
+                  levenshtein(m.qterm, v.vterm) AS dist,
+                  row_number() OVER (PARTITION BY m.query_id, m.qterm
+                                     ORDER BY levenshtein(m.qterm, v.vterm), v.vterm) AS rn
+           FROM missing m CROSS JOIN vocab v) x
+         WHERE rn = 1 AND dist <= {CORRECT_MAX_DIST}),
+qct AS (SELECT DISTINCT query_id, term FROM
+        (SELECT * FROM present UNION ALL SELECT * FROM corr) u),
+dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM docs),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+       FROM docs, unnest(toks) AS u(tok)
+       WHERE tok IN (SELECT term FROM qct) GROUP BY 1, 2),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1)
+SELECT query_id, rank, doc_id, bm25 FROM (
+  SELECT g.*, (row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id))::INT AS rank
+  FROM (
+    SELECT qct.query_id, tf.doc_id,
+           round(sum( ln(1 + (s.n - dfr.df + 0.5) / (dfr.df + 0.5))
+                      * (tf.tf * 2.2)
+                      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6) AS bm25
+    FROM qct JOIN tf USING (term) JOIN dfr USING (term)
+         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+    GROUP BY 1, 2) g)
+WHERE rank <= {CORRECTED_K}
+"""
+
+
 def q_dsl_search_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME DSL queries executed index-natively
     (operators/dsl_exec.py): phrases resolved from the positional
@@ -726,4 +861,5 @@ def build_registry() -> dict:
         "collocations": (q_collocations, _collocations_sql()),
         "dsl_search": (q_dsl_search, _dsl_sql()),
         "dsl_search_engine": (q_dsl_search_engine, _dsl_sql()),
+        "search_corrected": (q_search_corrected, _search_corrected_sql()),
     }
