@@ -316,19 +316,36 @@ def _cmd_query_positional(spark, args, cfg, mode: str) -> int:
             return 2
         store = spark.read.parquet(pos_dir)
     qpdf = spark.read.parquet(args.queries).toPandas()
+    from nil_spark.operators.deletes import (
+        exclude_and_trim,
+        load_tombstones,
+    )
     from nil_spark.operators.positions import (
         min_window_positional,
         phrase_search_positional,
         proximity_search_positional,
     )
 
+    tombs = load_tombstones(spark, args.index_dir)
+    # live-docs deletes: phrase emits ALL hits (anti-join is exact);
+    # the top-k modes over-retrieve k+T then trim (operators/deletes)
+    k_eff = args.k + (len(tombs) if tombs is not None else 0)
     try:
         if mode == "phrase":
             out = phrase_search_positional(spark, qpdf, store, cfg)
+            if tombs is not None:
+                tomb_df = spark.createDataFrame(
+                    [(int(t),) for t in tombs], "doc_id long"
+                )
+                from pyspark.sql import functions as F
+
+                out = out.join(F.broadcast(tomb_df), "doc_id", "left_anti")
         elif mode == "window":
-            out = min_window_positional(spark, qpdf, store, cfg, k=args.k)
+            out = min_window_positional(spark, qpdf, store, cfg, k=k_eff)
         else:
-            out = proximity_search_positional(spark, qpdf, store, cfg, k=args.k)
+            out = proximity_search_positional(spark, qpdf, store, cfg, k=k_eff)
+        if tombs is not None and mode in ("window", "proximity"):
+            out = exclude_and_trim(out, tombs, args.k)
     except ValueError as e:  # e.g. proximity query with one distinct term
         print(json.dumps({"error": "bad query", "detail": str(e)}),
               file=sys.stderr)
@@ -408,10 +425,13 @@ def _cmd_query_dsl(spark, args, cfg) -> int:
     paths = sorted(
         _glob.glob(f"{args.index_dir}/partial_segments/part-*.parquet")
     ) or sorted(_glob.glob(f"{args.index_dir}/segments/part-*.parquet"))
+    from nil_spark.operators.deletes import load_tombstones
+
     try:
         out = dsl_search_replica(
             spark, qpdf, paths, termdict.toPandas(), n_docs, avgdl, cfg,
             k=args.k, pos_store=pos_store, universe_mode="indexed",
+            excluded=load_tombstones(spark, args.index_dir),
         )
     except ValueError as e:  # pruned dictionary / shingle-term index
         print(json.dumps({"error": "index unsuitable for dsl",
@@ -503,12 +523,29 @@ def cmd_query(args) -> int:
             spark.stop()
             return opened
         inc, idx, _paths = opened
+        from nil_spark.operators.deletes import (
+            exclude_and_trim as _trim,
+            load_tombstones as _load_tombs,
+        )
+
+        s_tombs = _load_tombs(spark, args.index_dir)
         q = spark.read.parquet(args.queries)
         if "k" not in q.columns:
             q = q.withColumn("k", F.lit(args.k))
+        s_trim = None
+        if s_tombs is not None:  # over-retrieve + trim (exact)
+            s_trim = q.select("query_id", F.col("k").alias("__trim_k"))
+            q = q.withColumn(
+                "k", (F.col("k") + F.lit(int(len(s_tombs)))).cast("int")
+            )
         out = topk_maxscore(
             q, idx["segments"], idx["termdict"], idx["n_docs"], idx["avgdl"], cfg
         )
+        if s_trim is not None:
+            out = _trim(
+                out.join(F.broadcast(s_trim), "query_id"), s_tombs,
+                "__trim_k",
+            ).drop("__trim_k")
         out.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"results": spark.read.parquet(args.out).count(),
                           "layout": "streaming",
@@ -521,6 +558,12 @@ def cmd_query(args) -> int:
         spark.stop()
         return opened
     segs, termdict, n_docs, avgdl = opened
+    from nil_spark.operators.deletes import (
+        exclude_and_trim,
+        load_tombstones,
+    )
+
+    tombs = load_tombstones(spark, args.index_dir)
     q = spark.read.parquet(args.queries)
 
     if "k" not in q.columns:
@@ -542,6 +585,15 @@ def cmd_query(args) -> int:
             "k", (F.col("k") + F.lit(int(args.verify_margin))).cast("int")
         )
     topology = getattr(args, "topology", "join")
+    trim_k = None
+    if tombs is not None and topology != "wand":
+        # live-docs deletes, over-retrieve strategy (exact): fetch
+        # top-(k + T), drop tombstoned docs, renumber back to k.  The
+        # WAND topology instead excludes in-kernel (scales to large T).
+        trim_k = q.select("query_id", F.col("k").alias("__trim_k"))
+        q = q.withColumn(
+            "k", (F.col("k") + F.lit(int(len(tombs)))).cast("int")
+        )
     allowed = None
     if getattr(args, "filter_docs", None):
         # filtered search: the predicate's admissible doc ids, pushed
@@ -606,7 +658,7 @@ def cmd_query(args) -> int:
 
             out = topk_replica_bmw(
                 spark, qpdf, paths, td_pdf, n_docs, avgdl, cfg,
-                allowed=allowed,
+                allowed=allowed, excluded=tombs,
             )
         elif topology == "term_sharded":
             # term-range routing reads the MERGED store's footers
@@ -620,6 +672,10 @@ def cmd_query(args) -> int:
             out = topk_maxscore_sharded(
                 spark, qpdf, paths, td_pdf, n_docs, avgdl, cfg
             )
+    if trim_k is not None:
+        out = exclude_and_trim(
+            out.join(F.broadcast(trim_k), "query_id"), tombs, "__trim_k"
+        ).drop("__trim_k")
     if verify != "none":
         from nil_spark.operators.search_verify import verify_topk
 
@@ -760,6 +816,58 @@ def cmd_iceberg(args) -> int:
                               "snapshots": len(t.snapshots())}))
     finally:
         spark.stop()
+    return 0
+
+
+def cmd_delete(args) -> int:
+    """Live-docs deletes: append a tombstone batch to the index; every
+    query path then excludes those docs exactly (operators/deletes —
+    in-kernel for WAND/DSL, over-retrieve+trim elsewhere).  Corpus
+    statistics stay as built (Lucene semantics); rebuild to reclaim."""
+    import os
+
+    spark = get_spark(app="nil_spark_delete", master=args.master,
+                      shuffle_partitions=args.shuffle_partitions)
+    is_batch = os.path.exists(os.path.join(args.index_dir, "manifest.json"))
+    if not is_batch and not os.path.exists(
+        os.path.join(args.index_dir, "stream_manifest.json")
+    ):
+        print(json.dumps({
+            "error": "not an index directory",
+            "index_dir": args.index_dir,
+            "hint": "no manifest.json / stream_manifest.json found",
+        }), file=sys.stderr)
+        spark.stop()
+        return 2
+    ids = spark.read.parquet(args.ids)
+    if "doc_id" not in ids.columns:
+        print(json.dumps({
+            "error": "bad ids schema",
+            "columns": ids.columns,
+            "hint": "delete --ids needs parquet with a doc_id column",
+        }), file=sys.stderr)
+        spark.stop()
+        return 2
+    from nil_spark.operators.deletes import append_tombstones
+
+    total = append_tombstones(spark, args.index_dir, ids)
+    info = {"tombstones_total": total}
+    if is_batch:
+        import json as _json
+
+        with open(os.path.join(args.index_dir, "manifest.json")) as f:
+            man = _json.load(f)
+        n_docs = (man.get("corpus") or {}).get("n_docs")
+        if n_docs:
+            info["deleted_fraction"] = round(total / int(n_docs), 4)
+            if total > 0.2 * int(n_docs):
+                info["hint"] = (
+                    "over 20% of the corpus is tombstoned — serving "
+                    "over-retrieves k+T per query; rebuild the index to "
+                    "reclaim (the merge that actually drops postings)"
+                )
+    print(json.dumps(info))
+    spark.stop()
     return 0
 
 
@@ -961,6 +1069,16 @@ def main(argv=None) -> int:
                     help="directory of parquet files with (query_id, text, k)")
     qs.add_argument("--out", required=True)
     qs.set_defaults(fn=cmd_query_stream)
+
+    dl = sub.add_parser(
+        "delete",
+        help="tombstone docs (live-docs deletes): every query path then "
+             "excludes them exactly; stats stay as built until a rebuild",
+    )
+    dl.add_argument("--index-dir", required=True)
+    dl.add_argument("--ids", required=True,
+                    help="parquet with a doc_id column to tombstone")
+    dl.set_defaults(fn=cmd_delete)
 
     stp = sub.add_parser("stats", help="index introspection (one JSON line)")
     stp.add_argument("--index-dir", required=True)

@@ -192,6 +192,7 @@ def dsl_search_replica(
     pos_store: DataFrame | None = None,
     n_splits: int | None = None,
     universe_mode: str = "dense",
+    excluded: np.ndarray | None = None,
 ) -> DataFrame:
     """Execute DSL queries ``(query_id, dsl)`` index-natively →
     ``(query_id, rank, doc_id, bm25)`` top-k.
@@ -212,6 +213,12 @@ def dsl_search_replica(
 
     Queries with no positive terms rank matches by doc id at score 0
     (same pin as the DataFrame backend).
+
+    ``excluded`` (optional): a SORTED int64 array of tombstoned doc ids
+    (operators/deletes) dropped from the matched set before scoring —
+    live-docs semantics, applied after the boolean algebra so NOT over
+    a deleted doc behaves as if the doc were still indexed (stats-as-
+    built, Lucene-style) while the doc itself can never be returned.
     """
     if universe_mode not in ("dense", "indexed"):
         raise ValueError(f"unknown universe_mode {universe_mode!r}")
@@ -301,6 +308,13 @@ def dsl_search_replica(
         int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1
     )
     k1, b = cfg.bm25_k1, cfg.bm25_b
+    excluded_bc = (
+        spark.sparkContext.broadcast(
+            np.unique(np.asarray(excluded, np.int64))
+        )
+        if excluded is not None and len(excluded)
+        else None
+    )
     qdf = spark.createDataFrame(
         spark.sparkContext.parallelize(rows, n_splits)
         if rows
@@ -335,6 +349,10 @@ def dsl_search_replica(
                 matched = _eval_node(
                     json.loads(aj), view, psets, universe
                 )
+                if excluded_bc is not None and len(matched):
+                    matched = matched[
+                        ~_membership(excluded_bc.value, matched)
+                    ]
                 if not len(matched):
                     continue
                 d, s = _score_matches(

@@ -155,6 +155,7 @@ def wand_query(
     k: int,
     stats: dict | None = None,
     allowed: np.ndarray | None = None,
+    excluded: np.ndarray | None = None,
 ) -> tuple:
     """Block-Max WAND/MaxScore traversal for one query (module
     docstring has the full design and exactness argument).
@@ -172,6 +173,12 @@ def wand_query(
     docs and the final top-k is exactly the top-k over the filtered
     corpus.  Pruning stays sound: every skip bound is an upper bound
     over ALL docs, hence over the allowed subset too.
+
+    ``excluded`` (optional) is the complement filter — a SORTED int64
+    array of doc ids to DROP (live-docs tombstones, operators/deletes).
+    Same admission point and the same soundness argument as
+    ``allowed``: the threshold rises only on live docs, and every skip
+    bound remains an upper bound over the live subset.
     """
     boffs, blast, bmax = bidx
     terms_arr = view.terms
@@ -314,6 +321,15 @@ def wand_query(
             ess_sc = ess_sc[adm]
             if len(u) == 0:
                 continue
+        if excluded is not None and len(excluded) and len(u):
+            pos = np.searchsorted(excluded, u)
+            np.minimum(pos, len(excluded) - 1, out=pos)
+            dead = excluded[pos] == u
+            if dead.any():
+                u = u[~dead]
+                ess_sc = ess_sc[~dead]
+                if len(u) == 0:
+                    continue
 
         # WAND candidate bound: essential-exact + probed-terms bound.
         # Survivors get their non-essential contributions looked up by
@@ -362,6 +378,7 @@ def topk_replica_bmw(
     n_splits: int | None = None,
     block_size: int = 128,
     allowed: np.ndarray | None = None,
+    excluded: np.ndarray | None = None,
 ) -> DataFrame:
     """Distributed Block-Max WAND top-k: same replica topology as
     ``topk_replica_resident`` (index node-shared via mmap, the QUERY
@@ -404,6 +421,13 @@ def topk_replica_bmw(
         if allowed is not None
         else None
     )
+    excluded_bc = (
+        spark.sparkContext.broadcast(
+            np.unique(np.asarray(excluded, dtype=np.int64))
+        )
+        if excluded is not None and len(excluded)
+        else None
+    )
 
     qtoks = tokenize_series(queries_pdf["text"], cfg)
     rows = []
@@ -438,12 +462,14 @@ def topk_replica_bmw(
                 view = _load_replica(paths, avgdl, k1, b)
                 bidx = _load_block_index(paths, avgdl, k1, b, block_size)
             adm = allowed_bc.value if allowed_bc is not None else None
+            exc = excluded_bc.value if excluded_bc is not None else None
             out_q, out_r, out_d, out_s = [], [], [], []
             for qid, kk, tj in zip(
                 pdf["query_id"], pdf["k"], pdf["terms_json"]
             ):
                 d, s = wand_query(
-                    view, bidx, json.loads(tj), int(kk), allowed=adm
+                    view, bidx, json.loads(tj), int(kk), allowed=adm,
+                    excluded=exc,
                 )
                 out_q.extend([int(qid)] * len(d))
                 out_r.extend(range(1, len(d) + 1))
