@@ -679,6 +679,113 @@ WHERE rank <= {DSL_K}
 """
 
 
+# ---------------------------------------------- q: wildcard search
+
+
+WILDCARD_QUERIES = [
+    (0, "s*"),      # prefix: scan, slow, small, sort, spark, stream
+    (1, "*ue*"),    # contains: query, value
+    (2, "dup*"),    # prefix hitting the rare discriminative term
+    (3, "zz*"),     # matches nothing: empty result for this query
+]
+WILDCARD_K = 10
+
+
+def _wildcard_regex(pat: str) -> str:
+    """Translate the `*`-wildcard into an anchored regex (the only
+    metacharacter the surface accepts; everything else is literal —
+    patterns are [a-z0-9*] by construction of the query set)."""
+    return "^" + pat.replace("*", ".*") + "$"
+
+
+def q_wildcard_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard term queries (Lucene MultiTermQuery with the scoring
+    boolean rewrite): each pattern expands over the term DICTIONARY —
+    never the corpus — to its matching term set, and docs score as the
+    BM25 sum over matched terms, each with its own df/idf.  Scale
+    shape: expansion is a regex scan of the dictionary-sized vocab with
+    the tiny pattern set broadcast; retrieval is the standard
+    filter-early BM25 plan."""
+    EQ = _eq()
+    docs = EQ._docs_toks(spark, sf_dir)
+    vocab = docs.select(F.explode("toks").alias("term")).distinct()
+
+    pats = spark.createDataFrame(
+        [(i, _wildcard_regex(p)) for i, p in WILDCARD_QUERIES],
+        "query_id long, pat string",
+    )
+    qt = (
+        vocab.crossJoin(F.broadcast(pats))
+        .filter(F.expr("term RLIKE pat"))
+        .select("query_id", "term")
+    )
+
+    dl = docs.select("doc_id", F.size("toks").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    qterms = qt.select("term").distinct()
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("term"))
+        .join(F.broadcast(qterms), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfr = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    w = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    return (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(dfr), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (F.col("tf") * 2.2)
+                / (F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl")))
+            ).alias("partial"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("partial"), 6).alias("bm25"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= WILDCARD_K)
+        .select("query_id", "rank", "doc_id", "bm25")
+    )
+
+
+def _wildcard_sql() -> str:
+    EQ = _eq()
+    vals = ", ".join(
+        f"({i}, '{_wildcard_regex(p)}')" for i, p in WILDCARD_QUERIES
+    )
+    return f"""
+WITH {EQ._DOCS_CTE},
+vocab AS (SELECT DISTINCT tok AS term FROM docs, unnest(toks) AS u(tok)),
+pats(query_id, pat) AS (VALUES {vals}),
+qt AS (SELECT query_id, term FROM vocab CROSS JOIN pats
+       WHERE regexp_matches(term, pat)),
+dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM docs),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+       FROM docs, unnest(toks) AS u(tok)
+       WHERE tok IN (SELECT term FROM qt) GROUP BY 1, 2),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1)
+SELECT query_id, rank, doc_id, bm25 FROM (
+  SELECT g.*, (row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id))::INT AS rank
+  FROM (
+    SELECT qt.query_id, tf.doc_id,
+           round(sum( ln(1 + (s.n - dfr.df + 0.5) / (dfr.df + 0.5))
+                      * (tf.tf * 2.2)
+                      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6) AS bm25
+    FROM qt JOIN tf USING (term) JOIN dfr USING (term)
+         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+    GROUP BY 1, 2) g)
+WHERE rank <= {WILDCARD_K}
+"""
+
+
 # -------------------------------------------- q: corrected search
 
 
@@ -862,4 +969,5 @@ def build_registry() -> dict:
         "dsl_search": (q_dsl_search, _dsl_sql()),
         "dsl_search_engine": (q_dsl_search_engine, _dsl_sql()),
         "search_corrected": (q_search_corrected, _search_corrected_sql()),
+        "wildcard_search": (q_wildcard_search, _wildcard_sql()),
     }
