@@ -399,7 +399,11 @@ def _cmd_query_dsl(spark, args, cfg) -> int:
     phrases: set = set()
     for qid, text in zip(qpdf["query_id"], qpdf["dsl"]):
         try:
-            ast = parse_query(str(text))
+            if not isinstance(text, str):
+                # a NULL dsl cell would str() into the literal term
+                # 'none' and silently return hits for that token
+                raise QueryParseError("dsl is null / not a string")
+            ast = parse_query(text)
         except QueryParseError as e:
             print(json.dumps({
                 "error": "bad dsl query",
@@ -757,11 +761,13 @@ def cmd_query_stream(args) -> int:
         paths = sorted(
             _glob.glob(f"{args.index_dir}/partial_segments/part-*.parquet")
         ) or sorted(_glob.glob(f"{args.index_dir}/segments/part-*.parquet"))
+    from nil_spark.operators.deletes import load_tombstones
     from nil_spark.streaming.serving import StreamingQueryServer
 
     srv = StreamingQueryServer(
         args.out, paths, termdict.toPandas(), n_docs, avgdl, cfg,
         tokenize_on="worker",
+        excluded=load_tombstones(spark, args.index_dir),
     )
     srv.run_available(spark, args.queries_dir)
     print(json.dumps({
@@ -850,7 +856,13 @@ def cmd_delete(args) -> int:
         return 2
     from nil_spark.operators.deletes import append_tombstones
 
-    total = append_tombstones(spark, args.index_dir, ids)
+    try:
+        total = append_tombstones(spark, args.index_dir, ids)
+    except ValueError as e:  # null / uncastable doc ids
+        print(json.dumps({"error": "bad ids", "detail": str(e)}),
+              file=sys.stderr)
+        spark.stop()
+        return 2
     info = {"tombstones_total": total}
     if is_batch:
         import json as _json

@@ -43,13 +43,25 @@ def append_tombstones(
     tombstoned docs after the append.  Append-only — concurrent readers
     see either the old or the new file set, never a partial file
     (parquet writes are atomic per file)."""
+    import uuid
+
+    cast = ids.select(F.col("doc_id").cast("long"))
+    n_null = cast.filter(F.col("doc_id").isNull()).count()
+    if n_null:
+        # a null here is either a null input id or a value long() can't
+        # represent — accepting it would poison the sidecar (every
+        # later load would crash converting to int64); refuse loudly
+        raise ValueError(
+            f"{n_null} doc_id value(s) are null or not castable to "
+            "long — tombstones must be concrete doc ids"
+        )
     d = os.path.join(index_dir, TOMBSTONE_DIR)
-    batch = len(glob.glob(os.path.join(d, "batch-*")))
-    (
-        ids.select(F.col("doc_id").cast("long"))
-        .distinct()
-        .write.mode("overwrite")
-        .parquet(os.path.join(d, f"batch-{batch:05d}"))
+    # unique batch name: concurrent deletes (or a retry after a partial
+    # failure) must never clobber each other's batch — a counter-based
+    # name would collide when two writers glob the same count
+    batch = uuid.uuid4().hex[:12]
+    cast.distinct().write.mode("overwrite").parquet(
+        os.path.join(d, f"batch-{batch}")
     )
     return int(
         spark.read.parquet(os.path.join(d, "batch-*"))

@@ -246,8 +246,12 @@ def dsl_search_replica(
             "universe_mode='indexed'"
         )
 
+    for text in queries_pdf["dsl"]:
+        if not isinstance(text, str):
+            # str(None) would lex as the literal term 'none'
+            raise ValueError("dsl query is null / not a string")
     parsed = [
-        (int(qid), parse_query(str(text)))
+        (int(qid), parse_query(text))
         for qid, text in zip(queries_pdf["query_id"], queries_pdf["dsl"])
     ]
 
@@ -329,6 +333,20 @@ def dsl_search_replica(
         def universe() -> np.ndarray:
             if not ucache:
                 if universe_mode == "dense":
+                    # sanity: posting ids past n_docs prove the dense
+                    # assumption false (a foreign index with arbitrary
+                    # ids) — refuse rather than return phantom docs.
+                    # Holes BELOW max_doc are not detectable from
+                    # postings alone; dense mode trusts the builder's
+                    # assign_doc_ids contract for those (the driver-
+                    # side min-size guard covers the one engine path
+                    # that punches holes).
+                    if view.max_doc >= n_docs:
+                        raise ValueError(
+                            f"doc id {view.max_doc} >= n_docs {n_docs}:"
+                            " ids are not dense — use "
+                            "universe_mode='indexed'"
+                        )
                     ucache.append(np.arange(n_docs, dtype=np.int64))
                 else:
                     ucache.append(

@@ -68,6 +68,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from nil_spark.config import EngineConfig
+from nil_spark.operators.phrase import _membership
 from nil_spark.operators.query import SCORE_DECIMALS
 from nil_spark.operators.segments import (
     MAXSCORE_MARGIN,
@@ -322,9 +323,7 @@ def wand_query(
             if len(u) == 0:
                 continue
         if excluded is not None and len(excluded) and len(u):
-            pos = np.searchsorted(excluded, u)
-            np.minimum(pos, len(excluded) - 1, out=pos)
-            dead = excluded[pos] == u
+            dead = _membership(excluded, u)
             if dead.any():
                 u = u[~dead]
                 ess_sc = ess_sc[~dead]

@@ -51,8 +51,19 @@ class StreamingQueryServer:
         cfg: EngineConfig,
         tokenize_on: str = "driver",
         default_k: int = 10,
+        excluded=None,
     ):
         self.out_dir = out_dir
+        # live-docs tombstones (operators/deletes): applied per batch
+        # via over-retrieve(k+T)+trim — exact, and the tombstone set is
+        # fixed for the server's lifetime like the index itself
+        import numpy as _np
+
+        self._excluded = (
+            _np.unique(_np.asarray(excluded, _np.int64))
+            if excluded is not None and len(excluded)
+            else None
+        )
         self.shard_paths = list(shard_paths)
         self.termdict_pdf = termdict_pdf
         self.n_docs = int(n_docs)
@@ -106,6 +117,12 @@ class StreamingQueryServer:
         spark = batch_df.sparkSession
         if self.tokenize_on == "worker" and self._df_bc is None:
             self._df_bc = spark.sparkContext.broadcast(self._df_map)
+        orig_k = None
+        if self._excluded is not None:
+            orig_k = spark.createDataFrame(
+                qpdf[["query_id", "k"]].rename(columns={"k": "__trim_k"})
+            )
+            qpdf = qpdf.assign(k=qpdf["k"] + len(self._excluded))
         res = topk_replica_resident(
             spark,
             qpdf,
@@ -118,6 +135,16 @@ class StreamingQueryServer:
             df_map=self._df_map,
             df_bc=self._df_bc,
         )
+        if orig_k is not None:
+            from pyspark.sql import functions as F
+
+            from nil_spark.operators.deletes import exclude_and_trim
+
+            res = exclude_and_trim(
+                res.join(F.broadcast(orig_k), "query_id"),
+                self._excluded,
+                "__trim_k",
+            ).drop("__trim_k")
         res.write.mode("overwrite").parquet(
             os.path.join(self.out_dir, f"batch_id={int(batch_id)}")
         )

@@ -104,6 +104,25 @@ def test_cli_dsl_matches_python_oracle(dsl_index):
         assert got_sets.get(i, set()) == exp, dsl
 
 
+def test_cli_dsl_null_query_structured(dsl_index):
+    """A NULL dsl cell must fail structured, not silently search for
+    the literal token 'none' (str(None))."""
+    tmp, idx_dir, _ = dsl_index
+    qpdf = pd.DataFrame({"query_id": [3], "dsl": [None]})
+    pq.write_table(
+        pa.Table.from_pandas(qpdf.astype({"dsl": "object"}),
+                             preserve_index=False),
+        str(tmp / "nullq.parquet"),
+    )
+    out = _run(["--stopword-cutoff", "2.0",
+                "query", "--index-dir", idx_dir, "--mode", "dsl",
+                "--queries", str(tmp / "nullq.parquet"),
+                "--out", str(tmp / "nullres")])
+    assert out.returncode == 2
+    e = _err(out)
+    assert e["error"] == "bad dsl query" and e["query_id"] == 3
+
+
 def test_cli_dsl_parse_error_structured(dsl_index):
     tmp, idx_dir, _ = dsl_index
     qpdf = pd.DataFrame({"query_id": [7], "dsl": ["(unclosed AND"]})

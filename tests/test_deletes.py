@@ -203,3 +203,104 @@ def test_cli_delete_bad_inputs(tmp_path):
     assert json.loads(out.stderr.strip().splitlines()[-1])["error"] == (
         "not an index directory"
     )
+
+
+def test_append_tombstones_rejects_nulls_and_accumulates(spark, tmp_path):
+    """A null doc_id would poison the sidecar (every later load crashes
+    converting to int64) — refused loudly; and successive delete
+    batches accumulate rather than clobber."""
+    import pytest
+
+    from nil_spark.operators.deletes import (
+        append_tombstones,
+        load_tombstones,
+    )
+
+    idx = str(tmp_path / "idx")
+    os.makedirs(idx)
+    with pytest.raises(ValueError, match="null"):
+        append_tombstones(
+            spark, idx,
+            spark.createDataFrame([(1,), (None,)], "doc_id long"),
+        )
+    assert load_tombstones(spark, idx) is None  # nothing was written
+
+    assert append_tombstones(
+        spark, idx, spark.createDataFrame([(1,), (2,)], "doc_id long")
+    ) == 2
+    assert append_tombstones(
+        spark, idx, spark.createDataFrame([(2,), (7,)], "doc_id long")
+    ) == 3
+    assert load_tombstones(spark, idx).tolist() == [1, 2, 7]
+
+
+def test_dsl_dense_universe_rejects_out_of_range_ids(spark):
+    """A NOT complement in dense mode must refuse when posting ids
+    exceed n_docs (foreign/sparse-id index) instead of returning
+    phantom docs."""
+    import pytest
+
+    from nil_spark.operators.dsl_exec import dsl_search_replica
+
+    shard_paths, td_pdf, n_docs, avgdl, cfg = EQ._gate_engine_index(
+        spark, SF_DIR
+    )
+    qpdf = pd.DataFrame({"query_id": [0], "dsl": ["NOT hash"]})
+    with pytest.raises(Exception, match="not dense"):
+        dsl_search_replica(
+            spark, qpdf, shard_paths, td_pdf, 3, avgdl, cfg, k=5
+        ).collect()
+
+
+def test_cli_query_stream_excludes_tombstones(tmp_path):
+    """The streaming serving surface must agree with batch serving
+    about which docs exist (regression: query-stream initially missed
+    the tombstone wiring)."""
+    from nil_spark.sources.transcripts import gen_queries, gen_transcripts
+
+    pdf = gen_transcripts(250, seed=61)
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        str(tmp_path / "corpus.parquet"),
+    )
+    idx_dir = str(tmp_path / "idx")
+    out = _run(["build", "--input", str(tmp_path / "corpus.parquet"),
+                "--index-dir", idx_dir])
+    assert out.returncode == 0, out.stderr[-2000:]
+
+    q = gen_queries(pdf, n_queries=3, k=5, seed=62)
+    qdir = tmp_path / "qstream"
+    os.makedirs(qdir)
+    pq.write_table(pa.Table.from_pandas(q, preserve_index=False),
+                   str(qdir / "batch0.parquet"))
+
+    # baseline batch query → tombstone every top-1 doc → query-stream
+    out = _run(["query", "--index-dir", idx_dir,
+                "--queries", str(qdir / "batch0.parquet"),
+                "--out", str(tmp_path / "base")])
+    assert out.returncode == 0, out.stderr[-2000:]
+    base = pd.concat(
+        pq.read_table(os.path.join(tmp_path / "base", f)).to_pandas()
+        for f in os.listdir(tmp_path / "base") if f.endswith(".parquet")
+    )
+    dead = base[base["rank"] == 1]["doc_id"].drop_duplicates()
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame({"doc_id": dead}),
+                             preserve_index=False),
+        str(tmp_path / "del.parquet"),
+    )
+    out = _run(["delete", "--index-dir", idx_dir,
+                "--ids", str(tmp_path / "del.parquet")])
+    assert out.returncode == 0, out.stderr[-2000:]
+
+    out = _run(["query-stream", "--index-dir", idx_dir,
+                "--queries-dir", str(qdir), "--out", str(tmp_path / "sres")])
+    assert out.returncode == 0, out.stderr[-2000:]
+    import glob as _glob
+
+    got = pd.concat(
+        pq.read_table(f).to_pandas()
+        for f in _glob.glob(str(tmp_path / "sres" / "batch_id=*" / "*.parquet"))
+    )
+    assert not (set(got["doc_id"]) & set(dead.tolist()))
+    assert (got.groupby("query_id").size() == 5).all()
