@@ -883,6 +883,34 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Expunge deletes: rewrite segments (and the positional store)
+    without tombstoned postings, refresh corpus stats + term
+    dictionary, clear the tombstone sidecar (operators/compact.py).
+    Scores change at this boundary — stats now reflect the live
+    corpus, exactly as after a Lucene merge."""
+    import os
+
+    spark = get_spark(app="nil_spark_compact", master=args.master,
+                      shuffle_partitions=args.shuffle_partitions)
+    if not os.path.exists(os.path.join(args.index_dir, "manifest.json")):
+        print(json.dumps({
+            "error": "not a batch index",
+            "index_dir": args.index_dir,
+            "hint": "compact rewrites the batch layout (manifest.json); "
+                    "streaming indexes compact via their own generational "
+                    "compaction (build-stream)",
+        }), file=sys.stderr)
+        spark.stop()
+        return 2
+    cfg = _cfg_from_args(args)
+    from nil_spark.operators.compact import compact_index
+
+    print(json.dumps(compact_index(spark, args.index_dir, cfg)))
+    spark.stop()
+    return 0
+
+
 def cmd_stats(args) -> int:
     """Operational index introspection: corpus scalars, term/posting/
     chunk counts, df distribution, on-disk bytes, build lineage."""
@@ -1091,6 +1119,14 @@ def main(argv=None) -> int:
     dl.add_argument("--ids", required=True,
                     help="parquet with a doc_id column to tombstone")
     dl.set_defaults(fn=cmd_delete)
+
+    cp = sub.add_parser(
+        "compact",
+        help="expunge deletes: rewrite segments without tombstoned "
+             "postings, refresh stats, clear the sidecar",
+    )
+    cp.add_argument("--index-dir", required=True)
+    cp.set_defaults(fn=cmd_compact)
 
     stp = sub.add_parser("stats", help="index introspection (one JSON line)")
     stp.add_argument("--index-dir", required=True)
