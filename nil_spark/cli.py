@@ -964,8 +964,12 @@ def cmd_stats(args) -> int:
         for pat in byte_globs
         for p in _glob.glob(f"{args.index_dir}/{pat}/part-*.parquet")
     )
+    from nil_spark.operators.deletes import load_tombstones
+
+    tombs = load_tombstones(spark, args.index_dir)
     print(json.dumps({
         "n_docs": n_docs,
+        "tombstoned_docs": int(len(tombs)) if tombs is not None else 0,
         "avgdl": round(avgdl, 3),
         "terms_after_stopword_cutoff": termdict.count(),
         "terms_on_disk": int(seg_stats["terms_on_disk"]),
