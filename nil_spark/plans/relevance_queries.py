@@ -679,6 +679,58 @@ WHERE rank <= {DSL_K}
 """
 
 
+# ------------------------------------------- q: block-join ranking
+
+
+BLOCKJOIN_K = 5
+
+
+def q_blockjoin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parent/child ranking (Lucene ToParentBlockJoinQuery with
+    ScoreMode.Total): children (docs) score with BM25 and each PARENT
+    (``source`` group — the conv_id analog of multi-turn transcripts)
+    ranks by the SUM of its matching children's scores, with the match
+    count carried for context.  Complements ``collapse_topk``, which is
+    the max-mode of the same structure.  Scale shape: one extra
+    broadcast metadata join and a parent-keyed aggregate over rows that
+    are already per-(query, doc)."""
+    EQ = _eq()
+    scored = EQ._bm25_scored(spark, sf_dir)
+    meta = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("source")
+    )
+    return (
+        scored.join(meta, "doc_id")
+        .groupBy("query_id", "source")
+        .agg(
+            F.round(F.sum("bm25"), 6).alias("score"),
+            F.count("*").alias("n_hits"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BLOCKJOIN_K)
+        .select("query_id", "rank", "source", "n_hits", "score")
+    )
+
+
+def _blockjoin_sql() -> str:
+    return f"""
+WITH {_scored_with()}
+SELECT query_id, rank, source, n_hits, score FROM (
+  SELECT g.*, (row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, source))::INT AS rank
+  FROM (
+    SELECT s.query_id, d.source,
+           round(sum(s.bm25), 6) AS score,
+           count(*) AS n_hits
+    FROM scored s JOIN documents d USING (doc_id)
+    GROUP BY 1, 2) g)
+WHERE rank <= {BLOCKJOIN_K}
+"""
+
+
 # ---------------------------------------------- q: wildcard search
 
 
@@ -970,4 +1022,5 @@ def build_registry() -> dict:
         "dsl_search_engine": (q_dsl_search_engine, _dsl_sql()),
         "search_corrected": (q_search_corrected, _search_corrected_sql()),
         "wildcard_search": (q_wildcard_search, _wildcard_sql()),
+        "blockjoin_topk": (q_blockjoin_topk, _blockjoin_sql()),
     }
