@@ -8,6 +8,7 @@ A small search DSL over tokenized documents —
                                              two adjacent unaries conjoin)
     unary  := NOT unary | atom
     atom   := '(' expr ')' | '"' word+ '"' | word
+            | ATLEAST '(' n ',' expr (',' expr)* ')'
 
 — parsed once into an AST, then compiled to (a) a PySpark boolean
 ``Column`` over a tokenized-documents relation, (b) an equivalent
@@ -19,7 +20,10 @@ definition:
  * a quoted phrase matches documents containing the words ADJACENT and
    in order (Lucene phrase-query semantics at slop 0);
  * AND / OR / NOT are set intersection / union / complement over the
-   matched doc sets.
+   matched doc sets;
+ * ATLEAST(n, e1, ..., em) matches documents satisfying at least n of
+   the m sub-expressions — Lucene's minimum_should_match on a boolean
+   query (n=1 degrades to OR, n=m to AND).
 
 Phrase matching is implemented in all three backends as substring
 containment over the space-joined token list padded with sentinel
@@ -42,7 +46,8 @@ import re
 from dataclasses import dataclass
 
 _TOKEN_RE = re.compile(
-    r"\s*(?:(?P<lparen>\()|(?P<rparen>\))|(?P<quote>\"[^\"]*\")"
+    r"\s*(?:(?P<lparen>\()|(?P<rparen>\))|(?P<comma>,)"
+    r"|(?P<quote>\"[^\"]*\")"
     r"|(?P<word>[A-Za-z0-9]+))"
 )
 
@@ -81,6 +86,14 @@ class Not:
     child: object
 
 
+@dataclass(frozen=True)
+class AtLeast:
+    """minimum_should_match: at least ``n`` of ``children`` hold."""
+
+    n: int
+    children: tuple
+
+
 # ------------------------------------------------------------- parsing
 
 
@@ -97,7 +110,7 @@ def _lex(text: str) -> list:
         if m.lastgroup == "word":
             w = m.group("word")
             up = w.upper()
-            if up in ("AND", "OR", "NOT"):
+            if up in ("AND", "OR", "NOT", "ATLEAST"):
                 out.append((up, up))
             else:
                 out.append(("WORD", w.lower()))
@@ -108,6 +121,8 @@ def _lex(text: str) -> list:
             out.append(("PHRASE", tuple(words)))
         elif m.lastgroup == "lparen":
             out.append(("(", "("))
+        elif m.lastgroup == "comma":
+            out.append((",", ","))
         else:
             out.append((")", ")"))
     return out
@@ -146,7 +161,7 @@ class _Parser:
             if p == "AND":
                 self.next()
                 parts.append(self.unary())
-            elif p in ("WORD", "PHRASE", "NOT", "("):
+            elif p in ("WORD", "PHRASE", "NOT", "(", "ATLEAST"):
                 # implicit AND between adjacent atoms
                 parts.append(self.unary())
             else:
@@ -161,6 +176,33 @@ class _Parser:
 
     def atom(self):
         p = self.peek()
+        if p == "ATLEAST":
+            self.next()
+            if self.peek() != "(":
+                raise QueryParseError("ATLEAST needs '('")
+            self.next()
+            t, v = self.next() if self.i < len(self.toks) else (None, None)
+            if t != "WORD" or not v.isdigit():
+                raise QueryParseError("ATLEAST needs a leading integer")
+            n = int(v)
+            children = []
+            while self.peek() == ",":
+                self.next()
+                children.append(self.or_expr())
+            if self.peek() != ")":
+                raise QueryParseError("missing ')' in ATLEAST")
+            self.next()
+            if not children:
+                raise QueryParseError("ATLEAST needs at least one clause")
+            if not (1 <= n <= len(children)):
+                raise QueryParseError(
+                    f"ATLEAST n={n} out of range 1..{len(children)}"
+                )
+            if n == len(children):
+                return children[0] if n == 1 else And(tuple(children))
+            if n == 1:
+                return Or(tuple(children))
+            return AtLeast(n, tuple(children))
         if p == "(":
             self.next()
             node = self.or_expr()
@@ -203,7 +245,7 @@ def positive_terms(node) -> list:
                 out.update(n.words)
         elif isinstance(n, Not):
             walk(n.child, not neg)
-        elif isinstance(n, (And, Or)):
+        elif isinstance(n, (And, Or, AtLeast)):
             for c in n.children:
                 walk(c, neg)
 
@@ -241,6 +283,12 @@ def compile_spark(node, toks_col, padded_col):
         for c in node.children[1:]:
             out = out | compile_spark(c, toks_col, padded_col)
         return out
+    if isinstance(node, AtLeast):
+        total = None
+        for c in node.children:
+            term = compile_spark(c, toks_col, padded_col).cast("int")
+            total = term if total is None else total + term
+        return total >= node.n
     raise TypeError(f"unknown AST node {node!r}")
 
 
@@ -268,6 +316,12 @@ def compile_duckdb(node, toks_expr: str, padded_expr: str) -> str:
             compile_duckdb(c, toks_expr, padded_expr) for c in node.children
         )
         return f"({inner})"
+    if isinstance(node, AtLeast):
+        inner = " + ".join(
+            f"({compile_duckdb(c, toks_expr, padded_expr)})::INT"
+            for c in node.children
+        )
+        return f"(({inner}) >= {node.n})"
     raise TypeError(f"unknown AST node {node!r}")
 
 
@@ -288,4 +342,6 @@ def eval_python(node, toks: list) -> bool:
         return all(eval_python(c, toks) for c in node.children)
     if isinstance(node, Or):
         return any(eval_python(c, toks) for c in node.children)
+    if isinstance(node, AtLeast):
+        return sum(eval_python(c, toks) for c in node.children) >= node.n
     raise TypeError(f"unknown AST node {node!r}")

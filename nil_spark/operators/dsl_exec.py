@@ -51,6 +51,7 @@ from pyspark.sql import DataFrame, SparkSession
 from nil_spark.config import EngineConfig
 from nil_spark.functions.querylang import (
     And,
+    AtLeast,
     Not,
     Or,
     Phrase,
@@ -81,6 +82,11 @@ def _ast_json(node, phrase_ids: dict) -> dict:
         return {"a": [_ast_json(c, phrase_ids) for c in node.children]}
     if isinstance(node, Or):
         return {"o": [_ast_json(c, phrase_ids) for c in node.children]}
+    if isinstance(node, AtLeast):
+        return {
+            "m": node.n,
+            "c": [_ast_json(c, phrase_ids) for c in node.children],
+        }
     raise TypeError(f"unknown AST node {node!r}")
 
 
@@ -89,7 +95,7 @@ def _collect_phrases(node, out: set):
         out.add(node.words)
     elif isinstance(node, Not):
         _collect_phrases(node.child, out)
-    elif isinstance(node, (And, Or)):
+    elif isinstance(node, (And, Or, AtLeast)):
         for c in node.children:
             _collect_phrases(c, out)
 
@@ -143,6 +149,19 @@ def _eval_node(node: dict, view, phrase_sets: dict, universe) -> np.ndarray:
             if len(ex):
                 cand = cand[~_membership(ex, cand)]
         return cand
+    if "m" in node:
+        # minimum_should_match: each child set holds unique docs, so a
+        # doc's multiplicity in the concatenation IS its clause count
+        parts = [
+            _eval_node(c, view, phrase_sets, universe) for c in node["c"]
+        ]
+        parts = [p for p in parts if len(p)]
+        if len(parts) < node["m"]:
+            return _EMPTY
+        cat = np.concatenate(parts)
+        cat.sort()
+        uniq, counts = np.unique(cat, return_counts=True)
+        return uniq[counts >= node["m"]]
     if "n" in node:
         # bare NOT (not foldable into an enclosing AND): complement
         # against the universe

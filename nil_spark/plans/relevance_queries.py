@@ -82,6 +82,7 @@ DSL_QUERIES = [
     (4, 'NOT the AND query'),
     (5, '"slow batch filter"'),
     (6, 'NOT dup'),                             # pure-negation: rank by id, score 0
+    (7, 'ATLEAST(2, dup, vector, "hash join")'),  # minimum_should_match
 ]
 DSL_K = 10
 

@@ -17,6 +17,7 @@ import pytest
 
 from nil_spark.functions.querylang import (
     And,
+    AtLeast,
     Not,
     Or,
     Phrase,
@@ -38,9 +39,13 @@ def _rand_ast(rng: random.Random, depth: int = 0):
         return Term(rng.choice(VOCAB))
     if roll < 0.55:
         return Phrase(tuple(rng.choice(VOCAB) for _ in range(rng.randint(2, 3))))
-    if roll < 0.7:
+    if roll < 0.65:
         return Not(_rand_ast(rng, depth + 1))
-    cls = And if roll < 0.85 else Or
+    if roll < 0.75:
+        return AtLeast(
+            2, tuple(_rand_ast(rng, depth + 1) for _ in range(3))
+        )
+    cls = And if roll < 0.87 else Or
     return cls(tuple(_rand_ast(rng, depth + 1) for _ in range(2)))
 
 
@@ -55,6 +60,12 @@ def _to_dsl(node) -> str:
         return "(" + " AND ".join(_to_dsl(c) for c in node.children) + ")"
     if isinstance(node, Or):
         return "(" + " OR ".join(_to_dsl(c) for c in node.children) + ")"
+    if isinstance(node, AtLeast):
+        return (
+            f"ATLEAST({node.n}, "
+            + ", ".join(_to_dsl(c) for c in node.children)
+            + ")"
+        )
     raise TypeError(node)
 
 

@@ -18,6 +18,7 @@ from hypothesis import strategies as st
 
 from nil_spark.functions.querylang import (
     And,
+    AtLeast,
     Not,
     Or,
     Phrase,
@@ -64,8 +65,23 @@ def test_case_insensitive_terms_and_keywords():
     assert parse_query("A and B") == And((Term("a"), Term("b")))
 
 
+def test_atleast_grammar_and_degenerate_forms():
+    assert parse_query("ATLEAST(2, a, b, c)") == AtLeast(
+        2, (Term("a"), Term("b"), Term("c"))
+    )
+    # n=1 degrades to OR, n=m to AND (no separate node to execute)
+    assert parse_query("ATLEAST(1, a, b)") == Or((Term("a"), Term("b")))
+    assert parse_query("ATLEAST(2, a, b)") == And((Term("a"), Term("b")))
+    # nests like any atom
+    assert parse_query("NOT ATLEAST(2, a, b, c)") == Not(
+        AtLeast(2, (Term("a"), Term("b"), Term("c")))
+    )
+
+
 @pytest.mark.parametrize(
-    "bad", ["", "AND", "a AND", "(a", 'a)"', '""', "a %% b", "NOT"]
+    "bad", ["", "AND", "a AND", "(a", 'a)"', '""', "a %% b", "NOT",
+            "ATLEAST(0, a, b)", "ATLEAST(3, a, b)", "ATLEAST(2)",
+            "ATLEAST(a, b)", "ATLEAST 2, a"]
 )
 def test_parse_errors(bad):
     with pytest.raises(QueryParseError):
@@ -88,9 +104,15 @@ def _rand_ast(rng: random.Random, depth: int = 0):
     if roll < 0.5:
         n = rng.randint(2, 3)
         return Phrase(tuple(rng.choice(VOCAB) for _ in range(n)))
-    if roll < 0.65:
+    if roll < 0.6:
         return Not(_rand_ast(rng, depth + 1))
-    cls = And if roll < 0.85 else Or
+    if roll < 0.7:
+        m = rng.randint(3, 4)
+        return AtLeast(
+            rng.randint(2, m - 1),
+            tuple(_rand_ast(rng, depth + 1) for _ in range(m)),
+        )
+    cls = And if roll < 0.87 else Or
     return cls(
         tuple(_rand_ast(rng, depth + 1) for _ in range(rng.randint(2, 3)))
     )
