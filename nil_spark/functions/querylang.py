@@ -47,7 +47,7 @@ from dataclasses import dataclass
 
 _TOKEN_RE = re.compile(
     r"\s*(?:(?P<lparen>\()|(?P<rparen>\))|(?P<comma>,)"
-    r"|(?P<quote>\"[^\"]*\")"
+    r"|(?P<quote>\"[^\"]*\")(?:~(?P<slop>\d+))?"
     r"|(?P<word>[A-Za-z0-9]+))"
 )
 
@@ -69,6 +69,7 @@ class Term:
 @dataclass(frozen=True)
 class Phrase:
     words: tuple
+    slop: int = 0  # ordered width slack: match iff pos_m - pos_1 <= slop + m - 1
 
 
 @dataclass(frozen=True)
@@ -114,11 +115,12 @@ def _lex(text: str) -> list:
                 out.append((up, up))
             else:
                 out.append(("WORD", w.lower()))
-        elif m.lastgroup == "quote":
+        elif m.lastgroup in ("quote", "slop"):
             words = [w for w in _WORD_SPLIT.split(m.group("quote").strip('"').lower()) if w]
             if not words:
                 raise QueryParseError("empty phrase")
-            out.append(("PHRASE", tuple(words)))
+            slop = int(m.group("slop")) if m.group("slop") else 0
+            out.append(("PHRASE", (tuple(words), slop)))
         elif m.lastgroup == "lparen":
             out.append(("(", "("))
         elif m.lastgroup == "comma":
@@ -213,8 +215,8 @@ class _Parser:
         if p == "WORD":
             return Term(self.next()[1])
         if p == "PHRASE":
-            words = self.next()[1]
-            return Phrase(words) if len(words) > 1 else Term(words[0])
+            words, slop = self.next()[1]
+            return Phrase(words, slop) if len(words) > 1 else Term(words[0])
         raise QueryParseError(f"unexpected token {p}")
 
 
@@ -270,7 +272,35 @@ def compile_spark(node, toks_col, padded_col):
     if isinstance(node, Term):
         return F.array_contains(toks_col, node.word)
     if isinstance(node, Phrase):
-        return padded_col.contains(" " + " ".join(node.words) + " ")
+        if node.slop == 0:
+            return padded_col.contains(" " + " ".join(node.words) + " ")
+        # sloppy: nested EXISTS over per-word position arrays (nested
+        # higher-order lambdas capture outer positions — whole-stage
+        # JVM evaluation, no UDF)
+        width = F.lit(node.slop + len(node.words) - 1)
+
+        def pos_arr(w):
+            return F.filter(
+                F.transform(
+                    toks_col,
+                    lambda x, i: F.when(x == w, i).otherwise(F.lit(-1)),
+                ),
+                lambda q: q >= 0,
+            )
+
+        def chain(j, prev, first):
+            arr = pos_arr(node.words[j])
+            if j == len(node.words) - 1:
+                return F.exists(
+                    arr, lambda q: (q > prev) & ((q - first) <= width)
+                )
+            return F.exists(
+                arr, lambda q: (q > prev) & chain(j + 1, q, first)
+            )
+
+        return F.exists(
+            pos_arr(node.words[0]), lambda q: chain(1, q, q)
+        )
     if isinstance(node, Not):
         return ~compile_spark(node.child, toks_col, padded_col)
     if isinstance(node, And):
@@ -302,8 +332,32 @@ def compile_duckdb(node, toks_expr: str, padded_expr: str) -> str:
     if isinstance(node, Term):
         return f"list_contains({toks_expr}, '{node.word}')"
     if isinstance(node, Phrase):
-        ph = " ".join(node.words)
-        return f"contains({padded_expr}, ' {ph} ')"
+        if node.slop == 0:
+            ph = " ".join(node.words)
+            return f"contains({padded_expr}, ' {ph} ')"
+        width = node.slop + len(node.words) - 1
+
+        def pos_list(w):
+            return (
+                f"[i FOR i IN range(1, len({toks_expr})+1) "
+                f"IF {toks_expr}[i] = '{w}']"
+            )
+
+        def chain(j):
+            if j == len(node.words) - 1:
+                return (
+                    f"len(list_filter({pos_list(node.words[j])}, "
+                    f"p{j} -> p{j} > p{j-1} AND p{j} - p0 <= {width})) > 0"
+                )
+            return (
+                f"len(list_filter({pos_list(node.words[j])}, "
+                f"p{j} -> p{j} > p{j-1} AND ({chain(j + 1)}))) > 0"
+            )
+
+        return (
+            f"(len(list_filter({pos_list(node.words[0])}, "
+            f"p0 -> {chain(1)})) > 0)"
+        )
     if isinstance(node, Not):
         return f"(NOT {compile_duckdb(node.child, toks_expr, padded_expr)})"
     if isinstance(node, And):
@@ -335,7 +389,29 @@ def eval_python(node, toks: list) -> bool:
     if isinstance(node, Phrase):
         n = len(node.words)
         w = list(node.words)
-        return any(toks[i : i + n] == w for i in range(len(toks) - n + 1))
+        if node.slop == 0:
+            return any(toks[i : i + n] == w for i in range(len(toks) - n + 1))
+        # ordered sloppy match: positions in order with total width
+        # pos_n - pos_1 <= slop + n - 1.  Greedy-earliest chaining from
+        # each start is complete: any valid chain's greedy counterpart
+        # has pointwise-smaller positions, hence smaller width.
+        import bisect
+
+        pos = [[i for i, t in enumerate(toks) if t == ww] for ww in w]
+        if any(not pl for pl in pos):
+            return False
+        width = node.slop + n - 1
+        for p1 in pos[0]:
+            cur, ok = p1, True
+            for pl in pos[1:]:
+                j = bisect.bisect_right(pl, cur)
+                if j == len(pl):
+                    ok = False
+                    break
+                cur = pl[j]
+            if ok and cur - p1 <= width:
+                return True
+        return False
     if isinstance(node, Not):
         return not eval_python(node.child, toks)
     if isinstance(node, And):

@@ -75,7 +75,7 @@ def _ast_json(node, phrase_ids: dict) -> dict:
     if isinstance(node, Term):
         return {"t": int(_hash_token(node.word))}
     if isinstance(node, Phrase):
-        return {"p": phrase_ids[node.words]}
+        return {"p": phrase_ids[(node.words, node.slop)]}
     if isinstance(node, Not):
         return {"n": _ast_json(node.child, phrase_ids)}
     if isinstance(node, And):
@@ -92,7 +92,7 @@ def _ast_json(node, phrase_ids: dict) -> dict:
 
 def _collect_phrases(node, out: set):
     if isinstance(node, Phrase):
-        out.add(node.words)
+        out.add((node.words, node.slop))
     elif isinstance(node, Not):
         _collect_phrases(node.child, out)
     elif isinstance(node, (And, Or, AtLeast)):
@@ -291,7 +291,8 @@ def dsl_search_replica(
         ppdf = pd.DataFrame(
             {
                 "query_id": list(phrase_ids.values()),
-                "text": [" ".join(ws) for ws in phrase_ids.keys()],
+                "text": [" ".join(ws) for ws, _slop in phrase_ids.keys()],
+                "slop": [slop for _ws, slop in phrase_ids.keys()],
             }
         )
         hits = (

@@ -281,6 +281,48 @@ def phrase_hits_from_positions(
     return _greedy_hits(starts, m)
 
 
+def sloppy_phrase_hits_from_positions(
+    term_keys: dict, phrase_terms: list, slop: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Ordered sloppy phrase matcher (Lucene in-order SpanNear over the
+    phrase terms): a match is positions p1 < p2 < ... < pm, one per
+    term in order, with width pm - p1 <= slop + m - 1.  Greedy-earliest
+    chaining from every start occurrence is COMPLETE — any valid
+    chain's greedy counterpart has pointwise-smaller positions, hence
+    smaller width — and vectorizes as one ``searchsorted`` per term
+    over the packed (doc << 32 | pos) keys (packed arithmetic never
+    crosses a doc: positions occupy the low 32 bits).  Returns
+    ``(doc_ids, n_matching_starts)``; slop=0 reduces to the exact
+    matcher's semantics (hit counts may differ on self-overlapping
+    phrases — the exact matcher counts greedily non-overlapping)."""
+    m = len(phrase_terms)
+    starts = term_keys.get(int(phrase_terms[0]))
+    if starts is None:
+        return np.empty(0, np.int64), np.empty(0, np.int32)
+    starts = starts.astype(np.uint64, copy=True)
+    cur = starts.copy()
+    alive = np.ones(len(starts), dtype=bool)
+    for j in range(1, m):
+        keys_j = term_keys.get(int(phrase_terms[j]))
+        if keys_j is None or len(keys_j) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int32)
+        idx = np.searchsorted(keys_j, cur + np.uint64(1))
+        ok = idx < len(keys_j)
+        nxt = keys_j[np.minimum(idx, len(keys_j) - 1)]
+        same = (nxt >> np.uint64(32)) == (cur >> np.uint64(32))
+        alive &= ok & same
+        cur[alive] = nxt[alive]
+    width = (cur & np.uint64(0xFFFFFFFF)) - (
+        starts & np.uint64(0xFFFFFFFF)
+    )
+    good = alive & (width <= np.uint64(slop + m - 1))
+    if not good.any():
+        return np.empty(0, np.int64), np.empty(0, np.int32)
+    docs = (starts[good] >> np.uint64(32)).astype(np.int64)
+    uniq, counts = np.unique(docs, return_counts=True)
+    return uniq, counts.astype(np.int32)
+
+
 def _term_keys(pdf: pd.DataFrame) -> dict:
     """Chunk rows of one query group → {term hash: SORTED packed
     (doc << 32 | pos) occurrence keys} — the in-memory shape every
@@ -305,25 +347,35 @@ def phrase_search_positional(
     pos_store: DataFrame,
     cfg: EngineConfig,
 ) -> DataFrame:
-    """Index-native phrase search: ``(query_id, text)`` queries over a
-    positional store → ``(query_id, doc_id, hits)`` with hits ≥ 1 —
-    the same contract as phrase.phrase_search_replica, with
+    """Index-native phrase search: ``(query_id, text[, slop])`` queries
+    over a positional store → ``(query_id, doc_id, hits)`` with
+    hits ≥ 1 — the same contract as phrase.phrase_search_replica, with
     verification answered from position lists instead of candidate
-    text.  Plan: term-pruned store scan → broadcast join with the
-    query-term table → ONE shuffle (groupBy query_id) → Arrow kernel.
+    text.  An optional per-query ``slop`` column (default 0) switches a
+    query to the ordered sloppy matcher (in-order SpanNear semantics:
+    width ≤ slop + m - 1).  Plan: term-pruned store scan → broadcast
+    join with the query-term table → ONE shuffle (groupBy query_id) →
+    Arrow kernel.
     """
     qtoks = tokenize_series(queries_pdf["text"], cfg)
+    slops = (
+        queries_pdf["slop"].fillna(0).astype(int)
+        if "slop" in queries_pdf.columns
+        else pd.Series(0, index=queries_pdf.index)
+    )
     qmeta, qterm = [], set()
-    for qid, ts in zip(queries_pdf["query_id"], qtoks):
+    for qid, ts, slop in zip(queries_pdf["query_id"], qtoks, slops):
         if len(ts) == 0:
             continue
         hs = [int(_hash_token(t)) for t in ts]
-        qmeta.append((int(qid), json.dumps(hs)))
+        qmeta.append((int(qid), json.dumps(hs), int(slop)))
         qterm.update((int(qid), h) for h in set(hs))
     if not qmeta:
         return spark.createDataFrame([], "query_id long, doc_id long, hits int")
 
-    qmeta_df = spark.createDataFrame(qmeta, "query_id long, terms_json string")
+    qmeta_df = spark.createDataFrame(
+        qmeta, "query_id long, terms_json string, slop int"
+    )
     qterm_df = spark.createDataFrame(
         sorted(qterm), "query_id long, term long"
     )
@@ -333,7 +385,7 @@ def phrase_search_positional(
         .join(F.broadcast(qterm_df), "term")
         .join(F.broadcast(qmeta_df), "query_id")
         .select(
-            "query_id", "terms_json", "term",
+            "query_id", "terms_json", "slop", "term",
             "doc_blob", "cnt_blob", "pos_blob",
         )
     )
@@ -348,8 +400,14 @@ def phrase_search_positional(
             return empty
         qid = int(pdf["query_id"].iloc[0])
         phrase_terms = json.loads(pdf["terms_json"].iloc[0])
+        slop = int(pdf["slop"].iloc[0])
         term_keys = _term_keys(pdf)
-        docs, hits = phrase_hits_from_positions(term_keys, phrase_terms)
+        if slop > 0:
+            docs, hits = sloppy_phrase_hits_from_positions(
+                term_keys, phrase_terms, slop
+            )
+        else:
+            docs, hits = phrase_hits_from_positions(term_keys, phrase_terms)
         keep = hits >= 1
         docs, hits = docs[keep], hits[keep]
         return pd.DataFrame(

@@ -83,6 +83,7 @@ DSL_QUERIES = [
     (5, '"slow batch filter"'),
     (6, 'NOT dup'),                             # pure-negation: rank by id, score 0
     (7, 'ATLEAST(2, dup, vector, "hash join")'),  # minimum_should_match
+    (8, '"slow batch"~2 OR dup'),                 # ordered sloppy phrase
 ]
 DSL_K = 10
 

@@ -38,7 +38,10 @@ def _rand_ast(rng: random.Random, depth: int = 0):
     if depth >= 3 or roll < 0.4:
         return Term(rng.choice(VOCAB))
     if roll < 0.55:
-        return Phrase(tuple(rng.choice(VOCAB) for _ in range(rng.randint(2, 3))))
+        return Phrase(
+            tuple(rng.choice(VOCAB) for _ in range(rng.randint(2, 3))),
+            rng.choice([0, 0, 1, 3]),
+        )
     if roll < 0.65:
         return Not(_rand_ast(rng, depth + 1))
     if roll < 0.75:
@@ -53,7 +56,8 @@ def _to_dsl(node) -> str:
     if isinstance(node, Term):
         return node.word
     if isinstance(node, Phrase):
-        return '"' + " ".join(node.words) + '"'
+        q = '"' + " ".join(node.words) + '"'
+        return q + (f"~{node.slop}" if node.slop else "")
     if isinstance(node, Not):
         return "NOT " + _to_dsl(node.child)
     if isinstance(node, And):

@@ -59,6 +59,8 @@ def test_parens_override():
 def test_phrase_and_singleton_phrase():
     assert parse_query('"a b"') == Phrase(("a", "b"))
     assert parse_query('"a"') == Term("a")  # 1-word phrase degrades to term
+    assert parse_query('"a b"~3') == Phrase(("a", "b"), 3)
+    assert parse_query('"a"~3') == Term("a")  # slop on 1 word is a no-op
 
 
 def test_case_insensitive_terms_and_keywords():
@@ -103,7 +105,10 @@ def _rand_ast(rng: random.Random, depth: int = 0):
         return Term(rng.choice(VOCAB))
     if roll < 0.5:
         n = rng.randint(2, 3)
-        return Phrase(tuple(rng.choice(VOCAB) for _ in range(n)))
+        slop = rng.choice([0, 0, 1, 2, 4])
+        return Phrase(
+            tuple(rng.choice(VOCAB) for _ in range(n)), slop
+        )
     if roll < 0.6:
         return Not(_rand_ast(rng, depth + 1))
     if roll < 0.7:
