@@ -534,6 +534,15 @@ def cmd_query(args) -> int:
 
         s_tombs = _load_tombs(spark, args.index_dir)
         q = spark.read.parquet(args.queries)
+        if "after_doc" in q.columns or "after_score" in q.columns:
+            print(json.dumps({
+                "error": "search_after cursors are unsupported for "
+                         "streaming layout",
+                "hint": "cursor pagination is a replica-kernel feature; "
+                        "query a batch-built index with --topology replica",
+            }), file=sys.stderr)
+            spark.stop()
+            return 2
         if "k" not in q.columns:
             q = q.withColumn("k", F.lit(args.k))
         s_trim = None
@@ -589,6 +598,27 @@ def cmd_query(args) -> int:
             "k", (F.col("k") + F.lit(int(args.verify_margin))).cast("int")
         )
     topology = getattr(args, "topology", "join")
+    if "after_doc" in q.columns or "after_score" in q.columns:
+        # cursor pagination executes in-kernel on the replica topology;
+        # everywhere else the columns would be silently ignored —
+        # refuse rather than return page 1 labeled as page N
+        bad = None
+        if topology != "replica":
+            bad = f"--topology {topology}"
+        elif verify != "none":
+            bad = "--verify"
+        elif "after_doc" not in q.columns or "after_score" not in q.columns:
+            bad = "a queries file with only one of after_doc/after_score"
+        if bad is not None:
+            print(json.dumps({
+                "error": f"search_after cursors are unsupported with {bad}",
+                "hint": "pass BOTH after_score and after_doc columns and "
+                        "serve with --topology replica (in-kernel cursor "
+                        "admission); other paths would silently ignore "
+                        "the cursor",
+            }), file=sys.stderr)
+            spark.stop()
+            return 2
     trim_k = None
     if tombs is not None and topology != "wand":
         # live-docs deletes, over-retrieve strategy (exact): fetch

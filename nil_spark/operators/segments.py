@@ -1410,6 +1410,16 @@ def topk_replica_resident(
     variable — the shape for millions of queries, where driver-side
     tokenization would serialize the whole batch through one core.
 
+    Cursor pagination (search_after): optional ``after_score`` /
+    ``after_doc`` columns on ``queries_pdf`` restrict each query's
+    result to docs STRICTLY AFTER the cursor in (bm25 DESC, doc_id ASC)
+    order — page N's cursor is page N-1's last (bm25, doc_id) row, and
+    every page costs one k-sized top-k (no offset re-rank of the
+    skipped prefix).  ``after_doc`` < 0 (or missing columns) means no
+    cursor.  Admission is exact: occurrences are compared on the
+    ROUNDED score (the kernel's output space), so a page-2 run returns
+    exactly ranks k+1..2k of a double-k run.
+
     Serving-topology note (100 TB): this is the replica model — right
     when the index fits node memory (as here).  When it doesn't, use
     :func:`topk_maxscore_sharded` (document-sharded scatter/gather) or
@@ -1441,30 +1451,45 @@ def topk_replica_resident(
     # repartition(n_splits, "split") hash-partitioned n_splits distinct
     # keys into n_splits partitions: ~1/e of the partitions land empty
     # and others get 2-3 splits, a straggler tax on every batch.)
+    # search_after cursors: sentinel after_doc=-1 means "no cursor"
+    if "after_doc" in queries_pdf.columns:
+        _ad = [
+            -1 if pd.isna(d) else int(d) for d in queries_pdf["after_doc"]
+        ]
+        _as = [
+            0.0 if pd.isna(s) else float(s)
+            for s in queries_pdf.get("after_score", [float("nan")] * len(_ad))
+        ]
+    else:
+        _ad = [-1] * len(queries_pdf)
+        _as = [0.0] * len(queries_pdf)
     if tokenize_on == "worker":
         if df_bc is None:
             df_bc = spark.sparkContext.broadcast(df_map)
         rows = [
-            (int(q), int(kk), t)
-            for q, kk, t in zip(
-                queries_pdf["query_id"], queries_pdf["k"], queries_pdf["text"]
+            (int(q), int(kk), t, s, d)
+            for q, kk, t, s, d in zip(
+                queries_pdf["query_id"], queries_pdf["k"], queries_pdf["text"],
+                _as, _ad,
             )
         ]
         qdf = spark.createDataFrame(
             spark.sparkContext.parallelize(rows, n_splits),
-            "query_id long, k int, text string",
+            "query_id long, k int, text string, after_score double, after_doc long",
         )
     else:
         df_bc = None
         qtoks = tokenize_series(queries_pdf["text"], cfg)
         queries = []
-        for (qid, kk), ts in zip(zip(queries_pdf["query_id"], queries_pdf["k"]), qtoks):
+        for (qid, kk, a_s, a_d), ts in zip(
+            zip(queries_pdf["query_id"], queries_pdf["k"], _as, _ad), qtoks
+        ):
             terms = _qterms(ts, df_map)
             if terms:
-                queries.append((int(qid), int(kk), json.dumps(terms)))
+                queries.append((int(qid), int(kk), json.dumps(terms), a_s, a_d))
         qdf = spark.createDataFrame(
             spark.sparkContext.parallelize(queries, n_splits),
-            "query_id long, k int, terms_json string",
+            "query_id long, k int, terms_json string, after_score double, after_doc long",
         )
 
     def per_split(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1486,7 +1511,10 @@ def topk_replica_resident(
                 tlists = [_qterms(ts, df_bc.value) for ts in toks]
             else:
                 tlists = [json.loads(tj) for tj in pdf["terms_json"]]
-            for qid, kk, tl in zip(pdf["query_id"], pdf["k"], tlists):
+            for qid, kk, tl, a_s, a_d in zip(
+                pdf["query_id"], pdf["k"], tlists,
+                pdf["after_score"], pdf["after_doc"],
+            ):
                 hits = []
                 for t, idf in tl:
                     e = replica.get(t)
@@ -1517,12 +1545,25 @@ def topk_replica_resident(
                 )
                 sc_dup = scores[docs_cat]
                 kk = int(kk)
-                m = kk * len(hits)
-                if m < len(sc_dup):
-                    v = -np.partition(-sc_dup, m - 1)[m - 1]
-                    cd = docs_cat[sc_dup >= v - 1e-8]
+                if a_d >= 0:
+                    # search_after admission, applied in the duplicated
+                    # occurrence view BEFORE the coverage threshold so
+                    # the top-m argument holds within the post-cursor
+                    # set.  Compared on the ROUNDED score — the space
+                    # the cursor came from — so page boundaries are
+                    # exact even across equal-score ties.
+                    r_dup = np.round(sc_dup, SCORE_DECIMALS)
+                    keep = (r_dup < a_s) | ((r_dup == a_s) & (docs_cat > a_d))
+                    page_docs = docs_cat[keep]
+                    page_sc = sc_dup[keep]
                 else:
-                    cd = docs_cat
+                    page_docs, page_sc = docs_cat, sc_dup
+                m = kk * len(hits)
+                if m < len(page_sc):
+                    v = -np.partition(-page_sc, m - 1)[m - 1]
+                    cd = page_docs[page_sc >= v - 1e-8]
+                else:
+                    cd = page_docs
                 cu = np.unique(cd)
                 csc = np.round(scores[cu], SCORE_DECIMALS)
                 top = np.lexsort((cu, -csc))[: min(kk, len(cu))]
