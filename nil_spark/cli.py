@@ -464,6 +464,7 @@ def cmd_query(args) -> int:
                 ("--filter-docs", bool(getattr(args, "filter_docs", None))),
                 ("--verify", getattr(args, "verify", "none") != "none"),
                 ("--topology", getattr(args, "topology", "join") != "join"),
+                ("--explain", getattr(args, "explain", False)),
             ) if active
         ]
         if incompatible:
@@ -598,6 +599,27 @@ def cmd_query(args) -> int:
             "k", (F.col("k") + F.lit(int(args.verify_margin))).cast("int")
         )
     topology = getattr(args, "topology", "join")
+    explain = getattr(args, "explain", False)
+    if explain and (topology != "replica" or verify != "none"):
+        print(json.dumps({
+            "error": "--explain requires --topology replica"
+                     if topology != "replica"
+                     else "--explain does not compose with --verify",
+            "hint": "the per-term breakdown is read from the replica "
+                    "kernel's posting arrays; serve with --topology "
+                    "replica and no verification pass",
+        }), file=sys.stderr)
+        spark.stop()
+        return 2
+    if explain and ("after_doc" in q.columns or "after_score" in q.columns):
+        print(json.dumps({
+            "error": "--explain does not compose with search_after cursors",
+            "hint": "explain the page you already retrieved: pass the "
+                    "page's queries without cursor columns and k sized "
+                    "to the page",
+        }), file=sys.stderr)
+        spark.stop()
+        return 2
     if "after_doc" in q.columns or "after_score" in q.columns:
         # cursor pagination executes in-kernel on the replica topology;
         # everywhere else the columns would be silently ignored —
@@ -620,10 +642,12 @@ def cmd_query(args) -> int:
             spark.stop()
             return 2
     trim_k = None
-    if tombs is not None and topology != "wand":
+    if tombs is not None and topology != "wand" and not explain:
         # live-docs deletes, over-retrieve strategy (exact): fetch
         # top-(k + T), drop tombstoned docs, renumber back to k.  The
         # WAND topology instead excludes in-kernel (scales to large T).
+        # (--explain passes the tombstones into its kernel instead —
+        # in-kernel admission, like WAND.)
         trim_k = q.select("query_id", F.col("k").alias("__trim_k"))
         q = q.withColumn(
             "k", (F.col("k") + F.lit(int(len(tombs)))).cast("int")
@@ -682,7 +706,14 @@ def cmd_query(args) -> int:
             spark.stop()
             return 2
         td_pdf = termdict.toPandas()
-        if topology == "replica":
+        if topology == "replica" and explain:
+            from nil_spark.operators.segments import explain_topk_replica
+
+            out = explain_topk_replica(
+                spark, qpdf, paths, td_pdf, n_docs, avgdl, cfg,
+                excluded=tombs,
+            )
+        elif topology == "replica":
             out = topk_replica_resident(
                 spark, qpdf, paths, td_pdf, n_docs, avgdl, cfg,
                 tokenize_on="worker",
@@ -1065,6 +1096,11 @@ def main(argv=None) -> int:
                         "(query_id, dsl)) executed index-natively — needs an "
                         "index built with --stopword-cutoff >= 1.0, and "
                         "build --positions when queries contain phrases")
+    q.add_argument("--explain", action="store_true",
+                   help="emit the Lucene-style per-term score breakdown "
+                        "(query_id, rank, doc_id, term, idf, contrib, bm25) "
+                        "for each top hit instead of the ranked list; "
+                        "--topology replica only")
     q.add_argument("--filter-docs", default=None,
                    help="parquet of admissible doc_id rows — filtered search "
                         "pushed into retrieval (requires --topology wand)")

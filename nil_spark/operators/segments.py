@@ -1588,6 +1588,149 @@ def topk_replica_resident(
     )
 
 
+def explain_topk_replica(
+    spark: SparkSession,
+    queries_pdf: pd.DataFrame,
+    shard_paths: list[str],
+    termdict_pdf: pd.DataFrame,
+    n_docs: int,
+    avgdl: float,
+    cfg: EngineConfig,
+    n_splits: int | None = None,
+    excluded: np.ndarray | None = None,
+) -> DataFrame:
+    """Lucene-style ``Explanation`` at the engine level: for each
+    query's top-k docs, one row per contributing term with the term's
+    idf and its exact score contribution, read from the SAME replica
+    arrays the serving kernel scores with (``tfn`` is the stored
+    tf-saturation, so contrib = idf·tfn with zero recomputation).
+    The per-doc total is pinned to the serving kernel's rounded bm25 —
+    an explain row set always sums to what ``topk_replica_resident``
+    returned for that doc.
+
+    ``excluded`` (optional int64 doc-id array — live-docs tombstones)
+    is applied in-kernel at admission, same as the WAND path, so
+    explaining a post-delete index explains exactly the surviving
+    ranking.
+
+    Explain batches are interactive-sized (a page of hits, not a query
+    stream), so this ships driver-tokenized (term, idf) lists; the
+    breakdown job is the same zero-shuffle query-split topology as
+    serving."""
+    from nil_spark.functions.tokenize import tokenize_series, terms_for_tokens
+
+    k1, b = cfg.bm25_k1, cfg.bm25_b
+    df_map = dict(
+        zip(termdict_pdf["term"].astype(np.int64), termdict_pdf["df"].astype(np.int64))
+    )
+    paths = tuple(sorted(shard_paths))
+    n_splits = n_splits or max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1
+    )
+    qtoks = tokenize_series(queries_pdf["text"], cfg)
+    queries = []
+    for (qid, kk), ts in zip(
+        zip(queries_pdf["query_id"], queries_pdf["k"]), qtoks
+    ):
+        th = np.unique(terms_for_tokens(ts, cfg))
+        terms = [
+            (int(t), math.log(1.0 + (n_docs - df_map[int(t)] + 0.5) / (df_map[int(t)] + 0.5)))
+            for t in th
+            if int(t) in df_map
+        ]
+        if terms:
+            queries.append((int(qid), int(kk), json.dumps(terms)))
+    qdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(queries, n_splits),
+        "query_id long, k int, terms_json string",
+    )
+    excl = (
+        np.asarray(excluded, dtype=np.int64)
+        if excluded is not None and len(excluded)
+        else None
+    )
+
+    def per_split(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        replica = None
+        scores = None
+        excl_mask = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if replica is None:
+                replica = _load_replica(paths, avgdl, k1, b)
+                size = max(n_docs, replica.max_doc + 1)
+                scores = np.zeros(size, dtype=np.float64)
+                if excl is not None:
+                    excl_mask = np.zeros(size, dtype=bool)
+                    excl_mask[excl[excl < size]] = True
+            out = {c: [] for c in
+                   ("query_id", "rank", "doc_id", "term", "idf", "contrib", "bm25")}
+            for qid, kk, tj in zip(pdf["query_id"], pdf["k"], pdf["terms_json"]):
+                tl = json.loads(tj)
+                hits = []
+                for t, idf in tl:
+                    e = replica.get(t)
+                    if e is not None:
+                        hits.append((int(t), e, idf))
+                if not hits:
+                    continue
+                for _t, e, idf in hits:
+                    scores[e[0]] += idf * e[1]
+                docs_cat = (
+                    np.concatenate([e[0] for _t, e, _i in hits])
+                    if len(hits) > 1
+                    else hits[0][1][0]
+                )
+                if excl_mask is not None:
+                    live_cat = docs_cat[~excl_mask[docs_cat]]
+                else:
+                    live_cat = docs_cat
+                if len(live_cat):
+                    sc_dup = scores[live_cat]
+                    kk = int(kk)
+                    m = kk * len(hits)
+                    if m < len(sc_dup):
+                        v = -np.partition(-sc_dup, m - 1)[m - 1]
+                        cd = live_cat[sc_dup >= v - 1e-8]
+                    else:
+                        cd = live_cat
+                    cu = np.unique(cd)
+                    csc = np.round(scores[cu], SCORE_DECIMALS)
+                    top = np.lexsort((cu, -csc))[: min(kk, len(cu))]
+                    top_docs = cu[top]
+                    top_sc = csc[top]
+                    # per-term breakdown for the winners only: membership
+                    # probe of each term's posting docs against the
+                    # top-doc set (postings within a term are in shard
+                    # order, not doc order, so isin not searchsorted)
+                    rank_of = {int(d): (r + 1, float(s))
+                               for r, (d, s) in enumerate(zip(top_docs, top_sc))}
+                    for t, e, idf in hits:
+                        sel = np.isin(e[0], top_docs)
+                        if not sel.any():
+                            continue
+                        dsel = e[0][sel]
+                        csel = idf * e[1][sel]
+                        for d, c in zip(dsel.tolist(), csel.tolist()):
+                            r, s = rank_of[int(d)]
+                            out["query_id"].append(int(qid))
+                            out["rank"].append(r)
+                            out["doc_id"].append(int(d))
+                            out["term"].append(int(t))
+                            out["idf"].append(round(float(idf), SCORE_DECIMALS))
+                            out["contrib"].append(round(float(c), SCORE_DECIMALS))
+                            out["bm25"].append(s)
+                scores[docs_cat] = 0.0  # reset only touched slots
+            yield pd.DataFrame(out)
+
+    return qdf.mapInPandas(
+        per_split,
+        schema="query_id long, rank int, doc_id long, term long, "
+               "idf double, contrib double, bm25 double",
+    )
+
+
 SEGMENT_FORMAT_VERSION = 2  # v2: per-chunk last_doc skip-list bound
 
 

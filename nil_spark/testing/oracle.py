@@ -108,6 +108,48 @@ class OracleIndex:
                 rows.append((int(q["query_id"]), rank, did, s))
         return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "bm25"])
 
+    def explain_parts(
+        self, query_text: str, k: int, excluded: set[int] | None = None
+    ) -> list[tuple[int, int, int, float, float, float]]:
+        """Per-term score breakdown of the top-k: [(rank, doc_id, term,
+        idf, contrib, bm25)] — ``bm25_topk``'s scoring BEFORE its sum,
+        restricted to the winners.  idf/contrib rounded like every
+        emitted score (SCORE_DECIMALS); the engine explain kernel must
+        match these rows exactly."""
+        cfg = self.cfg
+        excluded = excluded or set()
+        qterms = sorted(set(terms_of(query_text, cfg)))
+        scores: dict[int, float] = defaultdict(float)
+        parts: dict[int, list[tuple[int, float, float]]] = defaultdict(list)
+        for term in qterms:
+            if term in self.pruned or term not in self.postings:
+                continue
+            pl = self.postings[term]
+            idf = idf_py(len(pl), self.n_docs)
+            for did, tf in pl.items():
+                if did in excluded:
+                    continue
+                dl = self.dl[did]
+                tfn = (tf * (cfg.bm25_k1 + 1.0)) / (
+                    tf
+                    + cfg.bm25_k1
+                    * (1.0 - cfg.bm25_b + cfg.bm25_b * dl / self.avgdl)
+                )
+                scores[did] += idf * tfn
+                parts[did].append((term, idf, idf * tfn))
+        ranked = sorted(
+            ((round(s, SCORE_DECIMALS), did) for did, s in scores.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:k]
+        out = []
+        for i, (s, did) in enumerate(ranked):
+            for term, idf, contrib in parts[did]:
+                out.append(
+                    (i + 1, did, term,
+                     round(idf, SCORE_DECIMALS), round(contrib, SCORE_DECIMALS), s)
+                )
+        return out
+
 
 def overlap_similarity(a: set[int], b: set[int]) -> int:
     """Reference scoring fn: |A∩B|·100 / min(|A|,|B|), integer division
