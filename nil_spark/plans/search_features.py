@@ -569,6 +569,177 @@ QUALIFY rank <= {BM25F_K}
 """
 
 
+# ------------------------------------------------- q: percolation
+
+
+PERC_MOD = 41  # incoming batch = docs with doc_id % PERC_MOD == 0
+
+
+def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolation (Lucene/Elasticsearch percolator): REVERSE search —
+    the stored-query set (the DSL registry's queries) is matched
+    against an incoming batch of documents, emitting (doc_id, query_id)
+    for every stored query each new doc satisfies.  This is the
+    routing/alerting primitive of a streaming index: which saved
+    searches fire for this document?
+
+    Scale shape: stored queries compile ONCE to an array of boolean
+    structs evaluated in a single scan of the (small) incoming batch —
+    cost is O(batch × queries) column expressions with zero shuffles
+    and zero corpus passes; the corpus itself is never touched."""
+    from nil_spark.plans.relevance_queries import _parsed_dsl
+
+    EQ = _eq()
+    docs = EQ._docs_toks(spark, sf_dir).filter(
+        F.col("doc_id") % PERC_MOD == 0
+    )
+    base = docs.withColumn(
+        "padded",
+        F.concat(F.lit(" "), F.array_join("toks", " "), F.lit(" ")),
+    )
+    from nil_spark.functions.querylang import compile_spark as _cs
+
+    match_arr = F.array(
+        *[
+            F.struct(
+                F.lit(qid).cast("long").alias("query_id"),
+                _cs(ast, F.col("toks"), F.col("padded")).alias("m"),
+            )
+            for qid, ast in _parsed_dsl()
+        ]
+    )
+    return (
+        base.select("doc_id", F.explode(match_arr).alias("qm"))
+        .filter(F.col("qm.m"))
+        .select("doc_id", F.col("qm.query_id").alias("query_id"))
+    )
+
+
+def _percolate_sql() -> str:
+    from nil_spark.functions.querylang import compile_duckdb as _cd
+    from nil_spark.plans.relevance_queries import _parsed_dsl
+
+    EQ = _eq()
+    selects = "\n UNION ALL\n".join(
+        f" SELECT doc_id, {qid}::BIGINT AS query_id FROM dtokp WHERE "
+        + _cd(ast, "toks", "padded")
+        for qid, ast in _parsed_dsl()
+    )
+    return f"""
+WITH {EQ._DOCS_CTE},
+dtokp AS (SELECT doc_id, toks,
+                 ' ' || coalesce(array_to_string(toks, ' '), '') || ' ' AS padded
+          FROM docs WHERE doc_id % {PERC_MOD} = 0)
+{selects}
+"""
+
+
+# ------------------------------------------ q: prefix autocomplete
+
+
+SUGGEST_PREFIXES = [(0, "s"), (1, "c"), (2, "b"), (3, "f"), (4, "d")]
+SUGGEST_K = 5
+
+
+def q_suggest_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix autocomplete (Lucene suggest): vocabulary terms matching
+    each prefix, ranked by document frequency (desc, term asc) —
+    the search-box completion list.  The vocabulary relation (term, df)
+    is the term dictionary the index already maintains; prefixes
+    broadcast into it.  At engine scale this is a bounded range walk
+    of the SORTED termdict (all completions of a prefix are contiguous),
+    same structure wildcard_search walks."""
+    EQ = _eq()
+    docs = EQ._docs_toks(spark, sf_dir)
+    dfr = (
+        docs.select("doc_id", F.explode("toks").alias("term"))
+        .dropDuplicates(["doc_id", "term"])
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    p = spark.createDataFrame(SUGGEST_PREFIXES, "prefix_id long, prefix string")
+    w = Window.partitionBy("prefix_id").orderBy(
+        F.col("df").desc(), F.col("term")
+    )
+    return (
+        dfr.join(F.broadcast(p), F.col("term").startswith(F.col("prefix")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SUGGEST_K)
+        .select("prefix_id", "rank", "term", "df")
+    )
+
+
+def _suggest_sql() -> str:
+    EQ = _eq()
+    vals = ", ".join(f"({i}, '{p}')" for i, p in SUGGEST_PREFIXES)
+    return f"""
+WITH {EQ._DOCS_CTE},
+dfr AS (SELECT term, count(*) AS df FROM (
+          SELECT DISTINCT doc_id, tok AS term
+          FROM docs, unnest(toks) AS u(tok)) GROUP BY 1),
+p(prefix_id, prefix) AS (VALUES {vals})
+SELECT prefix_id, rank, term, df FROM (
+  SELECT p.prefix_id, dfr.term, dfr.df,
+         (row_number() OVER (PARTITION BY p.prefix_id
+                             ORDER BY dfr.df DESC, dfr.term))::INT AS rank
+  FROM dfr JOIN p ON starts_with(dfr.term, p.prefix))
+WHERE rank <= {SUGGEST_K}
+"""
+
+
+# ------------------------------------------------- q: term vectors
+
+
+TV_DOCS = [3, 47, 112]
+
+
+def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term vectors (Lucene TermVectors API): for a requested doc set,
+    each term with its in-doc frequency and 1-based position list —
+    the per-document view of the index (what MLT, highlighting and
+    rescoring read).  The doc filter pushes to the parquet scan; the
+    per-doc aggregate touches only the requested rows."""
+    EQ = _eq()
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id").isin(TV_DOCS)
+    )
+    toks = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower("text"), EQ.TOKEN_SPLIT), lambda x: x != ""
+        ).alias("toks"),
+    )
+    return (
+        toks.select("doc_id", F.posexplode("toks").alias("pos", "term"))
+        .withColumn("pos", F.col("pos") + 1)  # 1-based, DuckDB parity
+        .groupBy("doc_id", "term")
+        .agg(
+            F.count("*").alias("tf"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("pos")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("positions"),
+        )
+    )
+
+
+def _term_vectors_sql() -> str:
+    EQ = _eq()
+    ids = ", ".join(str(d) for d in TV_DOCS)
+    return f"""
+WITH {EQ._DOCS_CTE},
+occ AS (SELECT doc_id, unnest(toks) AS term,
+               generate_subscripts(toks, 1) AS pos
+        FROM docs WHERE doc_id IN ({ids}))
+SELECT doc_id, term, count(*) AS tf,
+       string_agg(pos::VARCHAR, ',' ORDER BY pos) AS positions
+FROM occ GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------- registry
 
 
@@ -579,4 +750,7 @@ def build_registry() -> dict:
         "facet_ranges": (q_facet_ranges, _facet_ranges_sql()),
         "fuzzy_search": (q_fuzzy_search, _fuzzy_sql()),
         "bm25f_topk": (q_bm25f_topk, _bm25f_sql()),
+        "percolate": (q_percolate, _percolate_sql()),
+        "suggest_complete": (q_suggest_complete, _suggest_sql()),
+        "term_vectors": (q_term_vectors, _term_vectors_sql()),
     }
