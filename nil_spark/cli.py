@@ -841,6 +841,45 @@ def cmd_query_stream(args) -> int:
     return 0
 
 
+def cmd_percolate(args) -> int:
+    """Streaming percolation (reverse search): match a stored DSL-query
+    set against a directory of transcript files as micro-batches,
+    exactly-once (conv_id, turn_idx, query_id) match rows under --out."""
+    spark = get_spark(app="nil_spark_percolate", master=args.master,
+                      shuffle_partitions=args.shuffle_partitions)
+    import pandas as _pd
+
+    from nil_spark.functions.querylang import QueryParseError
+    from nil_spark.streaming.percolate import StreamingPercolator
+
+    qpdf = _pd.read_parquet(args.queries)
+    missing = {"query_id", "dsl"} - set(qpdf.columns)
+    if missing:
+        print(json.dumps({
+            "error": f"stored-queries file lacks columns: {sorted(missing)}",
+            "hint": "percolate needs parquet with (query_id, dsl)",
+        }), file=sys.stderr)
+        spark.stop()
+        return 2
+    try:
+        perc = StreamingPercolator(
+            args.out, list(zip(qpdf["query_id"], qpdf["dsl"]))
+        )
+    except (QueryParseError, ValueError) as e:
+        print(json.dumps({"error": "bad stored query", "detail": str(e)}),
+              file=sys.stderr)
+        spark.stop()
+        return 2
+    perc.run_available(spark, args.docs_dir)
+    print(json.dumps({
+        "batches": len(perc.manifest["batches"]),
+        "fired": perc.results(spark).count() if perc.manifest["batches"] else 0,
+        "manifest": perc._manifest_path,
+    }))
+    spark.stop()
+    return 0
+
+
 def cmd_iceberg(args) -> int:
     """Engine-native Iceberg table maintenance: `stats` (snapshot/file
     inventory, one JSON line), `compact` (rewrite_data_files — fold
@@ -1179,6 +1218,19 @@ def main(argv=None) -> int:
                     help="directory of parquet files with (query_id, text, k)")
     qs.add_argument("--out", required=True)
     qs.set_defaults(fn=cmd_query_stream)
+
+    pc = sub.add_parser(
+        "percolate",
+        help="streaming reverse search: match stored DSL queries against "
+             "a transcript-file directory, exactly-once per-batch matches",
+    )
+    pc.add_argument("--docs-dir", required=True,
+                    help="directory of transcript parquet files (the "
+                         "document stream)")
+    pc.add_argument("--queries", required=True,
+                    help="parquet with (query_id, dsl) — the stored-query set")
+    pc.add_argument("--out", required=True)
+    pc.set_defaults(fn=cmd_percolate)
 
     dl = sub.add_parser(
         "delete",
