@@ -569,6 +569,113 @@ QUALIFY rank <= {BM25F_K}
 """
 
 
+# --------------------------------------------------- q: rescoring
+
+
+RESCORE_WINDOW = 20   # first-pass pool depth per query
+RESCORE_K = 10
+PHRASE_BOOST = 2.0    # added per contained adjacent query bigram
+
+
+def _query_bigrams() -> list[tuple[int, str]]:
+    EQ = _eq()
+    out = []
+    for qid, qtext in EQ.BM25_QUERIES:
+        ws = qtext.split()
+        out.extend(
+            sorted({(qid, f"{a} {b}") for a, b in zip(ws, ws[1:])})
+        )
+    return out
+
+
+def q_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass rescoring (Lucene/Elasticsearch rescorer): the cheap
+    first pass (BM25) selects a RESCORE_WINDOW pool per query; an
+    expensive second signal — how many of the query's adjacent bigrams
+    the doc contains as phrases — runs on the POOL ONLY and re-ranks it
+    as ``rescored = bm25 + PHRASE_BOOST·bigrams_contained``.
+
+    Scale shape: the second pass touches queries × RESCORE_WINDOW ×
+    bigrams rows (pool and bigram set broadcast into the docs join),
+    never the corpus — the defining property of a rescorer vs a scoring
+    function.  This is the same filter-then-verify shape as the
+    reference's clone pipeline (cheap overlap filter, expensive LCS
+    verify on the residue, NILMain.kt flow) applied to ranked
+    retrieval."""
+    EQ = _eq()
+    scored = EQ._bm25_scored(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id")
+    )
+    pool = (
+        scored.withColumn("r1", F.row_number().over(w))
+        .filter(F.col("r1") <= RESCORE_WINDOW)
+        .select("query_id", "doc_id", "bm25")
+    )
+    bg = spark.createDataFrame(_query_bigrams(), "query_id long, bigram string")
+    docs = EQ._docs_toks(spark, sf_dir)
+    hits = (
+        docs.join(F.broadcast(pool), "doc_id")
+        .withColumn(
+            "padded",
+            F.concat(F.lit(" "), F.array_join("toks", " "), F.lit(" ")),
+        )
+        .join(F.broadcast(bg), "query_id")
+        .withColumn(
+            "hit",
+            F.col("padded")
+            .contains(F.concat(F.lit(" "), F.col("bigram"), F.lit(" ")))
+            .cast("double"),
+        )
+        .groupBy("query_id", "doc_id", "bm25")
+        .agg(F.sum("hit").alias("nbg"))
+        .withColumn(
+            "rescored",
+            F.round(F.col("bm25") + F.lit(PHRASE_BOOST) * F.col("nbg"), 6),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("rescored").desc(), F.col("doc_id")
+    )
+    return (
+        hits.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= RESCORE_K)
+        .select("query_id", "rank", "doc_id", "bm25", "rescored")
+    )
+
+
+def _rescore_sql() -> str:
+    EQ = _eq()
+    bg_vals = ", ".join(f"({qid}, '{b}')" for qid, b in _query_bigrams())
+    return f"""
+WITH {EQ._DOCS_CTE},
+q(query_id, qtext) AS (VALUES {_q_values()}),
+bg(query_id, bigram) AS (VALUES {bg_vals}),
+{_PARTS_CTES},
+scored AS (SELECT query_id, doc_id, round(sum(contrib_raw), 6) AS bm25
+           FROM parts GROUP BY 1, 2),
+pool AS (
+  SELECT query_id, doc_id, bm25 FROM (
+    SELECT query_id, doc_id, bm25,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY bm25 DESC, doc_id) AS r1
+    FROM scored)
+  WHERE r1 <= {RESCORE_WINDOW}),
+rescored AS (
+  SELECT p.query_id, p.doc_id, p.bm25,
+         round(p.bm25 + {PHRASE_BOOST} * sum(CASE WHEN contains(
+                 ' ' || coalesce(array_to_string(d.toks, ' '), '') || ' ',
+                 ' ' || bg.bigram || ' ') THEN 1.0 ELSE 0.0 END), 6) AS rescored
+  FROM pool p JOIN docs d USING (doc_id) JOIN bg USING (query_id)
+  GROUP BY 1, 2, 3)
+SELECT query_id, (row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rescored DESC, doc_id))::INT AS rank,
+       doc_id, bm25, rescored
+FROM rescored
+QUALIFY rank <= {RESCORE_K}
+"""
+
+
 # ------------------------------------------------- q: percolation
 
 
@@ -750,6 +857,7 @@ def build_registry() -> dict:
         "facet_ranges": (q_facet_ranges, _facet_ranges_sql()),
         "fuzzy_search": (q_fuzzy_search, _fuzzy_sql()),
         "bm25f_topk": (q_bm25f_topk, _bm25f_sql()),
+        "rescore_topk": (q_rescore_topk, _rescore_sql()),
         "percolate": (q_percolate, _percolate_sql()),
         "suggest_complete": (q_suggest_complete, _suggest_sql()),
         "term_vectors": (q_term_vectors, _term_vectors_sql()),
