@@ -676,6 +676,192 @@ QUALIFY rank <= {RESCORE_K}
 """
 
 
+# --------------------------------------------- q: function_score decay
+
+
+FS_ORIGIN = 250.0   # n_chars value where the decay multiplier is 1.0
+FS_SIGMA = 150.0    # gaussian width
+FS_K = 10
+
+
+def q_function_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """function_score with a Gaussian field decay (Elasticsearch
+    ``function_score`` / ``gauss`` decay): the relevance score is the
+    BM25 total multiplied by ``exp(-(n_chars - origin)^2 / (2 sigma^2))``
+    — documents near the preferred length keep their score, outliers
+    decay smoothly toward 0.  The canonical use is recency boosting on
+    a timestamp; the documents table carries no timestamp, so the decay
+    field is ``n_chars`` (same math, ES ``field_value_factor`` family).
+
+    Scale shape: the decay is a column expression over the scored
+    relation joined to document metadata on the co-partitioned doc_id
+    key — one narrow join, no second corpus scan, no fan-out; ranking
+    is the usual per-query window over matching docs only."""
+    EQ = _eq()
+    scored = EQ._bm25_scored(spark, sf_dir)
+    meta = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.col("n_chars").cast("double").alias("n_chars")
+    )
+    rescored = (
+        scored.join(meta, "doc_id")
+        .withColumn(
+            "decay",
+            F.round(
+                F.exp(
+                    -F.pow(F.col("n_chars") - F.lit(FS_ORIGIN), F.lit(2.0))
+                    / F.lit(2.0 * FS_SIGMA * FS_SIGMA)
+                ),
+                6,
+            ),
+        )
+        .withColumn("score", F.round(F.col("bm25") * F.col("decay"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= FS_K)
+        .select("query_id", "rank", "doc_id", "bm25", "decay", "score")
+    )
+
+
+def _function_score_sql() -> str:
+    EQ = _eq()
+    return f"""
+WITH {EQ._DOCS_CTE},
+q(query_id, qtext) AS (VALUES {_q_values()}),
+{_PARTS_CTES},
+scored AS (SELECT query_id, doc_id, round(sum(contrib_raw), 6) AS bm25
+           FROM parts GROUP BY 1, 2),
+rescored AS (
+  SELECT s.query_id, s.doc_id, s.bm25,
+         round(exp(-pow(d.n_chars::DOUBLE - {FS_ORIGIN}, 2)
+                   / {2.0 * FS_SIGMA * FS_SIGMA}), 6) AS decay
+  FROM scored s JOIN documents d USING (doc_id))
+SELECT query_id, (row_number() OVER (PARTITION BY query_id
+                                     ORDER BY round(bm25 * decay, 6) DESC, doc_id))::INT AS rank,
+       doc_id, bm25, decay, round(bm25 * decay, 6) AS score
+FROM rescored
+QUALIFY rank <= {FS_K}
+"""
+
+
+# --------------------------------------------- q: significant terms
+
+
+SIG_POOL = 50   # foreground sample: top-SIG_POOL BM25 docs per query
+SIG_K = 10      # significant terms returned per query
+SIG_MIN_FG = 3  # a term must appear in >= SIG_MIN_FG foreground docs
+
+
+def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """significant_terms under a sampler aggregation (Elasticsearch):
+    for each query, which vocabulary terms are OVER-represented in the
+    result set relative to the corpus background?  Foreground = the
+    top-SIG_POOL BM25 hits; per term, ``lift = (fg_docs / pool_size) /
+    (bg_docs / N)`` — the ES "popularity in fg vs bg" ratio; terms
+    below SIG_MIN_FG foreground docs are noise-floored out, top-SIG_K
+    per query by lift (ties by term).
+
+    Scale shape: the bounded foreground pool (queries × SIG_POOL rows)
+    BROADCASTS into the corpus token relation, so foreground counting
+    touches pool docs only; the background df is one partial aggregate
+    the index already maintains (the termdict df column) — here
+    recomputed as a distinct-doc count per term, the same single
+    shuffle as term_stats."""
+    EQ = _eq()
+    scored = EQ._bm25_scored(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id")
+    )
+    pool = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= SIG_POOL)
+        .select("query_id", "doc_id")
+    )
+    docs = EQ._docs_toks(spark, sf_dir)
+    dterms = docs.select(
+        "doc_id", F.explode(F.array_distinct("toks")).alias("term")
+    )
+    n_docs = docs.count()
+    pool_sizes = pool.groupBy("query_id").agg(
+        F.count("*").cast("double").alias("pool_n")
+    )
+    fg = (
+        dterms.join(F.broadcast(pool), "doc_id")
+        .groupBy("query_id", "term")
+        .agg(F.count("*").cast("double").alias("fg_count"))
+        .filter(F.col("fg_count") >= SIG_MIN_FG)
+    )
+    bg = dterms.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    lifted = (
+        fg.join(bg, "term")
+        .join(F.broadcast(pool_sizes), "query_id")
+        .withColumn(
+            "lift",
+            F.round(
+                (F.col("fg_count") / F.col("pool_n"))
+                / (F.col("df") / F.lit(float(n_docs))),
+                6,
+            ),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("lift").desc(), F.col("term")
+    )
+    return (
+        lifted.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= SIG_K)
+        .select(
+            "query_id",
+            "rank",
+            "term",
+            F.col("fg_count").cast("long").alias("fg_count"),
+            F.col("df").cast("long").alias("df"),
+            "lift",
+        )
+    )
+
+
+def _significant_terms_sql() -> str:
+    EQ = _eq()
+    return f"""
+WITH {EQ._DOCS_CTE},
+q(query_id, qtext) AS (VALUES {_q_values()}),
+{_PARTS_CTES},
+scored AS (SELECT query_id, doc_id, round(sum(contrib_raw), 6) AS bm25
+           FROM parts GROUP BY 1, 2),
+pool AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY bm25 DESC, doc_id) AS r
+    FROM scored)
+  WHERE r <= {SIG_POOL}),
+pool_sizes AS (SELECT query_id, count(*)::DOUBLE AS pool_n
+               FROM pool GROUP BY 1),
+dterms AS (SELECT doc_id, tok AS term
+           FROM docs, unnest(list_distinct(toks)) AS u(tok)),
+n_docs AS (SELECT count(*)::DOUBLE AS n FROM docs),
+fg AS (SELECT p.query_id, t.term, count(*)::DOUBLE AS fg_count
+       FROM dterms t JOIN pool p USING (doc_id)
+       GROUP BY 1, 2
+       HAVING count(*) >= {SIG_MIN_FG}),
+bg AS (SELECT term, count(*)::DOUBLE AS df FROM dterms GROUP BY 1),
+lifted AS (
+  SELECT f.query_id, f.term, f.fg_count, b.df,
+         round((f.fg_count / ps.pool_n) / (b.df / nd.n), 6) AS lift
+  FROM fg f JOIN bg b USING (term)
+       JOIN pool_sizes ps USING (query_id) CROSS JOIN n_docs nd)
+SELECT query_id, (row_number() OVER (PARTITION BY query_id
+                                     ORDER BY lift DESC, term))::INT AS rank,
+       term, fg_count::BIGINT AS fg_count, df::BIGINT AS df, lift
+FROM lifted
+QUALIFY rank <= {SIG_K}
+"""
+
+
 # ------------------------------------------------- q: percolation
 
 
@@ -858,6 +1044,8 @@ def build_registry() -> dict:
         "fuzzy_search": (q_fuzzy_search, _fuzzy_sql()),
         "bm25f_topk": (q_bm25f_topk, _bm25f_sql()),
         "rescore_topk": (q_rescore_topk, _rescore_sql()),
+        "function_score_topk": (q_function_score_topk, _function_score_sql()),
+        "significant_terms": (q_significant_terms, _significant_terms_sql()),
         "percolate": (q_percolate, _percolate_sql()),
         "suggest_complete": (q_suggest_complete, _suggest_sql()),
         "term_vectors": (q_term_vectors, _term_vectors_sql()),
