@@ -447,12 +447,77 @@ def _cmd_query_dsl(spark, args, cfg) -> int:
     return 0
 
 
+def _cmd_query_federated(spark, args, cfg, dirs: list[str]) -> int:
+    """Multi-index (alias) serving: comma-separated --index-dir, merged
+    global statistics, docBase-offset doc ids, per-row `index` column
+    (operators/federated.py)."""
+    from pyspark.sql import functions as F
+
+    from nil_spark.operators.federated import (
+        FederatedIndexError,
+        federated_topk,
+        open_federated,
+    )
+
+    topology = getattr(args, "topology", "join")
+    incompatible = [
+        flag for flag, active in (
+            (f"--mode {getattr(args, 'mode', 'bm25')}",
+             getattr(args, "mode", "bm25") != "bm25"),
+            (f"--topology {topology}", topology not in ("join", "replica")),
+            ("--verify", getattr(args, "verify", "none") != "none"),
+            ("--explain", getattr(args, "explain", False)),
+            ("--filter-docs", bool(getattr(args, "filter_docs", None))),
+            ("--layout streaming",
+             getattr(args, "layout", "batch") == "streaming"),
+        ) if active
+    ]
+    if incompatible:
+        print(json.dumps({
+            "error": f"{' '.join(incompatible)} unsupported with a "
+                     "multi-index --index-dir",
+            "hint": "federated search serves --mode bm25 with --topology "
+                    "join or replica over batch-built members",
+        }), file=sys.stderr)
+        return 2
+    try:
+        fed = open_federated(spark, dirs, cfg)
+    except FederatedIndexError as e:
+        print(json.dumps({"error": "federated open failed",
+                          "detail": str(e)}), file=sys.stderr)
+        return 2
+    q = spark.read.parquet(args.queries)
+    if "after_doc" in q.columns or "after_score" in q.columns:
+        print(json.dumps({
+            "error": "search_after cursors are unsupported with a "
+                     "multi-index --index-dir",
+            "hint": "cursor pagination is a single-replica kernel feature",
+        }), file=sys.stderr)
+        return 2
+    if "k" not in q.columns:
+        q = q.withColumn("k", F.lit(args.k))
+    out = federated_topk(spark, q, fed, cfg, topology=topology)
+    out.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({
+        "results": spark.read.parquet(args.out).count(),
+        "members": [m.name for m in fed.members],
+        "n_docs": fed.n_docs,
+        "avgdl": round(fed.avgdl, 3),
+    }))
+    return 0
+
+
 def cmd_query(args) -> int:
     spark = get_spark(app="nil_spark_query", master=args.master,
                       shuffle_partitions=args.shuffle_partitions)
     cfg = _cfg_from_args(args)
     from pyspark.sql import functions as F
 
+    dirs = [d for d in args.index_dir.split(",") if d]
+    if len(dirs) > 1:
+        rc = _cmd_query_federated(spark, args, cfg, dirs)
+        spark.stop()
+        return rc
     mode = getattr(args, "mode", "bm25")
     if mode != "bm25":
         # the positional modes answer from position lists alone —
@@ -1118,7 +1183,12 @@ def main(argv=None) -> int:
     b.set_defaults(fn=cmd_build)
 
     q = sub.add_parser("query", help="BM25 top-k over a built index")
-    q.add_argument("--index-dir", required=True)
+    q.add_argument("--index-dir", required=True,
+                   help="index directory; pass a comma-separated list for "
+                        "federated (multi-index alias) search — merged "
+                        "global stats, docBase-offset doc ids, per-row "
+                        "`index` column (--mode bm25, --topology "
+                        "join/replica)")
     q.add_argument("--queries", required=True, help="parquet with (query_id, text[, k])")
     q.add_argument("--out", required=True)
     q.add_argument("-k", type=int, default=10)
