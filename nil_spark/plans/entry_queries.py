@@ -2934,11 +2934,13 @@ REGISTRY: dict[str, tuple] = {
 # relevance / query-language queries live in their own module; merged
 # here so the driver sees one registry (import is at the bottom because
 # relevance_queries reuses the helpers defined above)
+from nil_spark.plans import agg_queries as _agg  # noqa: E402
 from nil_spark.plans import relevance_queries as _rel  # noqa: E402
 from nil_spark.plans import search_features as _sf  # noqa: E402
 
 REGISTRY.update(_rel.build_registry())
 REGISTRY.update(_sf.build_registry())
+REGISTRY.update(_agg.build_registry())
 
 
 def queries():
