@@ -513,8 +513,18 @@ def cmd_query(args) -> int:
     cfg = _cfg_from_args(args)
     from pyspark.sql import functions as F
 
+    similarity = getattr(args, "similarity", "bm25")
     dirs = [d for d in args.index_dir.split(",") if d]
     if len(dirs) > 1:
+        if similarity != "bm25":
+            print(json.dumps({
+                "error": "--similarity is unsupported for federated search",
+                "hint": "federated merge uses BM25 global statistics; "
+                        "serve a single index with --topology replica "
+                        "for LM Dirichlet scoring",
+            }), file=sys.stderr)
+            spark.stop()
+            return 2
         rc = _cmd_query_federated(spark, args, cfg, dirs)
         spark.stop()
         return rc
@@ -530,6 +540,7 @@ def cmd_query(args) -> int:
                 ("--verify", getattr(args, "verify", "none") != "none"),
                 ("--topology", getattr(args, "topology", "join") != "join"),
                 ("--explain", getattr(args, "explain", False)),
+                ("--similarity", similarity != "bm25"),
             ) if active
         ]
         if incompatible:
@@ -585,6 +596,14 @@ def cmd_query(args) -> int:
                 "error": "--filter-docs is unsupported for streaming layout",
                 "hint": "--filter-docs needs --topology wand on a "
                         "batch-built index",
+            }), file=sys.stderr)
+            spark.stop()
+            return 2
+        if similarity != "bm25":
+            print(json.dumps({
+                "error": "--similarity is unsupported for streaming layout",
+                "hint": "LM Dirichlet serving is a replica-kernel feature; "
+                        "query a batch-built index with --topology replica",
             }), file=sys.stderr)
             spark.stop()
             return 2
@@ -665,6 +684,21 @@ def cmd_query(args) -> int:
         )
     topology = getattr(args, "topology", "join")
     explain = getattr(args, "explain", False)
+    if similarity != "bm25" and (
+        topology != "replica" or verify != "none" or explain
+    ):
+        bad = (
+            f"--topology {topology}" if topology != "replica"
+            else ("--verify" if verify != "none" else "--explain")
+        )
+        print(json.dumps({
+            "error": f"--similarity {similarity} is unsupported with {bad}",
+            "hint": "the LM Dirichlet module serves from the replica "
+                    "kernel's raw-statistics store; use --topology replica "
+                    "without --verify/--explain (those paths score BM25)",
+        }), file=sys.stderr)
+        spark.stop()
+        return 2
     if explain and (topology != "replica" or verify != "none"):
         print(json.dumps({
             "error": "--explain requires --topology replica"
@@ -779,9 +813,11 @@ def cmd_query(args) -> int:
                 excluded=tombs,
             )
         elif topology == "replica":
+            if similarity != "bm25":
+                cfg = cfg.with_(lmd_mu=float(getattr(args, "lmd_mu", 2000.0)))
             out = topk_replica_resident(
                 spark, qpdf, paths, td_pdf, n_docs, avgdl, cfg,
-                tokenize_on="worker",
+                tokenize_on="worker", similarity=similarity,
             )
         elif topology == "wand":
             from nil_spark.operators.wand import topk_replica_bmw
@@ -806,6 +842,10 @@ def cmd_query(args) -> int:
         out = exclude_and_trim(
             out.join(F.broadcast(trim_k), "query_id"), tombs, "__trim_k"
         ).drop("__trim_k")
+    if similarity != "bm25":
+        # the kernel's output schema is fixed; the column is only BM25
+        # when the BM25 module scored it
+        out = out.withColumnRenamed("bm25", "score")
     if verify != "none":
         from nil_spark.operators.search_verify import verify_topk
 
@@ -1252,6 +1292,15 @@ def main(argv=None) -> int:
     q.add_argument("--corpus-format",
                    choices=["parquet", "csv", "json", "iceberg"],
                    default="parquet")
+    q.add_argument("--similarity", choices=["bm25", "lmd"], default="bm25",
+                   help="scoring module (Lucene setSimilarity analog): "
+                        "bm25 (default) or lmd = LM Dirichlet smoothing "
+                        "(ln(1+tf/(mu*p_t)) + ln(mu/(dl+mu)) per matched "
+                        "term).  Query-time choice — the same index serves "
+                        "both.  --topology replica only; output column is "
+                        "`score` instead of `bm25`")
+    q.add_argument("--lmd-mu", type=float, default=2000.0,
+                   help="Dirichlet smoothing parameter mu (default 2000)")
     q.set_defaults(fn=cmd_query)
 
     bs = sub.add_parser(

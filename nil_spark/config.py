@@ -28,6 +28,11 @@ class EngineConfig:
     bm25_k1: float = 1.2
     bm25_b: float = 0.75
 
+    # ---- LM Dirichlet similarity module (query-time; NOT part of the
+    # index fingerprint — like Lucene's setSimilarity, the same index
+    # serves either scoring) ----
+    lmd_mu: float = 2000.0
+
     # ---- candidate filter / verify thresholds (reference defaults) ----
     filtration_threshold: int = 10    # % overlap to survive filtration (ref -f 10)
     verification_threshold: int = 70  # % to accept (ref -v 70)

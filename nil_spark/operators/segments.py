@@ -810,6 +810,27 @@ def _decode_shard_arrays(path: str, avgdl: float, k1: float, b: float):
     return uterms, offs, docs, tfn
 
 
+def _decode_shard_arrays_lmd(path: str):
+    """Read + decode one shard file into the flat RAW layout
+    (unique sorted terms, offsets, concatenated docs/tf/dl) — no BM25
+    transform, for similarity modules that need raw statistics (LM
+    Dirichlet)."""
+    import pyarrow.parquet as pq
+
+    pdf = pq.read_table(
+        path, columns=["term", "n_postings", "doc_blob", "tf_blob", "dl_blob"]
+    ).to_pandas()
+    pdf = pdf[pdf["term"] != DOCSTAT_SENTINEL].reset_index(drop=True)
+    terms, docs, tfs, dls = _decode_chunk_table(pdf)
+    order = np.lexsort((docs, terms))
+    terms, docs, tfs, dls = terms[order], docs[order], tfs[order], dls[order]
+    cuts = np.flatnonzero(np.diff(terms)) + 1
+    starts = np.concatenate(([0], cuts)) if len(terms) else np.empty(0, np.int64)
+    uterms = terms[starts] if len(terms) else np.empty(0, np.int64)
+    offs = np.concatenate((starts, [len(terms)])).astype(np.int64)
+    return uterms, offs, docs, tfs.astype(np.float64), dls.astype(np.float64)
+
+
 def _load_shard(path: str, avgdl: float, k1: float, b: float):
     """Node-shared shard attach: same publish-once/mmap-everywhere
     store as the replica path, per shard file.  The worker-level LRU
@@ -1174,6 +1195,55 @@ def _build_replica_arrays(paths: tuple, avgdl: float, k1: float, b: float):
     )
 
 
+def _build_lmd_replica_arrays(paths: tuple, mu: float, total_tokens: float):
+    """Decode + merge every shard into the flat 4-array replica layout
+    with the PRECOMPUTED LM Dirichlet per-posting component in the
+    value slot (where the BM25 store keeps tfn):
+
+        comp = ln(1 + tf / (mu * cf_t / T)) + ln(mu / (dl + mu))
+
+    cf_t (collection frequency) is GLOBAL per term, so it can only be
+    finalized after the merge — shards are decoded raw (tf, dl), merged
+    with the same deterministic k-way scatter as the BM25 store (two
+    passes over the already-decoded arrays share one permutation), then
+    cf = per-term segment sums and the component is one vectorized
+    expression.  Serving reuses the identical dense-accumulate kernel
+    with per-term weight 1.0 (the normalizer is inside the component,
+    applied once per MATCHED term — Lucene LMDirichletSimilarity)."""
+    dec = [_decode_shard_arrays_lmd(p) for p in paths]
+    terms, offs, docs, tf = _merge_flat_shards(
+        [(u, o, d, t) for u, o, d, t, _ in dec]
+    )
+    # deterministic: same (terms, docs) inputs -> same permutation, so
+    # the dl merge aligns posting-for-posting with the tf merge
+    dl = _merge_flat_shards([(u, o, d, l) for u, o, d, _, l in dec])[3]
+    if len(terms) == 0:
+        return terms, offs, docs, tf
+    counts = np.diff(offs)
+    cf = np.add.reduceat(tf, offs[:-1])
+    p_rep = mu * np.repeat(cf, counts) / float(total_tokens)
+    comp = np.log1p(tf / p_rep) + np.log(mu / (dl + mu))
+    return terms, offs, docs, comp
+
+
+def _load_lmd_replica(paths: tuple, mu: float, total_tokens: float) -> _ReplicaView:
+    """Node-shared LM Dirichlet replica load — same publish-or-attach
+    mmap store as the BM25 replica, keyed by the similarity module and
+    its parameters so the two flavors never collide."""
+    key = (paths, "lmd", float(mu), int(total_tokens))
+    ent = _REPLICA_CACHE.get(key)
+    if ent is not None:
+        return ent
+    view = _ReplicaView(
+        *_published_arrays(
+            key, paths, lambda: _build_lmd_replica_arrays(paths, mu, total_tokens)
+        )
+    )
+    _REPLICA_CACHE.clear()  # one live replica per worker
+    _REPLICA_CACHE[key] = view
+    return view
+
+
 _REPLICA_ARRAY_NAMES = ("terms", "offs", "docs", "tfn")
 
 
@@ -1389,6 +1459,7 @@ def topk_replica_resident(
     tokenize_on: str = "driver",
     df_map: dict | None = None,
     df_bc=None,
+    similarity: str = "bm25",
 ) -> DataFrame:
     """Replica-resident BM25 top-k: the decoded index lives in every
     Python worker (loaded once, reused across jobs); the QUERY batch is
@@ -1429,6 +1500,15 @@ def topk_replica_resident(
     from nil_spark.functions.tokenize import terms_for_tokens, tokenize_series
 
     k1, b = cfg.bm25_k1, cfg.bm25_b
+    # pluggable similarity (Lucene setSimilarity analog): "bm25" scores
+    # idf * tfn from the BM25 replica store; "lmd" (LM Dirichlet) scores
+    # the precomputed per-posting component from the LMD store at
+    # per-term weight 1.0.  Same kernel, same top-k math — only the
+    # store flavor and the query-term weight differ.
+    lmd_mu = float(getattr(cfg, "lmd_mu", 2000.0))
+    # exact total-token recovery: dl are integers, so rounding the
+    # float product avgdl*n_docs reconstructs sum(dl) exactly
+    total_tokens = int(round(avgdl * n_docs))
     if df_map is None:
         df_map = dict(
             zip(termdict_pdf["term"].astype(np.int64), termdict_pdf["df"].astype(np.int64))
@@ -1436,6 +1516,8 @@ def topk_replica_resident(
 
     def _qterms(ts: list, dfm: dict) -> list:
         th = np.unique(terms_for_tokens(ts, cfg))
+        if similarity == "lmd":
+            return [(int(t), 1.0) for t in th if int(t) in dfm]
         return [
             (int(t), math.log(1.0 + (n_docs - dfm[int(t)] + 0.5) / (dfm[int(t)] + 0.5)))
             for t in th
@@ -1499,7 +1581,11 @@ def topk_replica_resident(
             if len(pdf) == 0:
                 continue
             if replica is None:
-                replica = _load_replica(paths, avgdl, k1, b)
+                replica = (
+                    _load_lmd_replica(paths, lmd_mu, total_tokens)
+                    if similarity == "lmd"
+                    else _load_replica(paths, avgdl, k1, b)
+                )
                 # size to max doc id, not n_docs: ids are sparse when
                 # min-size predicates filtered docs out of the index
                 scores = np.zeros(

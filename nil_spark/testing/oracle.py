@@ -108,6 +108,43 @@ class OracleIndex:
                 rows.append((int(q["query_id"]), rank, did, s))
         return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "bm25"])
 
+    def lmd_topk(
+        self, query_text: str, k: int, mu: float = 2000.0
+    ) -> list[tuple[int, int, float]]:
+        """[(rank, doc_id, score)] under LM Dirichlet similarity
+        (Lucene LMDirichletSimilarity): per matched term
+        ln(1 + tf/(mu*cf_t/T)) + ln(mu/(dl+mu)) with cf_t the term's
+        collection frequency over indexed docs and T the indexed
+        token total.  Same rounding/tie pins as bm25_topk."""
+        import math
+
+        qterms = sorted(set(terms_of(query_text, self.cfg)))
+        total = float(sum(self.dl[d] for d in self.kept))
+        scores: dict[int, float] = defaultdict(float)
+        for term in qterms:
+            if term in self.pruned or term not in self.postings:
+                continue
+            pl = self.postings[term]
+            cf = float(sum(pl.values()))
+            for did, tf in pl.items():
+                scores[did] += math.log(1.0 + tf / (mu * cf / total)) + math.log(
+                    mu / (self.dl[did] + mu)
+                )
+        ranked = sorted(
+            ((round(s, SCORE_DECIMALS), did) for did, s in scores.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:k]
+        return [(i + 1, did, s) for i, (s, did) in enumerate(ranked)]
+
+    def lmd_topk_frame(
+        self, queries: pd.DataFrame, mu: float = 2000.0
+    ) -> pd.DataFrame:
+        rows = []
+        for _, q in queries.iterrows():
+            for rank, did, s in self.lmd_topk(q["text"], int(q["k"]), mu):
+                rows.append((int(q["query_id"]), rank, did, s))
+        return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
+
     def explain_parts(
         self, query_text: str, k: int, excluded: set[int] | None = None
     ) -> list[tuple[int, int, int, float, float, float]]:
