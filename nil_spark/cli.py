@@ -119,6 +119,23 @@ def cmd_build(args) -> int:
             _glob.glob(f"{args.index_dir}/partial_segments/part-*.parquet")
         ) or sorted(_glob.glob(f"{args.index_dir}/segments/part-*.parquet"))
         published = publish_replica(paths, pub_avgdl, cfg, spark=spark)
+    dv_out = None
+    if getattr(args, "docvalues", None):
+        # numeric doc-values side-car (operators/docvalues.py): one
+        # (doc_id, value) parquet per field, consumed positionally by
+        # the replica kernel for --decay / --sort-by serving
+        from nil_spark.operators.docvalues import write_docvalues
+
+        try:
+            dv_out = write_docvalues(
+                docs, args.index_dir,
+                [f for f in args.docvalues.split(",") if f],
+            )
+        except ValueError as e:
+            print(json.dumps({"error": "bad docvalues field",
+                              "detail": str(e)}), file=sys.stderr)
+            spark.stop()
+            return 2
     n_pos = None
     if getattr(args, "positions", False):
         # positional side-car store (operators/positions.py): token-level
@@ -139,6 +156,7 @@ def cmd_build(args) -> int:
         "manifest": builder.manifest_path,
         **({"replica_store": published} if published else {}),
         **({"position_chunks": n_pos} if n_pos is not None else {}),
+        **({"docvalues": sorted(dv_out)} if dv_out else {}),
     }))
     spark.stop()
     return 0
@@ -514,14 +532,18 @@ def cmd_query(args) -> int:
     from pyspark.sql import functions as F
 
     similarity = getattr(args, "similarity", "bm25")
+    decay_arg = getattr(args, "decay", None)
+    sort_arg = getattr(args, "sort_by", None)
     dirs = [d for d in args.index_dir.split(",") if d]
     if len(dirs) > 1:
-        if similarity != "bm25":
+        if similarity != "bm25" or decay_arg or sort_arg:
+            bad = ("--similarity" if similarity != "bm25"
+                   else "--decay" if decay_arg else "--sort-by")
             print(json.dumps({
-                "error": "--similarity is unsupported for federated search",
-                "hint": "federated merge uses BM25 global statistics; "
+                "error": f"{bad} is unsupported for federated search",
+                "hint": "federated merge serves BM25 global statistics; "
                         "serve a single index with --topology replica "
-                        "for LM Dirichlet scoring",
+                        "for similarity modules / doc-values features",
             }), file=sys.stderr)
             spark.stop()
             return 2
@@ -541,6 +563,8 @@ def cmd_query(args) -> int:
                 ("--topology", getattr(args, "topology", "join") != "join"),
                 ("--explain", getattr(args, "explain", False)),
                 ("--similarity", similarity != "bm25"),
+                ("--decay", bool(decay_arg)),
+                ("--sort-by", bool(sort_arg)),
             ) if active
         ]
         if incompatible:
@@ -599,11 +623,14 @@ def cmd_query(args) -> int:
             }), file=sys.stderr)
             spark.stop()
             return 2
-        if similarity != "bm25":
+        if similarity != "bm25" or decay_arg or sort_arg:
+            bad = ("--similarity" if similarity != "bm25"
+                   else "--decay" if decay_arg else "--sort-by")
             print(json.dumps({
-                "error": "--similarity is unsupported for streaming layout",
-                "hint": "LM Dirichlet serving is a replica-kernel feature; "
-                        "query a batch-built index with --topology replica",
+                "error": f"{bad} is unsupported for streaming layout",
+                "hint": "similarity modules and doc-values serving are "
+                        "replica-kernel features; query a batch-built "
+                        "index with --topology replica",
             }), file=sys.stderr)
             spark.stop()
             return 2
@@ -699,6 +726,29 @@ def cmd_query(args) -> int:
         }), file=sys.stderr)
         spark.stop()
         return 2
+    if decay_arg or sort_arg:
+        flag = "--decay" if decay_arg else "--sort-by"
+        bad = None
+        if decay_arg and sort_arg:
+            bad = "--sort-by (one ranking per query)"
+        elif topology != "replica":
+            bad = f"--topology {topology}"
+        elif verify != "none":
+            bad = "--verify"
+        elif explain:
+            bad = "--explain"
+        elif similarity != "bm25":
+            bad = f"--similarity {similarity}"
+        if bad is not None:
+            print(json.dumps({
+                "error": f"{flag} is unsupported with {bad}",
+                "hint": "doc-values serving (decay rescoring / field sort) "
+                        "runs in the replica kernel over BM25: use "
+                        "--topology replica without --verify/--explain/"
+                        "--similarity, and pick ONE of --decay/--sort-by",
+            }), file=sys.stderr)
+            spark.stop()
+            return 2
     if explain and (topology != "replica" or verify != "none"):
         print(json.dumps({
             "error": "--explain requires --topology replica"
@@ -728,6 +778,12 @@ def cmd_query(args) -> int:
             bad = f"--topology {topology}"
         elif verify != "none":
             bad = "--verify"
+        elif sort_arg:
+            # decay composes (the cursor lives in the combined score
+            # space the kernel serves); a field sort does not — its
+            # cursor would be a (value, doc) pair the kernel doesn't
+            # take yet
+            bad = "--sort-by"
         elif "after_doc" not in q.columns or "after_score" not in q.columns:
             bad = "a queries file with only one of after_doc/after_score"
         if bad is not None:
@@ -815,9 +871,53 @@ def cmd_query(args) -> int:
         elif topology == "replica":
             if similarity != "bm25":
                 cfg = cfg.with_(lmd_mu=float(getattr(args, "lmd_mu", 2000.0)))
+            dk = sb = None
+            if decay_arg or sort_arg:
+                from nil_spark.operators.docvalues import docvalues_dir
+
+                spec = decay_arg or sort_arg
+                field = spec.split(":")[0]
+                dv = docvalues_dir(args.index_dir, field)
+                if dv is None:
+                    print(json.dumps({
+                        "error": f"no doc-values store for field {field!r}",
+                        "index_dir": args.index_dir,
+                        "hint": f"rebuild with `build --docvalues {field}` "
+                                "(a COMPLETE docvalues/<field> side-car is "
+                                "required)",
+                    }), file=sys.stderr)
+                    spark.stop()
+                    return 2
+                try:
+                    if decay_arg:
+                        _f, origin_s, sigma_s = decay_arg.split(":")
+                        if origin_s == "max":
+                            origin = float(
+                                spark.read.parquet(dv)
+                                .agg(F.max("value")).collect()[0][0]
+                            )
+                        else:
+                            origin = float(origin_s)
+                        dk = {"dv_dir": dv, "origin": origin,
+                              "sigma": float(sigma_s)}
+                    else:
+                        p = sort_arg.split(":")
+                        if len(p) > 2 or (len(p) == 2 and p[1] not in ("asc", "desc")):
+                            raise ValueError(sort_arg)
+                        sb = {"dv_dir": dv,
+                              "ascending": len(p) == 2 and p[1] == "asc"}
+                except ValueError:
+                    print(json.dumps({
+                        "error": f"malformed doc-values spec {spec!r}",
+                        "hint": "--decay FIELD:ORIGIN:SIGMA (ORIGIN numeric "
+                                "or `max`); --sort-by FIELD[:asc|desc]",
+                    }), file=sys.stderr)
+                    spark.stop()
+                    return 2
             out = topk_replica_resident(
                 spark, qpdf, paths, td_pdf, n_docs, avgdl, cfg,
                 tokenize_on="worker", similarity=similarity,
+                decay=dk, sort_by=sb,
             )
         elif topology == "wand":
             from nil_spark.operators.wand import topk_replica_bmw
@@ -842,10 +942,12 @@ def cmd_query(args) -> int:
         out = exclude_and_trim(
             out.join(F.broadcast(trim_k), "query_id"), tombs, "__trim_k"
         ).drop("__trim_k")
-    if similarity != "bm25":
+    if similarity != "bm25" or decay_arg:
         # the kernel's output schema is fixed; the column is only BM25
-        # when the BM25 module scored it
+        # when the BM25 module alone scored it
         out = out.withColumnRenamed("bm25", "score")
+    elif sort_arg:
+        out = out.withColumnRenamed("bm25", "sort_value")
     if verify != "none":
         from nil_spark.operators.search_verify import verify_topk
 
@@ -1210,6 +1312,11 @@ def main(argv=None) -> int:
     b.add_argument("--format", choices=["parquet", "csv", "json", "iceberg"],
                    default="parquet")
     b.add_argument("--index-dir", required=True)
+    b.add_argument("--docvalues", default=None,
+                   help="comma-separated corpus columns to materialize as "
+                        "numeric doc-values side-cars (timestamps become "
+                        "epoch seconds) — enables `query --decay` / "
+                        "`query --sort-by` on the replica topology")
     b.add_argument("--publish-replica", action="store_true",
                    help="also publish the node-shared mmap replica store "
                         "at build time so the first replica-topology query "
@@ -1301,6 +1408,19 @@ def main(argv=None) -> int:
                         "`score` instead of `bm25`")
     q.add_argument("--lmd-mu", type=float, default=2000.0,
                    help="Dirichlet smoothing parameter mu (default 2000)")
+    q.add_argument("--decay", default=None, metavar="FIELD:ORIGIN:SIGMA",
+                   help="function_score gaussian decay on a doc-values "
+                        "field (ES gauss): combined = bm25 * "
+                        "exp(-(v-origin)^2/(2 sigma^2)).  ORIGIN is a "
+                        "number or `max` (the field's max).  Needs "
+                        "`build --docvalues FIELD`; --topology replica "
+                        "only; output column `score`")
+    q.add_argument("--sort-by", default=None, metavar="FIELD[:asc|desc]",
+                   help="rank matching docs by a doc-values field instead "
+                        "of scoring (ES sort clause; default desc, missing "
+                        "last).  Needs `build --docvalues FIELD`; "
+                        "--topology replica only; output column "
+                        "`sort_value`")
     q.set_defaults(fn=cmd_query)
 
     bs = sub.add_parser(

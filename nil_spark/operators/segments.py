@@ -1460,6 +1460,8 @@ def topk_replica_resident(
     df_map: dict | None = None,
     df_bc=None,
     similarity: str = "bm25",
+    decay: dict | None = None,
+    sort_by: dict | None = None,
 ) -> DataFrame:
     """Replica-resident BM25 top-k: the decoded index lives in every
     Python worker (loaded once, reused across jobs); the QUERY batch is
@@ -1509,6 +1511,17 @@ def topk_replica_resident(
     # exact total-token recovery: dl are integers, so rounding the
     # float product avgdl*n_docs reconstructs sum(dl) exactly
     total_tokens = int(round(avgdl * n_docs))
+    # doc-values consumers (operators/docvalues.py), both in-kernel:
+    #  * decay = {"dv_dir", "origin", "sigma"} — gaussian function_score
+    #    rescoring: every occurrence/candidate score is multiplied by
+    #    the doc's decay factor BEFORE thresholding, ranking, and
+    #    search_after admission, so the combined score is the single
+    #    score space end to end;
+    #  * sort_by = {"dv_dir", "ascending"} — rank matching docs by the
+    #    field value (scoring skipped entirely); the value is emitted in
+    #    the score slot.
+    if decay is not None and sort_by is not None:
+        raise ValueError("decay and sort_by are mutually exclusive")
     if df_map is None:
         df_map = dict(
             zip(termdict_pdf["term"].astype(np.int64), termdict_pdf["df"].astype(np.int64))
@@ -1577,6 +1590,7 @@ def topk_replica_resident(
     def per_split(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         replica = None
         scores = None
+        dvals = None
         for pdf in it:
             if len(pdf) == 0:
                 continue
@@ -1591,6 +1605,10 @@ def topk_replica_resident(
                 scores = np.zeros(
                     max(n_docs, replica.max_doc + 1), dtype=np.float64
                 )
+                if decay is not None or sort_by is not None:
+                    from nil_spark.operators.docvalues import load_docvalues
+
+                    dvals = load_docvalues((decay or sort_by)["dv_dir"])
             out_q, out_r, out_d, out_s = [], [], [], []
             if df_bc is not None:  # worker-side tokenize
                 toks = tokenize_series(pdf["text"], cfg)
@@ -1607,6 +1625,32 @@ def topk_replica_resident(
                     if e is not None:
                         hits.append((e, idf))
                 if not hits:
+                    continue
+                if sort_by is not None:
+                    # sort-by-field: matching docs ranked by doc value,
+                    # no scoring pass at all (Lucene sort / ES sort
+                    # clause); value emitted in the score slot, NaN last
+                    from nil_spark.operators.docvalues import sort_key
+
+                    cu = np.unique(
+                        np.concatenate([e[0] for e, _ in hits])
+                        if len(hits) > 1
+                        else hits[0][0][0]
+                    )
+                    kk = int(kk)
+                    keyv = sort_key(dvals, cu, sort_by["ascending"])
+                    order = np.lexsort(
+                        (cu, keyv if sort_by["ascending"] else -keyv)
+                    )[: min(kk, len(cu))]
+                    vals = np.where(
+                        cu[order] < len(dvals),
+                        dvals[np.minimum(cu[order], len(dvals) - 1)],
+                        np.nan,
+                    )
+                    out_q.extend([int(qid)] * len(order))
+                    out_r.extend(range(1, len(order) + 1))
+                    out_d.extend(cu[order].tolist())
+                    out_s.extend(np.round(vals, SCORE_DECIMALS).tolist())
                     continue
                 # dense accumulate: doc lists within a term are unique,
                 # so fancy-index += is safe per term
@@ -1630,6 +1674,15 @@ def topk_replica_resident(
                     else hits[0][0][0]
                 )
                 sc_dup = scores[docs_cat]
+                if decay is not None:
+                    # function_score gaussian decay: fold the per-doc
+                    # factor in BEFORE thresholding / admission so the
+                    # combined score is the kernel's only score space
+                    from nil_spark.operators.docvalues import gauss_factor
+
+                    sc_dup = sc_dup * gauss_factor(
+                        dvals, docs_cat, decay["origin"], decay["sigma"]
+                    )
                 kk = int(kk)
                 if a_d >= 0:
                     # search_after admission, applied in the duplicated
@@ -1651,7 +1704,14 @@ def topk_replica_resident(
                 else:
                     cd = page_docs
                 cu = np.unique(cd)
-                csc = np.round(scores[cu], SCORE_DECIMALS)
+                fsc = scores[cu]
+                if decay is not None:
+                    from nil_spark.operators.docvalues import gauss_factor
+
+                    fsc = fsc * gauss_factor(
+                        dvals, cu, decay["origin"], decay["sigma"]
+                    )
+                csc = np.round(fsc, SCORE_DECIMALS)
                 top = np.lexsort((cu, -csc))[: min(kk, len(cu))]
                 out_q.extend([int(qid)] * len(top))
                 out_r.extend(range(1, len(top) + 1))

@@ -136,6 +136,80 @@ class OracleIndex:
         )[:k]
         return [(i + 1, did, s) for i, (s, did) in enumerate(ranked)]
 
+    def _bm25_raw(self, query_text: str) -> dict:
+        """Unrounded BM25 totals per matching doc (shared by the
+        combined-score paths, which round AFTER their multiply)."""
+        cfg = self.cfg
+        scores: dict[int, float] = defaultdict(float)
+        for term in sorted(set(terms_of(query_text, cfg))):
+            if term in self.pruned or term not in self.postings:
+                continue
+            pl = self.postings[term]
+            idf = idf_py(len(pl), self.n_docs)
+            for did, tf in pl.items():
+                dl = self.dl[did]
+                tfn = (tf * (cfg.bm25_k1 + 1.0)) / (
+                    tf
+                    + cfg.bm25_k1
+                    * (1.0 - cfg.bm25_b + cfg.bm25_b * dl / self.avgdl)
+                )
+                scores[did] += idf * tfn
+        return scores
+
+    def decay_topk(
+        self,
+        query_text: str,
+        k: int,
+        values: dict,
+        origin: float,
+        sigma: float,
+    ) -> list[tuple[int, int, float]]:
+        """function_score gaussian decay (ES gauss): combined =
+        bm25 * exp(-(v-origin)^2/(2 sigma^2)), missing value = factor
+        1.0; rounded (SCORE_DECIMALS) before ranking, ties by doc_id."""
+        import math
+
+        ranked = []
+        for did, s in self._bm25_raw(query_text).items():
+            v = values.get(did)
+            f = (
+                1.0
+                if v is None
+                else math.exp(-((v - origin) ** 2) / (2.0 * sigma * sigma))
+            )
+            ranked.append((round(s * f, SCORE_DECIMALS), did))
+        ranked.sort(key=lambda x: (-x[0], x[1]))
+        return [(i + 1, did, s) for i, (s, did) in enumerate(ranked[:k])]
+
+    def sortfield_topk(
+        self, query_text: str, k: int, values: dict, ascending: bool = False
+    ) -> list[tuple[int, int, float]]:
+        """Sort-by-field over matching docs (ES sort clause): docs
+        matching >= 1 unpruned query term ranked by the field value
+        (missing last in either direction), ties by doc_id."""
+        cand = set()
+        for term in sorted(set(terms_of(query_text, self.cfg))):
+            if term in self.pruned or term not in self.postings:
+                continue
+            cand.update(self.postings[term])
+        missing = float("inf") if ascending else float("-inf")
+        key = (
+            (lambda d: (values.get(d, missing), d))
+            if ascending
+            else (lambda d: (-values.get(d, missing), d))
+        )
+        ranked = sorted(cand, key=key)[:k]
+        return [
+            (
+                i + 1,
+                did,
+                round(values[did], SCORE_DECIMALS)
+                if did in values
+                else float("nan"),
+            )
+            for i, did in enumerate(ranked)
+        ]
+
     def lmd_topk_frame(
         self, queries: pd.DataFrame, mu: float = 2000.0
     ) -> pd.DataFrame:
