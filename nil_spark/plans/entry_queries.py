@@ -2937,10 +2937,12 @@ REGISTRY: dict[str, tuple] = {
 from nil_spark.plans import agg_queries as _agg  # noqa: E402
 from nil_spark.plans import relevance_queries as _rel  # noqa: E402
 from nil_spark.plans import search_features as _sf  # noqa: E402
+from nil_spark.plans import sketch_queries as _sk  # noqa: E402
 
 REGISTRY.update(_rel.build_registry())
 REGISTRY.update(_sf.build_registry())
 REGISTRY.update(_agg.build_registry())
+REGISTRY.update(_sk.build_registry())
 
 
 def queries():

@@ -1,0 +1,370 @@
+"""Sketch, percentile, pipeline, and per-bucket-hit gate queries.
+
+Same contract as ``agg_queries``: pure JVM-side DataFrame plans with
+exact DuckDB oracles under the shared parity rules (doubles rounded to
+6 decimals BEFORE ranking; ties by id; no NULLs in oracle output).
+``build_registry()`` is merged into ``entry_queries.REGISTRY``.
+
+These add the *approximate/analytic* aggregation surface a full-text
+engine serves next to retrieval (Elasticsearch ``cardinality``,
+``percentiles``, pipeline aggregations, ``top_hits``, and the ``sort``
+clause the doc-values side-car serves in-kernel):
+
+ * cardinality_hll — ES ``cardinality`` agg: a HyperLogLog sketch,
+   pinned deterministic cross-system.  Register index/rank come from
+   the shared 60-bit md5-prefix hash (``hashing.md5_prefix64_*``);
+   rank = leading-zero count of the 52 residual bits + 1, computed
+   *integer-exactly* as ``53 - length(bin(w))`` (no float log2, so
+   Spark and DuckDB can never disagree at a power-of-two boundary).
+   Both HLL branches are exercised: per-type distinct users sits in
+   the linear-counting range, distinct user-days in the raw-estimate
+   range.  At 100 TB this is THE distinct-count shape: the register
+   groupBy is a map-side-combining shuffle of at most m rows per
+   group, and sketches merge associatively across segments — exactly
+   why ES keeps HLL per shard and merges on the coordinating node.
+ * percentiles_agg — ES ``percentiles``: exact linear-interpolation
+   quantiles (verified bit-identical between Spark ``percentile`` and
+   DuckDB ``quantile_cont``).  Exact is the oracle tier; the scale
+   path is the same plan with ``percentile_approx`` (t-digest), one
+   mergeable sketch per group, noted in the docstring not gated.
+ * pipeline_aggs — ES pipeline aggregations over the date_histogram
+   bucket series: ``cumulative_sum``, ``derivative`` (pinned 0 for
+   the first bucket, where ES emits no value, to keep the oracle
+   null-free), and a trailing 7-day ``moving_fn`` average.  The
+   parent histogram is one groupBy; the pipeline windows run on the
+   already-reduced bucket set (days — small by construction), so the
+   unpartitioned window is driver-trivial at any corpus size.
+ * top_hits_agg — ES ``top_hits`` inside a terms agg: per source
+   bucket, doc_count plus the top TOPHITS_K docs by n_chars.  One
+   rank window partitioned by the bucket key — the classic
+   top-N-per-group shape (no per-bucket sort of the full corpus).
+ * sort_by_field_topk — Lucene index-sort / ES ``sort`` clause:
+   matching docs ranked purely by a numeric field, score never
+   computed.  This is the plan-level oracle twin of the engine's
+   doc-values side-car serving (``operators/docvalues.py``: the
+   replica kernel reads field values positionally from the node-shared
+   mmap store); the gate row pins the semantics the kernel must match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nil_spark.functions.hashing import md5_prefix64_col, md5_prefix64_sql
+
+# --------------------------------------------------------- fixed inputs
+
+HLL_M = 256              # registers; p = 8 index bits of the 60-bit hash
+HLL_RESID_BITS = 52      # 60 - 8 residual bits feeding the rank
+
+PCT_LEVELS = [0.25, 0.5, 0.75, 0.95, 0.99]
+
+MAVG_WINDOW = 7          # trailing buckets for the moving average
+
+TOPHITS_K = 3
+
+SORT_QUERIES = [
+    (0, "query"),
+    (1, "scan"),
+    (2, "merge"),
+    (3, "window"),
+]
+SORT_K = 10
+
+
+def _eq():
+    from nil_spark.plans import entry_queries as EQ
+
+    return EQ
+
+
+# --------------------------------------------- q: HLL cardinality sketch
+
+
+def _hll_estimate(reg: DataFrame, key: str, out: str) -> DataFrame:
+    """Fold per-register max ranks into the HLL estimate.  ``reg`` has
+    (key, idx, rank) rows — at most HLL_M per key after the max —
+    absent registers contribute 2^0 to the harmonic sum and count
+    toward V for the linear-counting correction."""
+    m = float(HLL_M)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = reg.groupBy(key, "idx").agg(F.max("rank").alias("mr")).groupBy(key).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mr"))).alias("s"),
+        F.count("*").cast("double").alias("present"),
+    )
+    e_raw = F.lit(alpha * m * m) / (F.col("s") + (F.lit(m) - F.col("present")))
+    v = F.lit(m) - F.col("present")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v > 0), F.lit(m) * F.log(F.lit(m) / v)
+    ).otherwise(e_raw)
+    return agg.select(key, F.round(est, 6).alias(out))
+
+
+def q_cardinality_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``cardinality`` aggregation: per event_type, HLL-256 distinct
+    estimates for users and for (user, day) pairs, next to the exact
+    counts.  Hash = pinned 60-bit md5 prefix; idx = low 8 bits; rank =
+    53 - length(bin(h >> 8)) (integer-exact leading-zero count).  The
+    ~150-user groups land in the linear-counting branch, the ~1.7k
+    user-day groups in the raw-estimate branch — both corrections are
+    exercised and oracle-pinned."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def regs(keyed: DataFrame) -> DataFrame:
+        h = md5_prefix64_col(F.col("k"))
+        w = F.shiftright(h, 8)
+        return keyed.select(
+            "event_type",
+            h.bitwiseAND(F.lit(HLL_M - 1)).alias("idx"),
+            F.when(w == 0, F.lit(HLL_RESID_BITS + 1))
+            .otherwise(F.lit(HLL_RESID_BITS + 1) - F.length(F.bin(w)))
+            .alias("rank"),
+        )
+
+    users = regs(e.select("event_type", F.col("user_id").cast("string").alias("k")))
+    udays = regs(
+        e.select(
+            "event_type",
+            F.concat_ws(
+                "|",
+                F.col("user_id").cast("string"),
+                F.to_date(F.date_trunc("day", "ts")).cast("string"),
+            ).alias("k"),
+        )
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users"),
+        F.countDistinct(
+            "user_id", F.to_date(F.date_trunc("day", "ts"))
+        ).cast("long").alias("exact_user_days"),
+    )
+    return (
+        exact.join(_hll_estimate(users, "event_type", "hll_users"), "event_type")
+        .join(_hll_estimate(udays, "event_type", "hll_user_days"), "event_type")
+        .select(
+            "event_type", "exact_users", "hll_users",
+            "exact_user_days", "hll_user_days",
+        )
+    )
+
+
+def _cardinality_hll_sql() -> str:
+    m = HLL_M
+    h = md5_prefix64_sql("k")
+    rank = (
+        f"CASE WHEN ({h} >> 8) = 0 THEN {HLL_RESID_BITS + 1} "
+        f"ELSE {HLL_RESID_BITS + 1} - length(bin({h} >> 8)) END"
+    )
+
+    def est(src: str) -> str:
+        return f"""(
+  SELECT event_type, round(CASE
+      WHEN (0.7213 / (1.0 + 1.079 / {m}.0)) * {m}.0 * {m}.0
+             / (s + ({m}.0 - present)) <= 2.5 * {m}.0
+           AND ({m}.0 - present) > 0
+      THEN {m}.0 * ln({m}.0 / ({m}.0 - present))
+      ELSE (0.7213 / (1.0 + 1.079 / {m}.0)) * {m}.0 * {m}.0
+             / (s + ({m}.0 - present)) END, 6) AS est
+  FROM (SELECT event_type, sum(pow(2.0, -mr)) AS s,
+               count(*)::DOUBLE AS present
+        FROM (SELECT event_type, {h} & {m - 1} AS idx, max({rank}) AS mr
+              FROM {src} GROUP BY 1, 2) r GROUP BY 1) f)"""
+
+    users_src = "(SELECT event_type, user_id::VARCHAR AS k FROM events) u"
+    udays_src = (
+        "(SELECT event_type, user_id::VARCHAR || '|' ||"
+        " (date_trunc('day', ts)::DATE)::VARCHAR AS k FROM events) u"
+    )
+    return f"""
+WITH exact AS (
+  SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_users,
+         count(DISTINCT (user_id, date_trunc('day', ts)::DATE))::BIGINT
+           AS exact_user_days
+  FROM events GROUP BY 1),
+hu AS {est(users_src)},
+hd AS {est(udays_src)}
+SELECT exact.event_type, exact_users, hu.est AS hll_users,
+       exact_user_days, hd.est AS hll_user_days
+FROM exact JOIN hu ON exact.event_type = hu.event_type
+           JOIN hd ON exact.event_type = hd.event_type
+"""
+
+
+# ----------------------------------------------------- q: percentiles
+
+
+def q_percentiles_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``percentiles`` aggregation per event_type over ``value``:
+    exact linear-interpolation quantiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``, verified bit-identical).  Exact is the
+    oracle tier; at 100 TB the same plan swaps in
+    ``percentile_approx`` (t-digest) — one mergeable sketch per group,
+    map-side combined, never a full sort."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cols = [
+        F.round(F.expr(f"percentile(value, {p})"), 6).alias(
+            f"p{str(p).replace('0.', '')}"
+        )
+        for p in PCT_LEVELS
+    ]
+    return e.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"), *cols
+    )
+
+
+def _percentiles_sql() -> str:
+    cols = ", ".join(
+        f"round(quantile_cont(value, {p}), 6) AS p{str(p).replace('0.', '')}"
+        for p in PCT_LEVELS
+    )
+    return f"""
+SELECT event_type, count(*)::BIGINT AS n, {cols}
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------- q: pipeline aggs
+
+
+def q_pipeline_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES pipeline aggregations over the daily date_histogram:
+    ``cumulative_sum`` of doc_count, ``derivative`` (first bucket
+    pinned 0 where ES emits no value — keeps the oracle null-free),
+    and a trailing MAVG_WINDOW-day ``moving_fn`` unweighted average.
+    The parent histogram is one groupBy(day) shuffle; the pipeline
+    windows run on the already-reduced bucket series (calendar days —
+    small by construction at any corpus size), so the unpartitioned
+    window never sees corpus-scale data."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per_day = e.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count("*").cast("long").alias("doc_count"))
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wm = Window.orderBy("day").rowsBetween(-(MAVG_WINDOW - 1), 0)
+    wl = Window.orderBy("day")
+    return per_day.select(
+        "day",
+        "doc_count",
+        F.sum("doc_count").over(wc).cast("long").alias("cum_docs"),
+        (
+            F.col("doc_count")
+            - F.coalesce(F.lag("doc_count").over(wl), F.col("doc_count"))
+        ).cast("long").alias("deriv"),
+        F.round(F.avg("doc_count").over(wm), 6).alias("mavg"),
+    )
+
+
+def _pipeline_aggs_sql() -> str:
+    return f"""
+WITH per_day AS (
+  SELECT date_trunc('day', ts)::DATE AS day, count(*)::BIGINT AS doc_count
+  FROM events GROUP BY 1)
+SELECT day, doc_count,
+       (sum(doc_count) OVER (ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_docs,
+       (doc_count - coalesce(lag(doc_count) OVER (ORDER BY day),
+                             doc_count))::BIGINT AS deriv,
+       round(avg(doc_count) OVER (ORDER BY day
+          ROWS BETWEEN {MAVG_WINDOW - 1} PRECEDING AND CURRENT ROW), 6) AS mavg
+FROM per_day
+"""
+
+
+# ------------------------------------------------------- q: top_hits
+
+
+def q_top_hits_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``top_hits`` inside a terms aggregation: per source bucket,
+    the bucket doc_count plus the top TOPHITS_K docs by n_chars desc
+    (doc_id asc ties).  One rank window partitioned by the bucket key
+    against one broadcast bucket-count join — the standard
+    top-N-per-group plan, no global sort."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = d.groupBy("source").agg(F.count("*").cast("long").alias("doc_count"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        d.select("source", "doc_id", "n_chars")
+        .withColumn("hit_rank", F.row_number().over(w))
+        .filter(F.col("hit_rank") <= TOPHITS_K)
+        .join(F.broadcast(counts), "source")
+        .select("source", "doc_count", "hit_rank", "doc_id", "n_chars")
+    )
+
+
+def _top_hits_sql() -> str:
+    return f"""
+WITH counts AS (SELECT source, count(*)::BIGINT AS doc_count
+                FROM documents GROUP BY 1)
+SELECT d.source, counts.doc_count, hit_rank, doc_id, n_chars
+FROM (SELECT source, doc_id, n_chars,
+             (row_number() OVER (PARTITION BY source
+                ORDER BY n_chars DESC, doc_id))::INT AS hit_rank
+      FROM documents) d JOIN counts ON d.source = counts.source
+WHERE hit_rank <= {TOPHITS_K}
+"""
+
+
+# -------------------------------------------------- q: sort by field
+
+
+def q_sort_by_field_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene index-sort / ES ``sort`` clause: docs matching a single
+    term ranked purely by n_chars desc (doc_id asc ties), score never
+    computed.  Plan-level oracle twin of the engine's doc-values
+    serving (``operators/docvalues.py`` — the replica kernel reads the
+    field positionally from the node-shared mmap side-car; CLI
+    ``--mode sort``): this row pins the semantics that kernel must
+    match.  Scale shape: broadcast term filter below the rank window;
+    with an index the posting list prunes first and only matches are
+    ranked."""
+    EQ = _eq()
+    docs = EQ._docs_toks(spark, sf_dir)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    q = spark.createDataFrame(SORT_QUERIES, "query_id long, term string")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", F.explode("toks").alias("term"))
+        .dropDuplicates(["doc_id", "term"])
+        .join(F.broadcast(q), "term")
+        .join(d, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SORT_K)
+        .select("query_id", "rank", "doc_id", "n_chars")
+    )
+
+
+def _sort_by_field_sql() -> str:
+    EQ = _eq()
+    vals = ", ".join(f"({i}, '{t}')" for i, t in SORT_QUERIES)
+    return f"""
+WITH {EQ._DOCS_CTE},
+q(query_id, term) AS (VALUES {vals}),
+m AS (SELECT DISTINCT q.query_id, docs.doc_id
+      FROM docs JOIN q ON list_contains(docs.toks, q.term))
+SELECT query_id, rank, doc_id, n_chars FROM (
+  SELECT m.query_id, m.doc_id, d.n_chars,
+         (row_number() OVER (PARTITION BY m.query_id
+            ORDER BY d.n_chars DESC, m.doc_id))::INT AS rank
+  FROM m JOIN documents d ON m.doc_id = d.doc_id)
+WHERE rank <= {SORT_K}
+"""
+
+
+# --------------------------------------------------------- registry
+
+
+def build_registry() -> dict:
+    return {
+        "cardinality_hll": (q_cardinality_hll, _cardinality_hll_sql()),
+        "percentiles_agg": (q_percentiles_agg, _percentiles_sql()),
+        "pipeline_aggs": (q_pipeline_aggs, _pipeline_aggs_sql()),
+        "top_hits_agg": (q_top_hits_agg, _top_hits_sql()),
+        "sort_by_field_topk": (q_sort_by_field_topk, _sort_by_field_sql()),
+    }
