@@ -357,6 +357,136 @@ WHERE rank <= {SORT_K}
 """
 
 
+# ------------------------------------------------------ q: filters agg
+
+FILTER_AGGS = [
+    ("hot_join", "join AND hash"),
+    ("scan_not_slow", "scan AND NOT slow"),
+    ("phrase_fast_query", '"fast query"'),
+    ("stream_or_window", "stream OR window"),
+    ("near_slow_batch", '"slow batch"~2'),
+]
+
+
+def q_filters_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``filters`` aggregation: named boolean-DSL filters as
+    buckets, each with doc_count and avg token length — the query DSL
+    (``functions/querylang.py``: AND/OR/NOT/"phrase"/sloppy ~n)
+    reused inside the aggregation layer exactly the way ES reuses
+    Query DSL filters as bucket definitions.  ALL filters evaluate in
+    ONE corpus scan (an array of per-filter match structs exploded);
+    the groupBy key space is the filter-name set, so the only shuffle
+    is bucket-count-sized at any corpus size."""
+    from nil_spark.functions.querylang import compile_spark, parse_query
+
+    EQ = _eq()
+    docs = EQ._docs_toks(spark, sf_dir)
+    base = docs.withColumn(
+        "padded",
+        F.concat(F.lit(" "), F.array_join("toks", " "), F.lit(" ")),
+    ).withColumn("dl", F.size("toks").cast("double"))
+    match_arr = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("filter_name"),
+                compile_spark(
+                    parse_query(dsl), F.col("toks"), F.col("padded")
+                ).alias("m"),
+            )
+            for name, dsl in FILTER_AGGS
+        ]
+    )
+    return (
+        base.select("dl", F.explode(match_arr).alias("fm"))
+        .filter(F.col("fm.m"))
+        .groupBy(F.col("fm.filter_name").alias("filter_name"))
+        .agg(
+            F.count("*").cast("long").alias("doc_count"),
+            F.round(F.avg("dl"), 6).alias("avg_dl"),
+        )
+    )
+
+
+def _filters_agg_sql() -> str:
+    from nil_spark.functions.querylang import compile_duckdb, parse_query
+
+    EQ = _eq()
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS filter_name, count(*)::BIGINT AS doc_count,"
+        f" round(avg(dl), 6) AS avg_dl FROM base"
+        f" WHERE {compile_duckdb(parse_query(dsl), 'toks', 'padded')}"
+        for name, dsl in FILTER_AGGS
+    )
+    return f"""
+WITH {EQ._DOCS_CTE},
+base AS (SELECT toks,
+                ' ' || coalesce(array_to_string(toks, ' '), '') || ' ' AS padded,
+                len(toks)::DOUBLE AS dl FROM docs)
+SELECT * FROM ({arms}) WHERE doc_count > 0
+"""
+
+
+# --------------------------------------------------- q: filtered ANN
+
+ANN_FILTER_K = 10
+
+
+def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search (ES knn ``filter`` / the
+    standard vector-store pre-filter): each query (vec_id < 5) ranks
+    cosine neighbours ONLY among vectors sharing its ``label`` — the
+    predicate prunes BEFORE any distance is computed, as an equi-join
+    on the filter key, never a post-filter of an unfiltered top-k
+    (which under-fills k).  Scale shape: the filter join replaces the
+    brute-force crossJoin entirely; with the IVF/LSH paths the same
+    predicate composes as a bucket-key conjunct."""
+    from nil_spark.operators.ann import _dot, _norm
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        e.join(
+            F.broadcast(q),
+            e["label"] == q["qlabel"],
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("embedding"), F.col("qvec"))
+                / (_norm(F.col("embedding")) * _norm(F.col("qvec"))),
+                6,
+            ).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_FILTER_K)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+def _ann_filtered_sql() -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec, label
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(e.embedding::DOUBLE[], q.qvec)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS cosine
+  FROM embeddings e JOIN q ON e.label = q.label)
+SELECT query_id, (row_number() OVER (PARTITION BY query_id
+         ORDER BY cosine DESC, vec_id))::INT AS rank, vec_id, cosine
+FROM scored QUALIFY rank <= {ANN_FILTER_K}
+"""
+
+
 # --------------------------------------------------------- registry
 
 
@@ -367,4 +497,6 @@ def build_registry() -> dict:
         "pipeline_aggs": (q_pipeline_aggs, _pipeline_aggs_sql()),
         "top_hits_agg": (q_top_hits_agg, _top_hits_sql()),
         "sort_by_field_topk": (q_sort_by_field_topk, _sort_by_field_sql()),
+        "filters_agg": (q_filters_agg, _filters_agg_sql()),
+        "ann_filtered_topk": (q_ann_filtered_topk, _ann_filtered_sql()),
     }
