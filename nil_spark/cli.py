@@ -1292,6 +1292,115 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_agg(args) -> int:
+    """Engine-native date_histogram over a doc-values field
+    (operators/aggs_engine.py): bucket counts (plus an optional metric
+    sub-aggregation) computed in-kernel from the node-shared mmap
+    doc-values array, with an optional boolean-DSL filter evaluated
+    index-natively — the corpus text is never read.  Tombstoned docs
+    are excluded exactly."""
+    import glob as _glob
+    import os
+
+    spark = get_spark(app="nil_spark_agg", master=args.master,
+                      shuffle_partitions=args.shuffle_partitions)
+    cfg = _cfg_from_args(args)
+    if _is_streaming_layout(args.index_dir):
+        print(json.dumps({
+            "error": "doc-values aggregations need a batch-built index",
+            "hint": "the streaming layout carries no doc-values side-car; "
+                    "build with `build --docvalues <fields>`",
+        }), file=sys.stderr)
+        spark.stop()
+        return 2
+    builder = CheckpointedIndexBuilder(args.index_dir, cfg)
+    opened = _open_index(spark, args, cfg, builder)
+    if isinstance(opened, int):
+        spark.stop()
+        return opened
+    _segs, _termdict, n_docs, avgdl = opened
+    from nil_spark.operators.docvalues import docvalues_dir
+
+    dv = docvalues_dir(args.index_dir, args.field)
+    mdv = None
+    missing = [] if dv else [args.field]
+    if getattr(args, "metric_field", None):
+        mdv = docvalues_dir(args.index_dir, args.metric_field)
+        if mdv is None:
+            missing.append(args.metric_field)
+    if missing:
+        print(json.dumps({
+            "error": "no doc-values store for field(s)",
+            "fields": missing,
+            "hint": f"rebuild with `build --docvalues "
+                    f"{','.join(missing)}`",
+        }), file=sys.stderr)
+        spark.stop()
+        return 2
+
+    pos_store = None
+    paths = None
+    if getattr(args, "dsl", None):
+        from nil_spark.functions.querylang import (
+            QueryParseError,
+            parse_query,
+        )
+        from nil_spark.operators.dsl_exec import _collect_phrases
+
+        try:
+            ast = parse_query(args.dsl)
+        except QueryParseError as e:
+            print(json.dumps({"error": "bad dsl filter",
+                              "detail": str(e)}), file=sys.stderr)
+            spark.stop()
+            return 2
+        phrases: set = set()
+        _collect_phrases(ast, phrases)
+        if phrases:
+            pos_dir = f"{args.index_dir}/positions"
+            if not os.path.exists(os.path.join(pos_dir, "_SUCCESS")):
+                print(json.dumps({
+                    "error": "no positional store",
+                    "hint": "the DSL filter contains phrases; rebuild "
+                            "with `build --positions`",
+                }), file=sys.stderr)
+                spark.stop()
+                return 2
+            pos_store = spark.read.parquet(pos_dir)
+        paths = sorted(
+            _glob.glob(f"{args.index_dir}/partial_segments/part-*.parquet")
+        ) or sorted(_glob.glob(f"{args.index_dir}/segments/part-*.parquet"))
+
+    from nil_spark.operators.aggs_engine import date_histogram_replica
+    from nil_spark.operators.deletes import load_tombstones
+
+    try:
+        out = date_histogram_replica(
+            spark, dv, n_docs, args.interval,
+            dsl=getattr(args, "dsl", None),
+            shard_paths=paths, avgdl=avgdl, cfg=cfg,
+            pos_store=pos_store,
+            excluded=load_tombstones(spark, args.index_dir),
+            metric_dv_dir=mdv,
+        )
+        out.write.mode("overwrite").parquet(args.out)
+    except ValueError as e:  # pruned dictionary / non-unigram index
+        print(json.dumps({"error": "index unsuitable for agg",
+                          "detail": str(e)}), file=sys.stderr)
+        spark.stop()
+        return 2
+    print(json.dumps({
+        "buckets": spark.read.parquet(args.out).count(),
+        "field": args.field,
+        "interval_s": args.interval,
+        **({"metric_field": args.metric_field}
+           if getattr(args, "metric_field", None) else {}),
+        **({"dsl": args.dsl} if getattr(args, "dsl", None) else {}),
+    }))
+    spark.stop()
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="nil_spark")
     ap.add_argument("--master", default="local[*]")
@@ -1492,6 +1601,30 @@ def main(argv=None) -> int:
     stp = sub.add_parser("stats", help="index introspection (one JSON line)")
     stp.add_argument("--index-dir", required=True)
     stp.set_defaults(fn=cmd_stats)
+
+    ag = sub.add_parser(
+        "agg",
+        help="engine-native date_histogram over a doc-values field, "
+             "optionally filtered by a boolean-DSL query — served from "
+             "the index stores, corpus text never read",
+    )
+    ag.add_argument("--index-dir", required=True)
+    ag.add_argument("--field", required=True,
+                    help="doc-values field to bucket (built with "
+                         "`build --docvalues`)")
+    ag.add_argument("--interval", type=float, default=86400.0,
+                    help="bucket width in field units (epoch seconds for "
+                         "timestamp fields; default 1 day)")
+    ag.add_argument("--metric-field", default=None,
+                    help="optional second doc-values field: per-bucket "
+                         "value_sum / value_avg sub-aggregation")
+    ag.add_argument("--dsl", default=None,
+                    help="optional boolean-DSL filter (AND/OR/NOT/"
+                         "\"phrase\"/ATLEAST) evaluated index-natively; "
+                         "needs an unpruned dictionary "
+                         "(--stopword-cutoff 2.0 at build and here)")
+    ag.add_argument("--out", required=True)
+    ag.set_defaults(fn=cmd_agg)
 
     ice = sub.add_parser(
         "iceberg",

@@ -1,0 +1,313 @@
+"""Engine-native aggregations served from the doc-values side-car.
+
+Elasticsearch runs bucket aggregations over per-segment doc-values
+columns — never over stored source — and merges per-shard partial
+buckets on the coordinating node.  This module is that shape on the
+nil_spark stores: a ``date_histogram`` (fixed-interval histogram over
+a numeric doc-values field) computed in-kernel from the node-shared
+mmap doc-values array (``operators/docvalues.py``), with an optional
+boolean-DSL filter evaluated index-natively against the replica
+posting arrays (``operators/dsl_exec.py``) — the corpus text is never
+read.
+
+Execution shape (one zero-shuffle mapInPandas stage + one bucket-sized
+reduce):
+
+ * the doc-id universe is split into contiguous ranges, one task per
+   range — the per-segment model: each task buckets ONLY its id range;
+ * every task mmaps the SAME published doc-values array (one physical
+   copy per node, ~ms attach) and, when a filter is given, the same
+   replica posting store;
+ * per-task output is (bucket, count[, metric partials]) rows — at
+   most one row per bucket per task, so the single groupBy shuffle
+   moves bucket-count-sized data regardless of corpus size;
+ * zero-fill (``min_doc_count: 0``): the bucket spine is generated
+   from the aggregated min/max buckets, a bucket-domain-sized join.
+
+The DSL filter is evaluated once per task (same per-shard repetition
+Lucene pays: each segment walks the filter's postings); its cost is
+bounded by the posting mass under the filter's terms, and the matched
+set is clipped to the task's id range before any doc-value is read.
+
+Tombstoned docs (``operators/deletes``) are excluded exactly, same
+live-docs semantics as every serving path.
+
+Metric sub-aggregation: an optional second doc-values field yields
+per-bucket ``value_sum`` / ``value_avg`` (ES ``sum``/``avg`` nested
+under the histogram), accumulated with the same bincount kernel.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nil_spark.config import EngineConfig
+from nil_spark.functions.querylang import parse_query
+from nil_spark.operators.dsl_exec import (
+    _EMPTY,
+    _ast_json,
+    _collect_phrases,
+    _eval_node,
+)
+from nil_spark.operators.docvalues import load_docvalues
+from nil_spark.operators.phrase import _membership
+from nil_spark.operators.segments import _load_replica
+
+
+def date_histogram_replica(
+    spark: SparkSession,
+    dv_dir: str,
+    n_docs: int,
+    interval_s: float = 86400.0,
+    dsl: Optional[str] = None,
+    shard_paths: Optional[list] = None,
+    avgdl: float = 1.0,
+    cfg: Optional[EngineConfig] = None,
+    pos_store: Optional[DataFrame] = None,
+    excluded: Optional[np.ndarray] = None,
+    metric_dv_dir: Optional[str] = None,
+    n_splits: Optional[int] = None,
+    universe_mode: str = "indexed",
+) -> DataFrame:
+    """Fixed-interval histogram over a doc-values field, in-kernel.
+
+    Returns (bucket long, bucket_start double, doc_count long
+    [, value_sum double, value_avg double]) with every bucket in the
+    data's [min, max] span emitted, zero-filled when empty.  ``bucket``
+    is ``floor(value / interval_s)``; ``bucket_start`` is the bucket's
+    epoch-second origin.  Docs whose field is NaN (missing) are not
+    bucketed, matching ES (missing values are skipped unless a
+    ``missing`` default is configured).
+
+    ``dsl``: optional boolean-DSL filter (AND/OR/NOT/"phrase"/ATLEAST)
+    evaluated index-natively; needs ``shard_paths`` (+ ``pos_store``
+    if the filter contains phrases) and the build ``cfg``.
+    ``universe_mode`` fixes what NOT complements against, same contract
+    as ``dsl_exec.dsl_search_replica``: "indexed" (default — the docs
+    the index holds, always sound) or "dense" (raw-corpus ids
+    [0, n_docs); exact DataFrame-backend parity, refused when min-size
+    predicates punched holes in the indexed id space).
+    """
+    if universe_mode not in ("dense", "indexed"):
+        raise ValueError(f"unknown universe_mode {universe_mode!r}")
+    if interval_s <= 0:
+        raise ValueError(f"interval_s must be positive, got {interval_s}")
+    if n_docs <= 0:
+        raise ValueError(f"n_docs must be positive, got {n_docs}")
+
+    filt_payload = None
+    if dsl is not None:
+        if shard_paths is None or cfg is None:
+            raise ValueError(
+                "a DSL filter needs shard_paths and the build cfg"
+            )
+        if cfg.gram_size != 1:
+            raise ValueError(
+                "DSL filters need a unigram index (gram_size=1, got "
+                f"{cfg.gram_size})"
+            )
+        if (
+            cfg.df_stopword_cutoff is not None
+            and float(cfg.df_stopword_cutoff) < 1.0
+        ):
+            raise ValueError(
+                "DSL filters need an unpruned term dictionary: "
+                f"df_stopword_cutoff {cfg.df_stopword_cutoff} < 1.0 may "
+                "have dropped filter terms from the index"
+            )
+        if universe_mode == "dense" and (
+            (cfg.min_tokens or 0) > 0 or (cfg.min_chars or 0) > 0
+        ):
+            raise ValueError(
+                "dense DSL NOT-complements assume dense doc ids; "
+                "min-size predicates filtered the index — build without "
+                "them or use universe_mode='indexed'"
+            )
+        ast = parse_query(dsl)
+        phrases: set = set()
+        _collect_phrases(ast, phrases)
+        phrase_ids = {ws: i for i, ws in enumerate(sorted(phrases))}
+        phrase_sets: dict = {i: _EMPTY for i in phrase_ids.values()}
+        if phrase_ids:
+            if pos_store is None:
+                raise ValueError(
+                    "the DSL filter contains phrases but no positional "
+                    "store was provided"
+                )
+            from nil_spark.operators.positions import (
+                phrase_search_positional,
+            )
+
+            ppdf = pd.DataFrame(
+                {
+                    "query_id": list(phrase_ids.values()),
+                    "text": [" ".join(ws) for ws, _slop in phrase_ids],
+                    "slop": [slop for _ws, slop in phrase_ids],
+                }
+            )
+            hits = (
+                phrase_search_positional(spark, ppdf, pos_store, cfg)
+                .select("query_id", "doc_id")
+                .toPandas()
+            )
+            for pid, grp in hits.groupby("query_id"):
+                phrase_sets[int(pid)] = np.sort(
+                    grp["doc_id"].to_numpy(np.int64)
+                )
+        filt_payload = (
+            json.dumps(_ast_json(ast, phrase_ids)),
+            phrase_sets,
+            tuple(sorted(shard_paths)),
+            float(avgdl),
+            float(cfg.bm25_k1),
+            float(cfg.bm25_b),
+        )
+    filt_bc = (
+        spark.sparkContext.broadcast(filt_payload) if filt_payload else None
+    )
+    excl_bc = (
+        spark.sparkContext.broadcast(
+            np.unique(np.asarray(excluded, np.int64))
+        )
+        if excluded is not None and len(excluded)
+        else None
+    )
+
+    n_splits = n_splits or max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1
+    )
+    n_splits = min(n_splits, n_docs)
+    step = math.ceil(n_docs / n_splits)
+    ranges = [
+        (lo, min(lo + step, n_docs)) for lo in range(0, n_docs, step)
+    ]
+    rdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(ranges, len(ranges)),
+        "lo long, hi long",
+    )
+    interval = float(interval_s)
+    dv = dv_dir
+    mdv = metric_dv_dir
+    with_metric = mdv is not None
+
+    def per_range(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        vals = None
+        mvals = None
+        matched_global = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if vals is None:
+                vals = load_docvalues(dv)
+                if with_metric:
+                    mvals = load_docvalues(mdv)
+                if filt_bc is not None and matched_global is None:
+                    aj, psets, paths, a, k1, b = filt_bc.value
+                    view = _load_replica(paths, a, k1, b)
+                    if universe_mode == "dense" and view.max_doc >= n_docs:
+                        raise ValueError(
+                            f"doc id {view.max_doc} >= n_docs {n_docs}:"
+                            " ids are not dense — use "
+                            "universe_mode='indexed'"
+                        )
+
+                    ucache: list = []
+
+                    def universe() -> np.ndarray:
+                        if not ucache:
+                            ucache.append(
+                                np.arange(n_docs, dtype=np.int64)
+                                if universe_mode == "dense"
+                                else np.unique(
+                                    np.asarray(view.docs, np.int64)
+                                )
+                            )
+                        return ucache[0]
+
+                    matched_global = np.asarray(
+                        _eval_node(json.loads(aj), view, psets, universe),
+                        np.int64,
+                    )
+            out = []
+            for lo, hi in zip(pdf["lo"], pdf["hi"]):
+                lo, hi = int(lo), int(hi)
+                if matched_global is not None:
+                    sl = matched_global[
+                        np.searchsorted(matched_global, lo):
+                        np.searchsorted(matched_global, hi)
+                    ]
+                    ids = sl
+                else:
+                    ids = np.arange(lo, hi, dtype=np.int64)
+                if excl_bc is not None and len(ids):
+                    ids = ids[~_membership(excl_bc.value, ids)]
+                if not len(ids):
+                    continue
+                v = np.where(
+                    ids < len(vals),
+                    vals[np.minimum(ids, len(vals) - 1)],
+                    np.nan,
+                )
+                ok = ~np.isnan(v)
+                if with_metric:
+                    m = np.where(
+                        ids < len(mvals),
+                        mvals[np.minimum(ids, len(mvals) - 1)],
+                        np.nan,
+                    )
+                    ok &= ~np.isnan(m)
+                if not ok.any():
+                    continue
+                b_ = np.floor(v[ok] / interval).astype(np.int64)
+                ub, inv = np.unique(b_, return_inverse=True)
+                cnt = np.bincount(inv, minlength=len(ub))
+                row = {
+                    "bucket": ub,
+                    "cnt": cnt.astype(np.int64),
+                }
+                if with_metric:
+                    row["msum"] = np.bincount(
+                        inv, weights=m[ok], minlength=len(ub)
+                    )
+                out.append(pd.DataFrame(row))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    schema = "bucket long, cnt long" + (
+        ", msum double" if with_metric else ""
+    )
+    partials = rdf.mapInPandas(per_range, schema=schema)
+    aggs = [F.sum("cnt").cast("long").alias("doc_count")]
+    if with_metric:
+        aggs.append(F.sum("msum").alias("vs"))
+    buckets = partials.groupBy("bucket").agg(*aggs)
+
+    # min_doc_count: 0 zero-fill across the observed span — the spine
+    # is generated from two bucket-domain scalars, never corpus-sized
+    spine = buckets.agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    ).select(F.explode(F.sequence("b0", "b1")).alias("bucket"))
+    cols = [
+        "bucket",
+        F.round(F.col("bucket") * interval, 6).alias("bucket_start"),
+        F.coalesce("doc_count", F.lit(0)).cast("long").alias("doc_count"),
+    ]
+    if with_metric:
+        cols += [
+            F.round(F.coalesce("vs", F.lit(0.0)), 6).alias("value_sum"),
+            F.round(
+                F.when(
+                    F.coalesce("doc_count", F.lit(0)) > 0,
+                    F.col("vs") / F.col("doc_count"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("value_avg"),
+        ]
+    return spine.join(buckets, "bucket", "left").select(*cols)

@@ -1,0 +1,303 @@
+"""Engine-native doc-values aggregations (operators/aggs_engine.py).
+
+The histogram kernel reads the node-shared doc-values array and (for
+filtered aggs) the replica posting store — the corpus text is never
+touched.  Every case is pinned to a DataFrame oracle computed from the
+raw corpus with the same semantics: floor(epoch / interval) buckets,
+NaN-skipping, min_doc_count:0 zero-fill, DSL filters via the shared
+``compile_spark`` backend, tombstones excluded exactly.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from nil_spark.config import EngineConfig
+from nil_spark.functions.querylang import compile_spark, parse_query
+from nil_spark.operators.aggs_engine import date_histogram_replica
+from nil_spark.operators.docids import assign_doc_ids
+from nil_spark.operators.docvalues import docvalues_dir, write_docvalues
+from nil_spark.operators.segments import build_partial_segments
+from nil_spark.sources.transcripts import spark_transcripts
+
+N_TURNS = 3000
+SEED = 17
+INTERVAL = 86400.0
+
+CFG = EngineConfig(
+    gram_size=1, min_chars=0, min_tokens=0, df_stopword_cutoff=2.0
+)
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    """(index_dir, shard_paths, n_docs, corpus_pdf) over a synthetic
+    transcript corpus carrying ts + turn_idx doc-values."""
+    import glob
+
+    d = os.path.join(tempfile.gettempdir(), "nil_test_aggs_engine")
+    docs = assign_doc_ids(spark_transcripts(spark, N_TURNS, seed=SEED))
+    docs.persist()
+    shard_dir = os.path.join(d, "segments")
+    if not os.path.exists(os.path.join(shard_dir, "_SUCCESS")):
+        build_partial_segments(
+            docs.select("doc_id", "text").repartition(8), CFG
+        ).write.mode("overwrite").parquet(shard_dir)
+        write_docvalues(docs, d, ["ts", "turn_idx"])
+    shard_paths = sorted(glob.glob(os.path.join(shard_dir, "part-*.parquet")))
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        pdf = docs.select(
+            "doc_id",
+            (F.unix_micros(F.col("ts").cast("timestamp")) / 1e6).alias(
+                "epoch"
+            ),
+            F.col("turn_idx").cast("double").alias("metric"),
+            F.lower("text").alias("ltext"),
+        ).toPandas()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    n_docs = int(docs.count())
+    docs.unpersist()
+    return d, shard_paths, n_docs, pdf
+
+
+def _oracle(pdf: pd.DataFrame, metric: bool = False) -> pd.DataFrame:
+    b = np.floor(pdf["epoch"].to_numpy() / INTERVAL).astype(np.int64)
+    g = pd.DataFrame({"bucket": b, "m": pdf["metric"].to_numpy()})
+    agg = g.groupby("bucket").agg(
+        doc_count=("m", "size"), value_sum=("m", "sum")
+    )
+    spine = pd.RangeIndex(agg.index.min(), agg.index.max() + 1)
+    agg = agg.reindex(spine, fill_value=0)
+    out = pd.DataFrame(
+        {
+            "bucket": agg.index.to_numpy(np.int64),
+            "bucket_start": np.round(agg.index.to_numpy() * INTERVAL, 6),
+            "doc_count": agg["doc_count"].to_numpy(np.int64),
+        }
+    )
+    if metric:
+        vs = agg["value_sum"].to_numpy(float)
+        dc = agg["doc_count"].to_numpy(float)
+        out["value_sum"] = np.round(vs, 6)
+        out["value_avg"] = np.round(
+            np.divide(vs, dc, out=np.zeros_like(vs), where=dc > 0), 6
+        )
+    return out.reset_index(drop=True)
+
+
+def _got(df) -> pd.DataFrame:
+    return (
+        df.toPandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+
+
+def _check(got: pd.DataFrame, exp: pd.DataFrame):
+    assert list(got.columns) == list(exp.columns), (
+        got.columns, exp.columns
+    )
+    assert len(got) == len(exp), (len(got), len(exp))
+    for c in got.columns:
+        if got[c].dtype.kind == "f":
+            assert np.allclose(got[c], exp[c], atol=1e-9), c
+        else:
+            assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_unfiltered_histogram_matches_oracle(spark, idx):
+    d, shard_paths, n_docs, pdf = idx
+    got = _got(
+        date_histogram_replica(
+            spark, docvalues_dir(d, "ts"), n_docs, INTERVAL
+        )
+    )
+    _check(got, _oracle(pdf))
+
+
+def test_metric_subagg_matches_oracle(spark, idx):
+    d, shard_paths, n_docs, pdf = idx
+    got = _got(
+        date_histogram_replica(
+            spark,
+            docvalues_dir(d, "ts"),
+            n_docs,
+            INTERVAL,
+            metric_dv_dir=docvalues_dir(d, "turn_idx"),
+        )
+    )
+    _check(got, _oracle(pdf, metric=True))
+
+
+@pytest.mark.parametrize(
+    "dsl",
+    [
+        "w00003 AND w00007",
+        "w00042 OR (w00013 AND NOT w00002)",
+        '"w00000 w00001" OR w00276',
+        "NOT w00000",
+    ],
+)
+def test_dsl_filtered_histogram_matches_oracle(spark, idx, dsl):
+    d, shard_paths, n_docs, pdf = idx
+    ast = parse_query(dsl)
+
+    # positional store only when the filter carries a phrase
+    pos_store = None
+    if '"' in dsl:
+        from nil_spark.operators.positions import build_position_segments
+
+        pos_dir = os.path.join(d, "positions")
+        if not os.path.exists(os.path.join(pos_dir, "_SUCCESS")):
+            docs = assign_doc_ids(
+                spark_transcripts(spark, N_TURNS, seed=SEED)
+            )
+            build_position_segments(
+                docs.select("doc_id", "text").repartition(8), CFG
+            ).write.mode("overwrite").parquet(pos_dir)
+        pos_store = spark.read.parquet(pos_dir)
+
+    got = _got(
+        date_histogram_replica(
+            spark,
+            docvalues_dir(d, "ts"),
+            n_docs,
+            INTERVAL,
+            dsl=dsl,
+            shard_paths=shard_paths,
+            cfg=CFG,
+            pos_store=pos_store,
+            universe_mode="dense",
+        )
+    )
+
+    # oracle: the shared DataFrame DSL backend picks the doc set
+    sdf = spark.createDataFrame(pdf[["doc_id", "ltext"]])
+    toks = F.filter(
+        F.split("ltext", "[^a-z0-9]+"), lambda x: x != ""
+    )
+    base = sdf.select(
+        "doc_id",
+        toks.alias("toks"),
+    ).withColumn(
+        "padded",
+        F.concat(F.lit(" "), F.array_join("toks", " "), F.lit(" ")),
+    )
+    keep = set(
+        r[0]
+        for r in base.filter(
+            compile_spark(ast, F.col("toks"), F.col("padded"))
+        )
+        .select("doc_id")
+        .collect()
+    )
+    _check(got, _oracle(pdf[pdf["doc_id"].isin(keep)]))
+
+
+def test_tombstones_excluded(spark, idx):
+    d, shard_paths, n_docs, pdf = idx
+    rng = np.random.default_rng(3)
+    tombs = np.unique(
+        rng.choice(n_docs, size=max(n_docs // 10, 1), replace=False)
+    ).astype(np.int64)
+    got = _got(
+        date_histogram_replica(
+            spark,
+            docvalues_dir(d, "ts"),
+            n_docs,
+            INTERVAL,
+            excluded=tombs,
+        )
+    )
+    _check(got, _oracle(pdf[~pdf["doc_id"].isin(set(tombs.tolist()))]))
+
+
+def test_cli_agg_lifecycle(spark, idx, tmp_path):
+    """CLI build --docvalues → agg (plain, metric, DSL-filtered) in
+    fresh JVMs; bucket counts must equal the in-process kernel's."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run(extra):
+        return subprocess.run(
+            [sys.executable, os.path.join(repo, "cli_main.py"),
+             "--master", "local[2]", "--shuffle-partitions", "4",
+             "--stopword-cutoff", "2.0", *extra],
+            capture_output=True, text=True, timeout=600, cwd=repo,
+        )
+
+    corpus = str(tmp_path / "corpus.parquet")
+    spark_transcripts(spark, 800, seed=23).write.mode("overwrite").parquet(
+        corpus
+    )
+    idx_dir = str(tmp_path / "idx")
+    r = run(["build", "--input", corpus, "--index-dir", idx_dir,
+             "--docvalues", "ts,turn_idx"])
+    assert r.returncode == 0, r.stderr
+
+    out1 = str(tmp_path / "agg1")
+    r = run(["agg", "--index-dir", idx_dir, "--field", "ts",
+             "--metric-field", "turn_idx", "--out", out1])
+    assert r.returncode == 0, r.stderr
+
+    got = (
+        spark.read.parquet(out1)
+        .toPandas().sort_values("bucket").reset_index(drop=True)
+    )
+    exp = _got(
+        date_histogram_replica(
+            spark, docvalues_dir(idx_dir, "ts"),
+            int(spark.read.parquet(corpus).count()), INTERVAL,
+            metric_dv_dir=docvalues_dir(idx_dir, "turn_idx"),
+        )
+    )
+    _check(got, exp)
+    assert int(got["doc_count"].sum()) == 800
+
+    out2 = str(tmp_path / "agg2")
+    r = run(["agg", "--index-dir", idx_dir, "--field", "ts",
+             "--dsl", "w00003 AND w00007", "--out", out2])
+    assert r.returncode == 0, r.stderr
+    filt = spark.read.parquet(out2).toPandas()
+    assert 0 < int(filt["doc_count"].sum()) < 800
+
+    # structured error: unknown doc-values field
+    r = run(["agg", "--index-dir", idx_dir, "--field", "nope",
+             "--out", str(tmp_path / "agg3")])
+    assert r.returncode == 2
+    import json as _json
+
+    err = _json.loads(r.stderr.strip().splitlines()[-1])
+    assert err["fields"] == ["nope"]
+
+
+def test_guards(spark, idx):
+    d, shard_paths, n_docs, _ = idx
+    dv = docvalues_dir(d, "ts")
+    with pytest.raises(ValueError, match="interval_s"):
+        date_histogram_replica(spark, dv, n_docs, 0.0)
+    with pytest.raises(ValueError, match="shard_paths"):
+        date_histogram_replica(spark, dv, n_docs, INTERVAL, dsl="w00003")
+    with pytest.raises(ValueError, match="unpruned"):
+        date_histogram_replica(
+            spark, dv, n_docs, INTERVAL, dsl="w00003",
+            shard_paths=shard_paths,
+            cfg=EngineConfig(gram_size=1, df_stopword_cutoff=0.5),
+        )
+    with pytest.raises(ValueError, match="phrases"):
+        date_histogram_replica(
+            spark, dv, n_docs, INTERVAL, dsl='"w00000 w00001"',
+            shard_paths=shard_paths, cfg=CFG,
+        )
