@@ -303,6 +303,40 @@ def main() -> None:
         d_times.append(time.perf_counter() - t0)
     queries["engine_dsl_batch"] = round(min(d_times), 3)
 
+    # engine-native doc-values aggregation: daily date_histogram over
+    # the full synthetic corpus, served from the node-shared mmap
+    # doc-values array (operators/aggs_engine.py) — one zero-shuffle
+    # kernel stage + a bucket-sized reduce.  The DataFrame groupBy over
+    # the raw corpus is timed alongside as the plan-level baseline the
+    # kernel must beat (it re-reads and shuffles corpus-scale rows).
+    from nil_spark.operators.aggs_engine import date_histogram_replica
+    from nil_spark.operators.docvalues import write_docvalues
+
+    dv_root = tempfile.mkdtemp(prefix="nil_bench_dv_")
+    write_docvalues(docs_b, dv_root, ["ts"])  # untimed: build-time cost
+    dv_dir = f"{dv_root}/docvalues/ts"
+    force(date_histogram_replica(spark, dv_dir, n_docs, 86400.0))  # JIT
+    ag_times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        force(date_histogram_replica(spark, dv_dir, n_docs, 86400.0))
+        ag_times.append(time.perf_counter() - t0)
+    queries["engine_agg_histogram"] = round(min(ag_times), 3)
+    agf_times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        force(
+            docs_b.groupBy(
+                SF.floor(
+                    SF.unix_micros(SF.col("ts").cast("timestamp"))
+                    / SF.lit(86400.0 * 1e6)
+                ).alias("bucket")
+            ).count()
+        )
+        agf_times.append(time.perf_counter() - t0)
+    queries["engine_agg_histogram_df"] = round(min(agf_times), 3)
+    shutil.rmtree(dv_root, ignore_errors=True)
+
     # end-to-end verified serving: BMW retrieval at k+margin, tier-1
     # overlap fast-accept, LCS on the residue, BM25 re-rank — the full
     # filter-then-verify query pipeline (operators/search_verify.py)
