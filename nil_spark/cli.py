@@ -41,6 +41,8 @@ def _cfg_from_args(args) -> EngineConfig:
     kw = {"gram_size": args.gram_size}
     if getattr(args, "stopword_cutoff", None) is not None:
         kw["df_stopword_cutoff"] = float(args.stopword_cutoff)
+    if getattr(args, "analyzer", None):
+        kw["analyzer"] = args.analyzer
     return EngineConfig(**kw)
 
 
@@ -1406,6 +1408,14 @@ def main(argv=None) -> int:
     ap.add_argument("--master", default="local[*]")
     ap.add_argument("--shuffle-partitions", type=int, default=32)
     ap.add_argument("--gram-size", type=int, default=1)
+    ap.add_argument("--analyzer", choices=["standard", "minimal_english"],
+                    default=None,
+                    help="post-tokenize analysis chain applied at BOTH "
+                         "index and query time (Lucene analyzer "
+                         "semantics); minimal_english folds plurals "
+                         "(published minimal stemmer). Part of the index "
+                         "config fingerprint: pass the same value at "
+                         "build and query time")
     ap.add_argument("--stopword-cutoff", type=float, default=None,
                     help="prune terms with df > cutoff*N from the term "
                          "dictionary (engine default 0.5; set >= 1.0 to "

@@ -23,6 +23,18 @@ class EngineConfig:
     token_pattern: str = r"[a-z0-9]+"  # applied to lowercased text
     distinct_ngrams: bool = False  # reference collapses tf to 1 (TokenSequence.kt:11);
                                    # we keep tf for BM25 (superset semantics)
+    # analysis chain applied AFTER tokenization, at BOTH index and query
+    # time (Lucene analyzer semantics — the same chain must see both
+    # sides or terms never meet):
+    #  * "standard"        — tokens as-is (the pinned default);
+    #  * "minimal_english" — plural folding per the published minimal
+    #    English stemmer (Harman, "How Effective Is Suffixing?"; the
+    #    shape Lucene ships as EnglishMinimalStemmer): strip ONE
+    #    trailing 's' when len > 3 and the token doesn't end in
+    #    'ss'/'us'/'is'.  Pure string ops — expressible identically in
+    #    Python, Spark SQL, and DuckDB SQL.
+    # Part of the index config fingerprint when non-standard.
+    analyzer: str = "standard"
 
     # ---- BM25 (pinned) ----
     bm25_k1: float = 1.2

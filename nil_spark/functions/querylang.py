@@ -231,6 +231,36 @@ def parse_query(text: str):
 # ------------------------------------------------------ AST utilities
 
 
+def analyze_ast(node, cfg):
+    """Rewrite every Term/Phrase word through the config's analysis
+    chain (functions/tokenize.apply_analyzer) — required before
+    executing a DSL query against an index built with a non-standard
+    analyzer: the index holds analyzed terms, so unanalyzed query words
+    would silently never match.  No-op for the standard analyzer."""
+    if getattr(cfg, "analyzer", "standard") == "standard":
+        return node
+    from nil_spark.functions.tokenize import apply_analyzer
+
+    def an(w: str) -> str:
+        return apply_analyzer([w], cfg)[0]
+
+    if isinstance(node, Term):
+        return Term(an(node.word))
+    if isinstance(node, Phrase):
+        return Phrase(tuple(an(w) for w in node.words), node.slop)
+    if isinstance(node, Not):
+        return Not(analyze_ast(node.child, cfg))
+    if isinstance(node, And):
+        return And(tuple(analyze_ast(c, cfg) for c in node.children))
+    if isinstance(node, Or):
+        return Or(tuple(analyze_ast(c, cfg) for c in node.children))
+    if isinstance(node, AtLeast):
+        return AtLeast(
+            node.n, tuple(analyze_ast(c, cfg) for c in node.children)
+        )
+    raise TypeError(f"unknown AST node {node!r}")
+
+
 def positive_terms(node) -> list:
     """Distinct words contributing POSITIVE evidence (not under NOT) —
     the BM25 scoring terms for a matched-doc ranking.  Phrase members

@@ -42,10 +42,34 @@ def _hash_token(tok: str) -> int:
     return h
 
 
+def stem_minimal_english(tok: str) -> str:
+    """Pinned plural folding (the published minimal English stemmer —
+    Harman; Lucene's EnglishMinimalStemmer shape): strip ONE trailing
+    's' when len > 3 and the token doesn't end in 'ss'/'us'/'is'."""
+    if len(tok) > 3 and tok[-1] == "s" and tok[-2] not in "sui":
+        return tok[:-1]
+    return tok
+
+
+def apply_analyzer(tokens: list[str], cfg: EngineConfig) -> list[str]:
+    """The post-tokenize analysis chain (no-op for "standard")."""
+    if cfg.analyzer == "minimal_english":
+        return [stem_minimal_english(t) for t in tokens]
+    if cfg.analyzer != "standard":
+        raise ValueError(f"unknown analyzer {cfg.analyzer!r}")
+    return tokens
+
+
 def tokenize_series(texts: pd.Series, cfg: EngineConfig) -> pd.Series:
-    """text -> list[str] tokens (pinned: lowercase regex findall)."""
+    """text -> list[str] tokens (pinned: lowercase regex findall, then
+    the configured analysis chain).  EVERY engine path — index builds,
+    all serving topologies, positional store, clone/verify kernels —
+    tokenizes through here, so index and query sides always agree."""
     pat = re.compile(cfg.token_pattern)
-    return texts.fillna("").str.lower().map(pat.findall)
+    toks = texts.fillna("").str.lower().map(pat.findall)
+    if cfg.analyzer != "standard":
+        toks = toks.map(lambda ts: apply_analyzer(ts, cfg))
+    return toks
 
 
 def terms_for_tokens(tokens: list[str], cfg: EngineConfig) -> np.ndarray:

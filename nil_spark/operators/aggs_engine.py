@@ -130,7 +130,9 @@ def date_histogram_replica(
                 "min-size predicates filtered the index — build without "
                 "them or use universe_mode='indexed'"
             )
-        ast = parse_query(dsl)
+        from nil_spark.functions.querylang import analyze_ast
+
+        ast = analyze_ast(parse_query(dsl), cfg)
         phrases: set = set()
         _collect_phrases(ast, phrases)
         phrase_ids = {ws: i for i, ws in enumerate(sorted(phrases))}

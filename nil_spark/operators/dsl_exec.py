@@ -56,6 +56,7 @@ from nil_spark.functions.querylang import (
     Or,
     Phrase,
     Term,
+    analyze_ast,
     parse_query,
     positive_terms,
 )
@@ -269,8 +270,12 @@ def dsl_search_replica(
         if not isinstance(text, str):
             # str(None) would lex as the literal term 'none'
             raise ValueError("dsl query is null / not a string")
+    # non-standard analyzers fold the query words the same way the
+    # index build folded the corpus (Lucene analyzer semantics) —
+    # phrase folding happens BEFORE positional resolution, whose
+    # query-side tokenizer folds identically
     parsed = [
-        (int(qid), parse_query(text))
+        (int(qid), analyze_ast(parse_query(text), cfg))
         for qid, text in zip(queries_pdf["query_id"], queries_pdf["dsl"])
     ]
 

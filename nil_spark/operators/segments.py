@@ -1888,6 +1888,12 @@ def _cfg_fingerprint(cfg: EngineConfig) -> str:
         cfg.distinct_ngrams, cfg.bm25_k1, cfg.bm25_b, cfg.num_segments,
         cfg.block_size, cfg.df_stopword_cutoff, SEGMENT_FORMAT_VERSION,
     )
+    # appended only when non-standard so every pre-analyzer index keeps
+    # its recorded fingerprint (backwards compatible); a non-standard
+    # analyzer MUST drift the fingerprint — querying a stemmed index
+    # with unstemmed query tokens would silently miss terms
+    if getattr(cfg, "analyzer", "standard") != "standard":
+        rel = rel + (cfg.analyzer,)
     return hashlib.md5(repr(rel).encode()).hexdigest()[:16]
 
 

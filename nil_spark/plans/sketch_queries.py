@@ -487,6 +487,148 @@ FROM scored QUALIFY rank <= {ANN_FILTER_K}
 """
 
 
+# ---------------------------------------------------- q: stemmed search
+
+STEM_QUERIES = [
+    (0, "tables scans"),     # plural surface form...
+    (1, "table scan"),       # ...and the singular: identical ranking
+    (2, "joins merges"),
+    (3, "windows streams"),
+    (4, "sorts filters"),
+]
+STEM_K = 10
+
+
+def _stem_col(t):
+    """Minimal-English plural folding as a pure column expression —
+    the SAME rule ``functions/tokenize.stem_minimal_english`` pins for
+    the engine (strip one trailing 's' when len > 3 and the token
+    doesn't end in 'ss'/'us'/'is')."""
+    cond = (
+        (F.length(t) > 3)
+        & t.endswith("s")
+        & ~t.substr(F.length(t) - 1, F.lit(2)).isin("ss", "us", "is")
+    )
+    return F.when(cond, t.substr(F.lit(1), F.length(t) - 1)).otherwise(t)
+
+
+_STEM_SQL = (
+    "CASE WHEN length({t}) > 3 AND right({t}, 1) = 's' "
+    "AND right({t}, 2) NOT IN ('ss', 'us', 'is') "
+    "THEN left({t}, length({t}) - 1) ELSE {t} END"
+)
+
+
+def q_stemmed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analysis chain at query level (Lucene analyzer semantics):
+    corpus AND query tokens fold through the pinned minimal-English
+    plural stemmer before BM25, so plural and singular surface forms
+    retrieve identically (queries 0 and 1 return the same ranking by
+    construction).  Engine twin: ``EngineConfig(analyzer=
+    'minimal_english')`` folds in the single tokenizer choke point
+    (``functions/tokenize.tokenize_series``) so every build and serving
+    path inherits it, with the config fingerprint drifting to refuse
+    unfolded queries (tests/test_analyzer.py).  Scale shape: folding is
+    a map-only expression on both sides; the BM25 plan is the standard
+    filter-early one."""
+    EQ = _eq()
+    docs = EQ._docs_toks(spark, sf_dir).select(
+        "doc_id", F.transform("toks", _stem_col).alias("toks")
+    )
+    q = spark.createDataFrame(STEM_QUERIES, "query_id long, qtext string")
+    qt = (
+        q.select(
+            "query_id",
+            F.explode(
+                F.transform(
+                    F.filter(
+                        F.split(F.lower("qtext"), EQ.TOKEN_SPLIT),
+                        lambda x: x != "",
+                    ),
+                    _stem_col,
+                )
+            ).alias("term"),
+        )
+        .dropDuplicates(["query_id", "term"])
+    )
+    qterms = qt.select("term").distinct()
+
+    dl = docs.select("doc_id", F.size("toks").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("term"))
+        .join(F.broadcast(qterms), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfr = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id")
+    )
+    return (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(dfr), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("partial"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("partial"), 6).alias("bm25"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= STEM_K)
+        .select("query_id", "rank", "doc_id", "bm25")
+    )
+
+
+def _stemmed_search_sql() -> str:
+    EQ = _eq()
+    qvals = ", ".join(f"({i}, '{t}')" for i, t in STEM_QUERIES)
+    stem = _STEM_SQL.format(t="x")
+    return f"""
+WITH raw AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+             '[^a-z0-9]+'), x -> x <> '') AS rt FROM documents),
+docs AS (SELECT doc_id, list_transform(rt, x -> {stem}) AS toks FROM raw),
+q(query_id, qtext) AS (VALUES {qvals}),
+qt AS (SELECT DISTINCT query_id, {_STEM_SQL.format(t="tok")} AS term
+       FROM (SELECT query_id, tok
+             FROM q, unnest(list_filter(regexp_split_to_array(lower(qtext),
+                  '[^a-z0-9]+'), x -> x <> '')) AS u(tok))),
+dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM docs),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+       FROM docs, unnest(toks) AS u(tok)
+       WHERE tok IN (SELECT term FROM qt) GROUP BY 1, 2),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1)
+SELECT query_id, rank, doc_id, bm25 FROM (
+  SELECT g.*, (row_number() OVER (PARTITION BY query_id
+               ORDER BY bm25 DESC, doc_id))::INT AS rank
+  FROM (
+    SELECT qt.query_id, tf.doc_id,
+           round(sum( ln(1 + (s.n - dfr.df + 0.5) / (dfr.df + 0.5))
+                      * (tf.tf * 2.2)
+                      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6) AS bm25
+    FROM qt JOIN tf USING (term) JOIN dfr USING (term)
+         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+    GROUP BY 1, 2) g)
+WHERE rank <= {STEM_K}
+"""
+
+
 # --------------------------------------------------------- registry
 
 
@@ -499,4 +641,5 @@ def build_registry() -> dict:
         "sort_by_field_topk": (q_sort_by_field_topk, _sort_by_field_sql()),
         "filters_agg": (q_filters_agg, _filters_agg_sql()),
         "ann_filtered_topk": (q_ann_filtered_topk, _ann_filtered_sql()),
+        "stemmed_search": (q_stemmed_search, _stemmed_search_sql()),
     }

@@ -27,7 +27,11 @@ from nil_spark.operators.query import SCORE_DECIMALS, idf_py
 
 
 def tokenize(text: str, cfg: EngineConfig) -> list[str]:
-    return re.findall(cfg.token_pattern, (text or "").lower())
+    from nil_spark.functions.tokenize import apply_analyzer
+
+    return apply_analyzer(
+        re.findall(cfg.token_pattern, (text or "").lower()), cfg
+    )
 
 
 def terms_of(text: str, cfg: EngineConfig) -> list[int]:
