@@ -426,6 +426,79 @@ SELECT * FROM ({arms}) WHERE doc_count > 0
 """
 
 
+# ---------------------------------------------- q: adjacency matrix
+
+
+def q_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``adjacency_matrix`` aggregation: for the named DSL filters
+    (the same FILTER_AGGS set), a bucket per filter AND per pairwise
+    intersection ("a&b", ES's key convention, lexicographic), each with
+    its doc_count; empty buckets omitted (ES emits only non-empty
+    cells).  ONE corpus scan evaluates all filters; the per-doc match
+    vector expands to at most F + F(F-1)/2 tiny structs, so the shuffle
+    is bucket-keyed regardless of corpus size — exactly why ES caps the
+    filter count (default 100) rather than the doc count."""
+    from nil_spark.functions.querylang import compile_spark, parse_query
+
+    EQ = _eq()
+    docs = EQ._docs_toks(spark, sf_dir)
+    base = docs.withColumn(
+        "padded",
+        F.concat(F.lit(" "), F.array_join("toks", " "), F.lit(" ")),
+    )
+    names = [name for name, _ in FILTER_AGGS]
+    matches = [
+        compile_spark(parse_query(dsl), F.col("toks"), F.col("padded"))
+        for _, dsl in FILTER_AGGS
+    ]
+    cells = [
+        F.struct(F.lit(names[i]).alias("key"), matches[i].alias("m"))
+        for i in range(len(names))
+    ] + [
+        F.struct(
+            F.lit(f"{names[i]}&{names[j]}").alias("key"),
+            (matches[i] & matches[j]).alias("m"),
+        )
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+    ]
+    return (
+        base.select(F.explode(F.array(*cells)).alias("c"))
+        .filter(F.col("c.m"))
+        .groupBy(F.col("c.key").alias("key"))
+        .agg(F.count("*").cast("long").alias("doc_count"))
+    )
+
+
+def _adjacency_matrix_sql() -> str:
+    from nil_spark.functions.querylang import compile_duckdb, parse_query
+
+    EQ = _eq()
+    names = [name for name, _ in FILTER_AGGS]
+    conds = [
+        compile_duckdb(parse_query(dsl), "toks", "padded")
+        for _, dsl in FILTER_AGGS
+    ]
+    arms = [
+        f"SELECT '{names[i]}' AS key, count(*)::BIGINT AS doc_count"
+        f" FROM base WHERE {conds[i]}"
+        for i in range(len(names))
+    ] + [
+        f"SELECT '{names[i]}&{names[j]}', count(*)::BIGINT"
+        f" FROM base WHERE ({conds[i]}) AND ({conds[j]})"
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+    ]
+    u = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH {EQ._DOCS_CTE},
+base AS (SELECT toks,
+                ' ' || coalesce(array_to_string(toks, ' '), '') || ' ' AS padded
+         FROM docs)
+SELECT * FROM ({u}) WHERE doc_count > 0
+"""
+
+
 # --------------------------------------------------- q: filtered ANN
 
 ANN_FILTER_K = 10
@@ -629,6 +702,146 @@ WHERE rank <= {STEM_K}
 """
 
 
+# ------------------------------------------------- q: cross_fields
+
+XFIELDS_K = 10
+
+
+def q_crossfields_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multi_match ``cross_fields`` — the third ES field-combination
+    mode next to best_fields (``dismax_topk``) and BM25F
+    (``bm25f_topk``): TERM-centric blending.  Each query term is scored
+    once per doc with tf = the summed per-field tf and a BLENDED df =
+    max of the per-field dfs (the published BlendedTermQuery shape that
+    fixes the idf skew best_fields suffers when a term is rare in one
+    field but common in another); dl/avgdl are whole-doc.  Same field
+    split as ``dismax_topk`` (title = first TITLE_LEN tokens), same
+    filter-early plan: the broadcast query-term join sits below the tf
+    aggregate."""
+    from nil_spark.plans.search_features import TITLE_LEN
+
+    EQ = _eq()
+    docs = EQ._docs_toks(spark, sf_dir)
+    fields = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("title").alias("field"),
+                    F.slice("toks", 1, TITLE_LEN).alias("ftoks"),
+                ),
+                F.struct(
+                    F.lit("body").alias("field"),
+                    F.expr(
+                        f"slice(toks, {TITLE_LEN + 1},"
+                        f" greatest(size(toks) - {TITLE_LEN}, 0))"
+                    ).alias("ftoks"),
+                ),
+            )
+        ).alias("fs"),
+    ).select("doc_id", "fs.field", "fs.ftoks")
+
+    q = spark.createDataFrame(EQ.BM25_QUERIES, "query_id long, qtext string")
+    qt = (
+        q.select(
+            "query_id",
+            F.explode(
+                F.filter(F.split(F.lower("qtext"), EQ.TOKEN_SPLIT), lambda x: x != "")
+            ).alias("term"),
+        )
+        .dropDuplicates(["query_id", "term"])
+    )
+    qterms = qt.select("term").distinct()
+
+    ftf = (
+        fields.select("doc_id", "field", F.explode("ftoks").alias("term"))
+        .join(F.broadcast(qterms), "term")
+        .groupBy("doc_id", "field", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    # blended df: max of per-field dfs (term-centric idf correction)
+    dfb = (
+        ftf.groupBy("field", "term")
+        .agg(F.count("*").cast("double").alias("fdf"))
+        .groupBy("term")
+        .agg(F.max("fdf").alias("df"))
+    )
+    tf = ftf.groupBy("doc_id", "term").agg(F.sum("tf").alias("tf"))
+
+    dl = docs.select("doc_id", F.size("toks").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("xf").desc(), F.col("doc_id")
+    )
+    return (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(dfb), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("partial"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("partial"), 6).alias("xf"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= XFIELDS_K)
+        .select("query_id", "rank", "doc_id", "xf")
+    )
+
+
+def _crossfields_sql() -> str:
+    from nil_spark.plans.search_features import TITLE_LEN
+
+    EQ = _eq()
+    qvals = ", ".join(f"({i}, '{t}')" for i, t in EQ.BM25_QUERIES)
+    return f"""
+WITH {EQ._DOCS_CTE},
+fields AS (
+  SELECT doc_id, 'title' AS field, toks[1:{TITLE_LEN}] AS ftoks FROM docs
+  UNION ALL
+  SELECT doc_id, 'body', toks[{TITLE_LEN + 1}:] FROM docs),
+q(query_id, qtext) AS (VALUES {qvals}),
+qt AS (SELECT DISTINCT query_id, tok AS term
+       FROM q, unnest(list_filter(regexp_split_to_array(lower(qtext),
+            '[^a-z0-9]+'), x -> x <> '')) AS u(tok)),
+ftf AS (SELECT doc_id, field, tok AS term, count(*)::DOUBLE AS tf
+        FROM fields, unnest(ftoks) AS u(tok)
+        WHERE tok IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
+dfb AS (SELECT term, max(fdf) AS df FROM (
+          SELECT field, term, count(*)::DOUBLE AS fdf
+          FROM ftf GROUP BY 1, 2) GROUP BY 1),
+tf AS (SELECT doc_id, term, sum(tf) AS tf FROM ftf GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM docs),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl)
+SELECT query_id, rank, doc_id, xf FROM (
+  SELECT g.*, (row_number() OVER (PARTITION BY query_id
+               ORDER BY xf DESC, doc_id))::INT AS rank
+  FROM (
+    SELECT qt.query_id, tf.doc_id,
+           round(sum( ln(1 + (s.n - dfb.df + 0.5) / (dfb.df + 0.5))
+                      * (tf.tf * 2.2)
+                      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6) AS xf
+    FROM qt JOIN tf USING (term) JOIN dfb USING (term)
+         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+    GROUP BY 1, 2) g)
+WHERE rank <= {XFIELDS_K}
+"""
+
+
 # --------------------------------------------------------- registry
 
 
@@ -642,4 +855,6 @@ def build_registry() -> dict:
         "filters_agg": (q_filters_agg, _filters_agg_sql()),
         "ann_filtered_topk": (q_ann_filtered_topk, _ann_filtered_sql()),
         "stemmed_search": (q_stemmed_search, _stemmed_search_sql()),
+        "adjacency_matrix": (q_adjacency_matrix, _adjacency_matrix_sql()),
+        "crossfields_topk": (q_crossfields_topk, _crossfields_sql()),
     }
