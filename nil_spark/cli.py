@@ -138,6 +138,23 @@ def cmd_build(args) -> int:
                               "detail": str(e)}), file=sys.stderr)
             spark.stop()
             return 2
+    kw_out = None
+    if getattr(args, "keyword_docvalues", None):
+        # keyword (sorted) doc-values: ordinal array + sorted term
+        # dictionary per field — the structure terms aggregations and
+        # keyword sorts read (Lucene SortedDocValues)
+        from nil_spark.operators.docvalues import write_keyword_docvalues
+
+        try:
+            kw_out = write_keyword_docvalues(
+                docs, args.index_dir,
+                [f for f in args.keyword_docvalues.split(",") if f],
+            )
+        except ValueError as e:
+            print(json.dumps({"error": "bad keyword docvalues field",
+                              "detail": str(e)}), file=sys.stderr)
+            spark.stop()
+            return 2
     n_pos = None
     if getattr(args, "positions", False):
         # positional side-car store (operators/positions.py): token-level
@@ -159,6 +176,7 @@ def cmd_build(args) -> int:
         **({"replica_store": published} if published else {}),
         **({"position_chunks": n_pos} if n_pos is not None else {}),
         **({"docvalues": sorted(dv_out)} if dv_out else {}),
+        **({"keyword_docvalues": sorted(kw_out)} if kw_out else {}),
     }))
     spark.stop()
     return 0
@@ -1321,24 +1339,57 @@ def cmd_agg(args) -> int:
         spark.stop()
         return opened
     _segs, _termdict, n_docs, avgdl = opened
-    from nil_spark.operators.docvalues import docvalues_dir
+    from nil_spark.operators.docvalues import (
+        docvalues_dir,
+        keyword_docvalues_dir,
+    )
 
-    dv = docvalues_dir(args.index_dir, args.field)
-    mdv = None
-    missing = [] if dv else [args.field]
-    if getattr(args, "metric_field", None):
-        mdv = docvalues_dir(args.index_dir, args.metric_field)
-        if mdv is None:
-            missing.append(args.metric_field)
-    if missing:
+    terms_field = getattr(args, "terms_field", None)
+    if terms_field and getattr(args, "field", None):
         print(json.dumps({
-            "error": "no doc-values store for field(s)",
-            "fields": missing,
-            "hint": f"rebuild with `build --docvalues "
-                    f"{','.join(missing)}`",
+            "error": "--field and --terms-field are mutually exclusive",
+            "hint": "date_histogram buckets a numeric field; the terms "
+                    "aggregation buckets a keyword field — pick one",
         }), file=sys.stderr)
         spark.stop()
         return 2
+    if not terms_field and not getattr(args, "field", None):
+        print(json.dumps({
+            "error": "one of --field / --terms-field is required",
+        }), file=sys.stderr)
+        spark.stop()
+        return 2
+
+    dv = mdv = kw = None
+    missing = []
+    if terms_field:
+        kw = keyword_docvalues_dir(args.index_dir, terms_field)
+        if kw is None:
+            print(json.dumps({
+                "error": "no keyword doc-values store for field",
+                "fields": [terms_field],
+                "hint": f"rebuild with `build --keyword-docvalues "
+                        f"{terms_field}`",
+            }), file=sys.stderr)
+            spark.stop()
+            return 2
+    else:
+        dv = docvalues_dir(args.index_dir, args.field)
+        if dv is None:
+            missing.append(args.field)
+        if getattr(args, "metric_field", None):
+            mdv = docvalues_dir(args.index_dir, args.metric_field)
+            if mdv is None:
+                missing.append(args.metric_field)
+        if missing:
+            print(json.dumps({
+                "error": "no doc-values store for field(s)",
+                "fields": missing,
+                "hint": f"rebuild with `build --docvalues "
+                        f"{','.join(missing)}`",
+            }), file=sys.stderr)
+            spark.stop()
+            return 2
 
     pos_store = None
     paths = None
@@ -1373,18 +1424,29 @@ def cmd_agg(args) -> int:
             _glob.glob(f"{args.index_dir}/partial_segments/part-*.parquet")
         ) or sorted(_glob.glob(f"{args.index_dir}/segments/part-*.parquet"))
 
-    from nil_spark.operators.aggs_engine import date_histogram_replica
+    from nil_spark.operators.aggs_engine import (
+        date_histogram_replica,
+        terms_agg_replica,
+    )
     from nil_spark.operators.deletes import load_tombstones
 
+    tombs = load_tombstones(spark, args.index_dir)
     try:
-        out = date_histogram_replica(
-            spark, dv, n_docs, args.interval,
-            dsl=getattr(args, "dsl", None),
-            shard_paths=paths, avgdl=avgdl, cfg=cfg,
-            pos_store=pos_store,
-            excluded=load_tombstones(spark, args.index_dir),
-            metric_dv_dir=mdv,
-        )
+        if terms_field:
+            out = terms_agg_replica(
+                spark, kw, n_docs, size=args.size,
+                dsl=getattr(args, "dsl", None),
+                shard_paths=paths, avgdl=avgdl, cfg=cfg,
+                pos_store=pos_store, excluded=tombs,
+            )
+        else:
+            out = date_histogram_replica(
+                spark, dv, n_docs, args.interval,
+                dsl=getattr(args, "dsl", None),
+                shard_paths=paths, avgdl=avgdl, cfg=cfg,
+                pos_store=pos_store, excluded=tombs,
+                metric_dv_dir=mdv,
+            )
         out.write.mode("overwrite").parquet(args.out)
     except ValueError as e:  # pruned dictionary / non-unigram index
         print(json.dumps({"error": "index unsuitable for agg",
@@ -1393,10 +1455,12 @@ def cmd_agg(args) -> int:
         return 2
     print(json.dumps({
         "buckets": spark.read.parquet(args.out).count(),
-        "field": args.field,
-        "interval_s": args.interval,
+        **({"terms_field": terms_field, "size": args.size}
+           if terms_field else
+           {"field": args.field, "interval_s": args.interval}),
         **({"metric_field": args.metric_field}
-           if getattr(args, "metric_field", None) else {}),
+           if not terms_field and getattr(args, "metric_field", None)
+           else {}),
         **({"dsl": args.dsl} if getattr(args, "dsl", None) else {}),
     }))
     spark.stop()
@@ -1431,6 +1495,10 @@ def main(argv=None) -> int:
     b.add_argument("--format", choices=["parquet", "csv", "json", "iceberg"],
                    default="parquet")
     b.add_argument("--index-dir", required=True)
+    b.add_argument("--keyword-docvalues", default=None,
+                    help="comma-separated keyword (string) fields to "
+                         "materialize as ordinal doc-values (Lucene "
+                         "SortedDocValues) for `agg --terms-field`")
     b.add_argument("--docvalues", default=None,
                    help="comma-separated corpus columns to materialize as "
                         "numeric doc-values side-cars (timestamps become "
@@ -1619,9 +1687,15 @@ def main(argv=None) -> int:
              "the index stores, corpus text never read",
     )
     ag.add_argument("--index-dir", required=True)
-    ag.add_argument("--field", required=True,
-                    help="doc-values field to bucket (built with "
-                         "`build --docvalues`)")
+    ag.add_argument("--field", default=None,
+                    help="numeric doc-values field to bucket as a "
+                         "date_histogram (built with `build --docvalues`)")
+    ag.add_argument("--terms-field", default=None,
+                    help="keyword doc-values field for a terms "
+                         "aggregation (built with `build "
+                         "--keyword-docvalues`); exclusive with --field")
+    ag.add_argument("--size", type=int, default=10,
+                    help="terms aggregation: top-N buckets (default 10)")
     ag.add_argument("--interval", type=float, default=86400.0,
                     help="bucket width in field units (epoch seconds for "
                          "timestamp fields; default 1 day)")

@@ -45,7 +45,7 @@ from typing import Iterator, Optional
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nil_spark.config import EngineConfig
@@ -59,6 +59,138 @@ from nil_spark.operators.dsl_exec import (
 from nil_spark.operators.docvalues import load_docvalues
 from nil_spark.operators.phrase import _membership
 from nil_spark.operators.segments import _load_replica
+
+
+def _prepare_filter_bc(
+    spark, dsl, shard_paths, cfg, pos_store, avgdl, universe_mode
+):
+    """Validate + compile the optional DSL filter into a broadcast
+    payload (serialized analyzed AST, resolved phrase doc-sets, replica
+    paths, scoring scalars) shared by every engine aggregation."""
+    if universe_mode not in ("dense", "indexed"):
+        raise ValueError(f"unknown universe_mode {universe_mode!r}")
+    if dsl is None:
+        return None
+    if shard_paths is None or cfg is None:
+        raise ValueError("a DSL filter needs shard_paths and the build cfg")
+    if cfg.gram_size != 1:
+        raise ValueError(
+            "DSL filters need a unigram index (gram_size=1, got "
+            f"{cfg.gram_size})"
+        )
+    if (
+        cfg.df_stopword_cutoff is not None
+        and float(cfg.df_stopword_cutoff) < 1.0
+    ):
+        raise ValueError(
+            "DSL filters need an unpruned term dictionary: "
+            f"df_stopword_cutoff {cfg.df_stopword_cutoff} < 1.0 may "
+            "have dropped filter terms from the index"
+        )
+    if universe_mode == "dense" and (
+        (cfg.min_tokens or 0) > 0 or (cfg.min_chars or 0) > 0
+    ):
+        raise ValueError(
+            "dense DSL NOT-complements assume dense doc ids; "
+            "min-size predicates filtered the index — build without "
+            "them or use universe_mode='indexed'"
+        )
+    from nil_spark.functions.querylang import analyze_ast
+
+    ast = analyze_ast(parse_query(dsl), cfg)
+    phrases: set = set()
+    _collect_phrases(ast, phrases)
+    phrase_ids = {ws: i for i, ws in enumerate(sorted(phrases))}
+    phrase_sets: dict = {i: _EMPTY for i in phrase_ids.values()}
+    if phrase_ids:
+        if pos_store is None:
+            raise ValueError(
+                "the DSL filter contains phrases but no positional "
+                "store was provided"
+            )
+        from nil_spark.operators.positions import phrase_search_positional
+
+        ppdf = pd.DataFrame(
+            {
+                "query_id": list(phrase_ids.values()),
+                "text": [" ".join(ws) for ws, _slop in phrase_ids],
+                "slop": [slop for _ws, slop in phrase_ids],
+            }
+        )
+        hits = (
+            phrase_search_positional(spark, ppdf, pos_store, cfg)
+            .select("query_id", "doc_id")
+            .toPandas()
+        )
+        for pid, grp in hits.groupby("query_id"):
+            phrase_sets[int(pid)] = np.sort(grp["doc_id"].to_numpy(np.int64))
+    payload = (
+        json.dumps(_ast_json(ast, phrase_ids)),
+        phrase_sets,
+        tuple(sorted(shard_paths)),
+        float(avgdl),
+        float(cfg.bm25_k1),
+        float(cfg.bm25_b),
+    )
+    return spark.sparkContext.broadcast(payload)
+
+
+def _eval_filter(payload, n_docs: int, universe_mode: str) -> np.ndarray:
+    """Worker-side: evaluate the compiled filter against the replica
+    store → SORTED matched doc ids (runs once per task; posting-mass
+    bounded, the per-shard repetition Lucene pays)."""
+    aj, psets, paths, a, k1, b = payload
+    view = _load_replica(paths, a, k1, b)
+    if universe_mode == "dense" and view.max_doc >= n_docs:
+        raise ValueError(
+            f"doc id {view.max_doc} >= n_docs {n_docs}: ids are not "
+            "dense — use universe_mode='indexed'"
+        )
+    ucache: list = []
+
+    def universe() -> np.ndarray:
+        if not ucache:
+            ucache.append(
+                np.arange(n_docs, dtype=np.int64)
+                if universe_mode == "dense"
+                else np.unique(np.asarray(view.docs, np.int64))
+            )
+        return ucache[0]
+
+    return np.asarray(
+        _eval_node(json.loads(aj), view, psets, universe), np.int64
+    )
+
+
+def _range_ids(
+    lo: int, hi: int, matched_global, excl
+) -> np.ndarray:
+    """Selected doc ids for one [lo, hi) range: the filter's matched
+    set clipped to the range (or the dense range itself), minus
+    tombstones."""
+    if matched_global is not None:
+        ids = matched_global[
+            np.searchsorted(matched_global, lo):
+            np.searchsorted(matched_global, hi)
+        ]
+    else:
+        ids = np.arange(lo, hi, dtype=np.int64)
+    if excl is not None and len(ids):
+        ids = ids[~_membership(excl, ids)]
+    return ids
+
+
+def _range_frame(spark, n_docs: int, n_splits):
+    n_splits = n_splits or max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1
+    )
+    n_splits = min(n_splits, n_docs)
+    step = math.ceil(n_docs / n_splits)
+    ranges = [(lo, min(lo + step, n_docs)) for lo in range(0, n_docs, step)]
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(ranges, len(ranges)),
+        "lo long, hi long",
+    )
 
 
 def date_histogram_replica(
@@ -95,84 +227,13 @@ def date_histogram_replica(
     [0, n_docs); exact DataFrame-backend parity, refused when min-size
     predicates punched holes in the indexed id space).
     """
-    if universe_mode not in ("dense", "indexed"):
-        raise ValueError(f"unknown universe_mode {universe_mode!r}")
     if interval_s <= 0:
         raise ValueError(f"interval_s must be positive, got {interval_s}")
     if n_docs <= 0:
         raise ValueError(f"n_docs must be positive, got {n_docs}")
 
-    filt_payload = None
-    if dsl is not None:
-        if shard_paths is None or cfg is None:
-            raise ValueError(
-                "a DSL filter needs shard_paths and the build cfg"
-            )
-        if cfg.gram_size != 1:
-            raise ValueError(
-                "DSL filters need a unigram index (gram_size=1, got "
-                f"{cfg.gram_size})"
-            )
-        if (
-            cfg.df_stopword_cutoff is not None
-            and float(cfg.df_stopword_cutoff) < 1.0
-        ):
-            raise ValueError(
-                "DSL filters need an unpruned term dictionary: "
-                f"df_stopword_cutoff {cfg.df_stopword_cutoff} < 1.0 may "
-                "have dropped filter terms from the index"
-            )
-        if universe_mode == "dense" and (
-            (cfg.min_tokens or 0) > 0 or (cfg.min_chars or 0) > 0
-        ):
-            raise ValueError(
-                "dense DSL NOT-complements assume dense doc ids; "
-                "min-size predicates filtered the index — build without "
-                "them or use universe_mode='indexed'"
-            )
-        from nil_spark.functions.querylang import analyze_ast
-
-        ast = analyze_ast(parse_query(dsl), cfg)
-        phrases: set = set()
-        _collect_phrases(ast, phrases)
-        phrase_ids = {ws: i for i, ws in enumerate(sorted(phrases))}
-        phrase_sets: dict = {i: _EMPTY for i in phrase_ids.values()}
-        if phrase_ids:
-            if pos_store is None:
-                raise ValueError(
-                    "the DSL filter contains phrases but no positional "
-                    "store was provided"
-                )
-            from nil_spark.operators.positions import (
-                phrase_search_positional,
-            )
-
-            ppdf = pd.DataFrame(
-                {
-                    "query_id": list(phrase_ids.values()),
-                    "text": [" ".join(ws) for ws, _slop in phrase_ids],
-                    "slop": [slop for _ws, slop in phrase_ids],
-                }
-            )
-            hits = (
-                phrase_search_positional(spark, ppdf, pos_store, cfg)
-                .select("query_id", "doc_id")
-                .toPandas()
-            )
-            for pid, grp in hits.groupby("query_id"):
-                phrase_sets[int(pid)] = np.sort(
-                    grp["doc_id"].to_numpy(np.int64)
-                )
-        filt_payload = (
-            json.dumps(_ast_json(ast, phrase_ids)),
-            phrase_sets,
-            tuple(sorted(shard_paths)),
-            float(avgdl),
-            float(cfg.bm25_k1),
-            float(cfg.bm25_b),
-        )
-    filt_bc = (
-        spark.sparkContext.broadcast(filt_payload) if filt_payload else None
+    filt_bc = _prepare_filter_bc(
+        spark, dsl, shard_paths, cfg, pos_store, avgdl, universe_mode
     )
     excl_bc = (
         spark.sparkContext.broadcast(
@@ -181,19 +242,7 @@ def date_histogram_replica(
         if excluded is not None and len(excluded)
         else None
     )
-
-    n_splits = n_splits or max(
-        int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1
-    )
-    n_splits = min(n_splits, n_docs)
-    step = math.ceil(n_docs / n_splits)
-    ranges = [
-        (lo, min(lo + step, n_docs)) for lo in range(0, n_docs, step)
-    ]
-    rdf = spark.createDataFrame(
-        spark.sparkContext.parallelize(ranges, len(ranges)),
-        "lo long, hi long",
-    )
+    rdf = _range_frame(spark, n_docs, n_splits)
     interval = float(interval_s)
     dv = dv_dir
     mdv = metric_dv_dir
@@ -211,45 +260,13 @@ def date_histogram_replica(
                 if with_metric:
                     mvals = load_docvalues(mdv)
                 if filt_bc is not None and matched_global is None:
-                    aj, psets, paths, a, k1, b = filt_bc.value
-                    view = _load_replica(paths, a, k1, b)
-                    if universe_mode == "dense" and view.max_doc >= n_docs:
-                        raise ValueError(
-                            f"doc id {view.max_doc} >= n_docs {n_docs}:"
-                            " ids are not dense — use "
-                            "universe_mode='indexed'"
-                        )
-
-                    ucache: list = []
-
-                    def universe() -> np.ndarray:
-                        if not ucache:
-                            ucache.append(
-                                np.arange(n_docs, dtype=np.int64)
-                                if universe_mode == "dense"
-                                else np.unique(
-                                    np.asarray(view.docs, np.int64)
-                                )
-                            )
-                        return ucache[0]
-
-                    matched_global = np.asarray(
-                        _eval_node(json.loads(aj), view, psets, universe),
-                        np.int64,
+                    matched_global = _eval_filter(
+                        filt_bc.value, n_docs, universe_mode
                     )
             out = []
+            excl = excl_bc.value if excl_bc is not None else None
             for lo, hi in zip(pdf["lo"], pdf["hi"]):
-                lo, hi = int(lo), int(hi)
-                if matched_global is not None:
-                    sl = matched_global[
-                        np.searchsorted(matched_global, lo):
-                        np.searchsorted(matched_global, hi)
-                    ]
-                    ids = sl
-                else:
-                    ids = np.arange(lo, hi, dtype=np.int64)
-                if excl_bc is not None and len(ids):
-                    ids = ids[~_membership(excl_bc.value, ids)]
+                ids = _range_ids(int(lo), int(hi), matched_global, excl)
                 if not len(ids):
                     continue
                 v = np.where(
@@ -313,3 +330,111 @@ def date_histogram_replica(
             ).alias("value_avg"),
         ]
     return spine.join(buckets, "bucket", "left").select(*cols)
+
+
+def terms_agg_replica(
+    spark: SparkSession,
+    kw_dir: str,
+    n_docs: int,
+    size: int = 10,
+    dsl: Optional[str] = None,
+    shard_paths: Optional[list] = None,
+    avgdl: float = 1.0,
+    cfg: Optional[EngineConfig] = None,
+    pos_store: Optional[DataFrame] = None,
+    excluded: Optional[np.ndarray] = None,
+    n_splits: Optional[int] = None,
+    universe_mode: str = "indexed",
+) -> DataFrame:
+    """ES ``terms`` aggregation over a KEYWORD doc-values field
+    (Lucene SortedDocValues): top-``size`` buckets by doc_count
+    (ties by term asc), exact — per-id-range tasks bincount the
+    node-shared ORDINAL array (one int32 read per doc, no strings
+    touched until the final tiny dictionary join), partials are
+    (ordinal, count) rows bounded by the field's cardinality, one
+    bucket reduce, then the sorted term dictionary maps ordinals back
+    to terms.  This is why keyword fields aggregate fast in Lucene:
+    the per-segment work is integer bincounts over ordinals, and the
+    global merge is cardinality-sized.  Output also carries
+    ``total_doc_count`` (docs with a value, post-filter/tombstone) so
+    ES's ``sum_other_doc_count`` is derivable.  Missing values
+    (ordinal -1) are skipped, ES missing-bucket semantics.  Same
+    optional DSL filter / tombstone / universe contract as
+    ``date_histogram_replica``."""
+    if size <= 0:
+        raise ValueError(f"size must be positive, got {size}")
+    if n_docs <= 0:
+        raise ValueError(f"n_docs must be positive, got {n_docs}")
+
+    from nil_spark.operators.docvalues import load_keyword_docvalues
+
+    filt_bc = _prepare_filter_bc(
+        spark, dsl, shard_paths, cfg, pos_store, avgdl, universe_mode
+    )
+    excl_bc = (
+        spark.sparkContext.broadcast(
+            np.unique(np.asarray(excluded, np.int64))
+        )
+        if excluded is not None and len(excluded)
+        else None
+    )
+    rdf = _range_frame(spark, n_docs, n_splits)
+    kd = kw_dir
+
+    def per_range(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ords = None
+        matched_global = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if ords is None:
+                ords, _terms = load_keyword_docvalues(kd)
+                if filt_bc is not None and matched_global is None:
+                    matched_global = _eval_filter(
+                        filt_bc.value, n_docs, universe_mode
+                    )
+            out = []
+            excl = excl_bc.value if excl_bc is not None else None
+            for lo, hi in zip(pdf["lo"], pdf["hi"]):
+                ids = _range_ids(int(lo), int(hi), matched_global, excl)
+                if not len(ids):
+                    continue
+                o = np.where(
+                    ids < len(ords),
+                    ords[np.minimum(ids, len(ords) - 1)],
+                    -1,
+                ).astype(np.int64)
+                o = o[o >= 0]
+                if not len(o):
+                    continue
+                cnt = np.bincount(o)
+                nz = np.nonzero(cnt)[0]
+                out.append(
+                    pd.DataFrame(
+                        {"ord": nz, "cnt": cnt[nz].astype(np.int64)}
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    partials = rdf.mapInPandas(per_range, schema="ord long, cnt long")
+    buckets = partials.groupBy("ord").agg(
+        F.sum("cnt").cast("long").alias("doc_count")
+    )
+    # the dictionary is vocabulary-sized by definition of keyword
+    # doc-values — broadcast to the cardinality-sized bucket set
+    _, terms = load_keyword_docvalues(kw_dir)
+    tdf = spark.createDataFrame(
+        list(enumerate(terms)), "ord long, term string"
+    )
+    w = Window.orderBy(F.col("doc_count").desc(), F.col("term"))
+    total = buckets.agg(
+        F.sum("doc_count").cast("long").alias("total_doc_count")
+    )
+    return (
+        buckets.join(F.broadcast(tdf), "ord")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= size)
+        .crossJoin(F.broadcast(total))
+        .select("rank", "term", "doc_count", "total_doc_count")
+    )

@@ -116,6 +116,111 @@ def load_docvalues(dv_dir: str) -> np.ndarray:
     return arr
 
 
+# ------------------------------------------- keyword (sorted) doc-values
+#
+# Lucene SortedDocValues: a per-field ORDINAL per doc plus a sorted term
+# dictionary — the structure ES terms aggregations and keyword sorts
+# read.  On-disk: <index_dir>/docvalues_kw/<field>/ords (doc_id, ord)
+# parquet + dict.json (ordinal-indexed sorted term list).  Missing
+# values get ordinal -1 (ES missing-bucket semantics: skipped).
+
+
+def write_keyword_docvalues(docs_with_ids, index_dir: str, fields: list) -> dict:
+    """Materialize ordinal-encoded keyword doc-values.  The dictionary
+    is the field's SORTED distinct value set (vocabulary-sized by
+    definition of a keyword field — collected to the driver the way
+    Lucene keeps the terms dict per segment), broadcast into a map-only
+    ordinal projection."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    out = {}
+    for f in fields:
+        if f not in docs_with_ids.columns:
+            raise ValueError(
+                f"keyword docvalues field {f!r} not in corpus columns "
+                f"{docs_with_ids.columns}"
+            )
+        base = os.path.join(index_dir, "docvalues_kw", f)
+        vals = sorted(
+            r[0]
+            for r in docs_with_ids.select(F.col(f).cast("string"))
+            .distinct()
+            .collect()
+            if r[0] is not None
+        )
+        ords = {v: i for i, v in enumerate(vals)}
+        spark = docs_with_ids.sparkSession
+        omap = F.create_map(
+            *[x for v, i in ords.items() for x in (F.lit(v), F.lit(i))]
+        )
+        (
+            docs_with_ids.select(
+                "doc_id",
+                F.coalesce(
+                    omap[F.col(f).cast("string")], F.lit(-1)
+                ).cast("int").alias("ord"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(base, "ords"))
+        )
+        with open(os.path.join(base, "dict.json"), "w") as fh:
+            _json.dump(vals, fh)
+        out[f] = base
+    return out
+
+
+def keyword_docvalues_dir(index_dir: str, field: str) -> str | None:
+    """The field's keyword store dir if complete, else None."""
+    d = os.path.join(index_dir, "docvalues_kw", field)
+    if os.path.exists(os.path.join(d, "ords", "_SUCCESS")) and os.path.exists(
+        os.path.join(d, "dict.json")
+    ):
+        return d
+    return None
+
+
+def _build_ord_array(kw_dir: str) -> tuple:
+    import pyarrow.parquet as pq
+
+    parts = sorted(glob.glob(os.path.join(kw_dir, "ords", "part-*.parquet")))
+    ids_list, ord_list = [], []
+    for p in parts:
+        t = pq.read_table(p, columns=["doc_id", "ord"])
+        ids_list.append(t.column("doc_id").to_numpy(zero_copy_only=False))
+        ord_list.append(t.column("ord").to_numpy(zero_copy_only=False))
+    if not ids_list:
+        return (np.full(1, -1, np.int32),)
+    ids = np.concatenate(ids_list).astype(np.int64)
+    os_ = np.concatenate(ord_list).astype(np.int32)
+    dense = np.full(int(ids.max()) + 1 if len(ids) else 1, -1, np.int32)
+    dense[ids] = os_
+    return (dense,)
+
+
+def load_keyword_docvalues(kw_dir: str) -> tuple:
+    """(dense int32 ordinal array, sorted term list) — the ordinal
+    array is node-shared (publish once, mmap after); the dict is a
+    tiny JSON read per process."""
+    import json as _json
+
+    from nil_spark.operators.segments import _published_arrays
+
+    parts = tuple(
+        sorted(glob.glob(os.path.join(kw_dir, "ords", "part-*.parquet")))
+    )
+    (arr,) = _published_arrays(
+        ("docvalues_kw", kw_dir),
+        parts,
+        lambda: _build_ord_array(kw_dir),
+        names=("ords",),
+    )
+    with open(os.path.join(kw_dir, "dict.json")) as fh:
+        terms = _json.load(fh)
+    return arr, terms
+
+
 def gauss_factor(
     values: np.ndarray, doc_ids: np.ndarray, origin: float, sigma: float
 ) -> np.ndarray:

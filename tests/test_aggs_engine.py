@@ -283,6 +283,157 @@ def test_cli_agg_lifecycle(spark, idx, tmp_path):
     assert err["fields"] == ["nope"]
 
 
+@pytest.fixture(scope="module")
+def kw_idx(spark, idx):
+    """Keyword (ordinal) doc-values over `role` on the same corpus."""
+    d, shard_paths, n_docs, pdf = idx
+    from nil_spark.operators.docvalues import (
+        keyword_docvalues_dir,
+        write_keyword_docvalues,
+    )
+
+    if keyword_docvalues_dir(d, "role") is None:
+        docs = assign_doc_ids(spark_transcripts(spark, N_TURNS, seed=SEED))
+        write_keyword_docvalues(docs, d, ["role"])
+    roles = (
+        assign_doc_ids(spark_transcripts(spark, N_TURNS, seed=SEED))
+        .select("doc_id", "role")
+        .toPandas()
+    )
+    return keyword_docvalues_dir(d, "role"), roles
+
+
+def _terms_oracle(roles: pd.DataFrame, size: int = 10) -> pd.DataFrame:
+    g = (
+        roles.dropna(subset=["role"])
+        .groupby("role")
+        .size()
+        .reset_index(name="doc_count")
+        .sort_values(["doc_count", "role"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    out = g.head(size).copy()
+    out.insert(0, "rank", range(1, len(out) + 1))
+    out = out.rename(columns={"role": "term"})
+    out["total_doc_count"] = int(g["doc_count"].sum())
+    return out[["rank", "term", "doc_count", "total_doc_count"]]
+
+
+def test_terms_agg_matches_oracle(spark, idx, kw_idx):
+    from nil_spark.operators.aggs_engine import terms_agg_replica
+
+    d, shard_paths, n_docs, pdf = idx
+    kw, roles = kw_idx
+    got = (
+        terms_agg_replica(spark, kw, n_docs, size=10)
+        .toPandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    exp = _terms_oracle(roles)
+    assert got.values.tolist() == exp.values.tolist(), (got, exp)
+
+
+def test_terms_agg_size_and_total(spark, idx, kw_idx):
+    from nil_spark.operators.aggs_engine import terms_agg_replica
+
+    d, shard_paths, n_docs, pdf = idx
+    kw, roles = kw_idx
+    got = terms_agg_replica(spark, kw, n_docs, size=2).toPandas()
+    exp = _terms_oracle(roles, size=2)
+    assert len(got) == min(2, len(exp))
+    # sum_other_doc_count derivable: total - shown
+    assert (
+        int(got["total_doc_count"].iloc[0]) - int(got["doc_count"].sum())
+        == int(exp["total_doc_count"].iloc[0]) - int(exp["doc_count"].sum())
+    )
+
+
+def test_terms_agg_dsl_and_tombstones(spark, idx, kw_idx):
+    from nil_spark.operators.aggs_engine import terms_agg_replica
+
+    d, shard_paths, n_docs, pdf = idx
+    kw, roles = kw_idx
+    ast = parse_query("w00003 AND w00007")
+    sdf = spark.createDataFrame(pdf[["doc_id", "ltext"]])
+    base = sdf.select(
+        "doc_id",
+        F.filter(F.split("ltext", "[^a-z0-9]+"), lambda x: x != "").alias(
+            "toks"
+        ),
+    ).withColumn(
+        "padded",
+        F.concat(F.lit(" "), F.array_join("toks", " "), F.lit(" ")),
+    )
+    keep = set(
+        r[0]
+        for r in base.filter(
+            compile_spark(ast, F.col("toks"), F.col("padded"))
+        )
+        .select("doc_id")
+        .collect()
+    )
+    rng = np.random.default_rng(7)
+    tombs = np.unique(
+        rng.choice(n_docs, size=n_docs // 20, replace=False)
+    ).astype(np.int64)
+    got = (
+        terms_agg_replica(
+            spark, kw, n_docs, size=10,
+            dsl="w00003 AND w00007", shard_paths=shard_paths, cfg=CFG,
+            excluded=tombs, universe_mode="dense",
+        )
+        .toPandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    sel = roles[
+        roles["doc_id"].isin(keep - set(tombs.tolist()))
+    ]
+    exp = _terms_oracle(sel)
+    assert got.values.tolist() == exp.values.tolist(), (got, exp)
+
+
+def test_cli_terms_agg(spark, tmp_path):
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run(extra):
+        return subprocess.run(
+            [sys.executable, os.path.join(repo, "cli_main.py"),
+             "--master", "local[2]", "--shuffle-partitions", "4",
+             "--stopword-cutoff", "2.0", *extra],
+            capture_output=True, text=True, timeout=600, cwd=repo,
+        )
+
+    corpus = str(tmp_path / "corpus.parquet")
+    spark_transcripts(spark, 600, seed=31).write.mode("overwrite").parquet(
+        corpus
+    )
+    idx_dir = str(tmp_path / "idx")
+    r = run(["build", "--input", corpus, "--index-dir", idx_dir,
+             "--keyword-docvalues", "role"])
+    assert r.returncode == 0, r.stderr
+    out = str(tmp_path / "tagg")
+    r = run(["agg", "--index-dir", idx_dir, "--terms-field", "role",
+             "--size", "3", "--out", out])
+    assert r.returncode == 0, r.stderr
+    got = spark.read.parquet(out).toPandas()
+    assert len(got) <= 3 and int(got["doc_count"].sum()) > 0
+    assert int(got["total_doc_count"].iloc[0]) == 600
+
+    # mutual exclusion is a structured error
+    r = run(["agg", "--index-dir", idx_dir, "--terms-field", "role",
+             "--field", "ts", "--out", str(tmp_path / "x")])
+    assert r.returncode == 2
+    import json as _json
+
+    err = _json.loads(r.stderr.strip().splitlines()[-1])
+    assert "mutually exclusive" in err["error"]
+
+
 def test_guards(spark, idx):
     d, shard_paths, n_docs, _ = idx
     dv = docvalues_dir(d, "ts")
