@@ -1373,6 +1373,17 @@ def cmd_agg(args) -> int:
             }), file=sys.stderr)
             spark.stop()
             return 2
+        if getattr(args, "metric_field", None):
+            mdv = docvalues_dir(args.index_dir, args.metric_field)
+            if mdv is None:
+                print(json.dumps({
+                    "error": "no doc-values store for field(s)",
+                    "fields": [args.metric_field],
+                    "hint": f"rebuild with `build --docvalues "
+                            f"{args.metric_field}`",
+                }), file=sys.stderr)
+                spark.stop()
+                return 2
     else:
         dv = docvalues_dir(args.index_dir, args.field)
         if dv is None:
@@ -1438,6 +1449,7 @@ def cmd_agg(args) -> int:
                 dsl=getattr(args, "dsl", None),
                 shard_paths=paths, avgdl=avgdl, cfg=cfg,
                 pos_store=pos_store, excluded=tombs,
+                metric_dv_dir=mdv,
             )
         else:
             out = date_histogram_replica(
@@ -1459,8 +1471,7 @@ def cmd_agg(args) -> int:
            if terms_field else
            {"field": args.field, "interval_s": args.interval}),
         **({"metric_field": args.metric_field}
-           if not terms_field and getattr(args, "metric_field", None)
-           else {}),
+           if getattr(args, "metric_field", None) else {}),
         **({"dsl": args.dsl} if getattr(args, "dsl", None) else {}),
     }))
     spark.stop()

@@ -343,6 +343,7 @@ def terms_agg_replica(
     cfg: Optional[EngineConfig] = None,
     pos_store: Optional[DataFrame] = None,
     excluded: Optional[np.ndarray] = None,
+    metric_dv_dir: Optional[str] = None,
     n_splits: Optional[int] = None,
     universe_mode: str = "indexed",
 ) -> DataFrame:
@@ -358,7 +359,11 @@ def terms_agg_replica(
     global merge is cardinality-sized.  Output also carries
     ``total_doc_count`` (docs with a value, post-filter/tombstone) so
     ES's ``sum_other_doc_count`` is derivable.  Missing values
-    (ordinal -1) are skipped, ES missing-bucket semantics.  Same
+    (ordinal -1) are skipped, ES missing-bucket semantics.
+    ``metric_dv_dir``: optional numeric doc-values field nested under
+    the buckets (ES terms + sum/avg sub-aggregation) — accumulated in
+    the same weighted bincount, docs missing the metric skipped from
+    the bucket entirely (consistent doc_count/value_avg base).  Same
     optional DSL filter / tombstone / universe contract as
     ``date_histogram_replica``."""
     if size <= 0:
@@ -380,15 +385,20 @@ def terms_agg_replica(
     )
     rdf = _range_frame(spark, n_docs, n_splits)
     kd = kw_dir
+    mdv = metric_dv_dir
+    with_metric = mdv is not None
 
     def per_range(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ords = None
+        mvals = None
         matched_global = None
         for pdf in it:
             if len(pdf) == 0:
                 continue
             if ords is None:
                 ords, _terms = load_keyword_docvalues(kd)
+                if with_metric:
+                    mvals = load_docvalues(mdv)
                 if filt_bc is not None and matched_global is None:
                     matched_global = _eval_filter(
                         filt_bc.value, n_docs, universe_mode
@@ -404,23 +414,33 @@ def terms_agg_replica(
                     ords[np.minimum(ids, len(ords) - 1)],
                     -1,
                 ).astype(np.int64)
-                o = o[o >= 0]
+                if with_metric:
+                    m = np.where(
+                        ids < len(mvals),
+                        mvals[np.minimum(ids, len(mvals) - 1)],
+                        np.nan,
+                    )
+                    keep = (o >= 0) & ~np.isnan(m)
+                    o, m = o[keep], m[keep]
+                else:
+                    o = o[o >= 0]
                 if not len(o):
                     continue
                 cnt = np.bincount(o)
                 nz = np.nonzero(cnt)[0]
-                out.append(
-                    pd.DataFrame(
-                        {"ord": nz, "cnt": cnt[nz].astype(np.int64)}
-                    )
-                )
+                row = {"ord": nz, "cnt": cnt[nz].astype(np.int64)}
+                if with_metric:
+                    row["msum"] = np.bincount(o, weights=m)[nz]
+                out.append(pd.DataFrame(row))
             if out:
                 yield pd.concat(out, ignore_index=True)
 
-    partials = rdf.mapInPandas(per_range, schema="ord long, cnt long")
-    buckets = partials.groupBy("ord").agg(
-        F.sum("cnt").cast("long").alias("doc_count")
-    )
+    schema = "ord long, cnt long" + (", msum double" if with_metric else "")
+    partials = rdf.mapInPandas(per_range, schema=schema)
+    aggs = [F.sum("cnt").cast("long").alias("doc_count")]
+    if with_metric:
+        aggs.append(F.sum("msum").alias("vs"))
+    buckets = partials.groupBy("ord").agg(*aggs)
     # the dictionary is vocabulary-sized by definition of keyword
     # doc-values — broadcast to the cardinality-sized bucket set
     _, terms = load_keyword_docvalues(kw_dir)
@@ -431,10 +451,16 @@ def terms_agg_replica(
     total = buckets.agg(
         F.sum("doc_count").cast("long").alias("total_doc_count")
     )
+    cols = ["rank", "term", "doc_count", "total_doc_count"]
+    if with_metric:
+        cols += [
+            F.round("vs", 6).alias("value_sum"),
+            F.round(F.col("vs") / F.col("doc_count"), 6).alias("value_avg"),
+        ]
     return (
         buckets.join(F.broadcast(tdf), "ord")
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= size)
         .crossJoin(F.broadcast(total))
-        .select("rank", "term", "doc_count", "total_doc_count")
+        .select(*cols)
     )

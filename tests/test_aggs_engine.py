@@ -394,6 +394,42 @@ def test_terms_agg_dsl_and_tombstones(spark, idx, kw_idx):
     assert got.values.tolist() == exp.values.tolist(), (got, exp)
 
 
+def test_terms_agg_metric_subagg(spark, idx, kw_idx):
+    from nil_spark.operators.aggs_engine import terms_agg_replica
+
+    d, shard_paths, n_docs, pdf = idx
+    kw, roles = kw_idx
+    got = (
+        terms_agg_replica(
+            spark, kw, n_docs, size=10,
+            metric_dv_dir=docvalues_dir(d, "turn_idx"),
+        )
+        .toPandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    j = roles.merge(pdf[["doc_id", "metric"]], on="doc_id")
+    g = (
+        j.dropna(subset=["role", "metric"])
+        .groupby("role")
+        .agg(doc_count=("metric", "size"), value_sum=("metric", "sum"))
+        .reset_index()
+        .sort_values(["doc_count", "role"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    assert got["term"].tolist() == g["role"].tolist()
+    assert got["doc_count"].tolist() == g["doc_count"].tolist()
+    assert np.allclose(
+        got["value_sum"], np.round(g["value_sum"].astype(float), 6)
+    )
+    assert np.allclose(
+        got["value_avg"],
+        np.round(
+            (g["value_sum"] / g["doc_count"]).astype(float), 6
+        ),
+    )
+
+
 def test_cli_terms_agg(spark, tmp_path):
     import subprocess
     import sys
