@@ -893,18 +893,27 @@ def cmd_query(args) -> int:
                 cfg = cfg.with_(lmd_mu=float(getattr(args, "lmd_mu", 2000.0)))
             dk = sb = None
             if decay_arg or sort_arg:
-                from nil_spark.operators.docvalues import docvalues_dir
+                from nil_spark.operators.docvalues import (
+                    docvalues_dir,
+                    keyword_docvalues_dir,
+                )
 
                 spec = decay_arg or sort_arg
                 field = spec.split(":")[0]
                 dv = docvalues_dir(args.index_dir, field)
-                if dv is None:
+                kw = (
+                    keyword_docvalues_dir(args.index_dir, field)
+                    if dv is None and sort_arg
+                    else None
+                )
+                if dv is None and kw is None:
                     print(json.dumps({
                         "error": f"no doc-values store for field {field!r}",
                         "index_dir": args.index_dir,
                         "hint": f"rebuild with `build --docvalues {field}` "
-                                "(a COMPLETE docvalues/<field> side-car is "
-                                "required)",
+                                "(numeric) or `build --keyword-docvalues "
+                                f"{field}` (keyword sort; --decay needs "
+                                "numeric) — a COMPLETE side-car is required",
                     }), file=sys.stderr)
                     spark.stop()
                     return 2
@@ -924,8 +933,10 @@ def cmd_query(args) -> int:
                         p = sort_arg.split(":")
                         if len(p) > 2 or (len(p) == 2 and p[1] not in ("asc", "desc")):
                             raise ValueError(sort_arg)
-                        sb = {"dv_dir": dv,
+                        sb = {"dv_dir": dv or kw,
                               "ascending": len(p) == 2 and p[1] == "asc"}
+                        if kw is not None:
+                            sb["kind"] = "keyword"
                 except ValueError:
                     print(json.dumps({
                         "error": f"malformed doc-values spec {spec!r}",
@@ -968,6 +979,22 @@ def cmd_query(args) -> int:
         out = out.withColumnRenamed("bm25", "score")
     elif sort_arg:
         out = out.withColumnRenamed("bm25", "sort_value")
+        if sb is not None and sb.get("kind") == "keyword":
+            # sort_value is the SortedDocValues ORDINAL (how Lucene
+            # sorts keywords); surface the term itself alongside via
+            # the tiny sorted dictionary
+            import os
+
+            with open(os.path.join(sb["dv_dir"], "dict.json")) as fh:
+                _terms = json.load(fh)
+            tdf = spark.createDataFrame(
+                list(enumerate(_terms)), "___o long, sort_term string"
+            )
+            out = out.join(
+                F.broadcast(tdf),
+                out["sort_value"].cast("long") == tdf["___o"],
+                "left",
+            ).drop("___o")
     if verify != "none":
         from nil_spark.operators.search_verify import verify_topk
 

@@ -1606,9 +1606,26 @@ def topk_replica_resident(
                     max(n_docs, replica.max_doc + 1), dtype=np.float64
                 )
                 if decay is not None or sort_by is not None:
-                    from nil_spark.operators.docvalues import load_docvalues
+                    spec = decay or sort_by
+                    if spec.get("kind") == "keyword":
+                        # Lucene sorts keyword fields by SortedDocValues
+                        # ORDINAL — the dictionary is sorted, so ordinal
+                        # order IS term order; missing (-1) becomes NaN
+                        # and rides the numeric NaN-last sort path
+                        from nil_spark.operators.docvalues import (
+                            load_keyword_docvalues,
+                        )
 
-                    dvals = load_docvalues((decay or sort_by)["dv_dir"])
+                        _ords, _ = load_keyword_docvalues(spec["dv_dir"])
+                        dvals = np.where(
+                            _ords < 0, np.nan, _ords.astype(np.float64)
+                        )
+                    else:
+                        from nil_spark.operators.docvalues import (
+                            load_docvalues,
+                        )
+
+                        dvals = load_docvalues(spec["dv_dir"])
             out_q, out_r, out_d, out_s = [], [], [], []
             if df_bc is not None:  # worker-side tokenize
                 toks = tokenize_series(pdf["text"], cfg)

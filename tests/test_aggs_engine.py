@@ -430,6 +430,99 @@ def test_terms_agg_metric_subagg(spark, idx, kw_idx):
     )
 
 
+def test_keyword_sort_replica(spark, idx, kw_idx):
+    """Lucene keyword sort: the replica kernel orders matches by
+    SortedDocValues ORDINAL (dictionary is sorted, so ordinal order is
+    term order), missing last, doc_id ties ascending."""
+    from pyspark.sql import functions as SF
+
+    from nil_spark.operators.segments import (
+        DOCSTAT_SENTINEL,
+        topk_replica_resident,
+    )
+
+    d, shard_paths, n_docs, pdf = idx
+    kw, roles = kw_idx
+    raw = spark.read.parquet(os.path.join(d, "segments"))
+    termdict = (
+        raw.filter(SF.col("term") != DOCSTAT_SENTINEL)
+        .groupBy("term")
+        .agg(SF.sum("n_postings").cast("long").alias("df"))
+        .toPandas()
+    )
+    st = (
+        raw.filter(SF.col("term") == DOCSTAT_SENTINEL)
+        .agg(SF.sum("n_postings").alias("n"),
+             SF.sum(SF.element_at("bm_max", 1)).alias("s"))
+        .collect()[0]
+    )
+    avgdl = float(st["s"]) / int(st["n"])
+
+    k = 15
+    qpdf = pd.DataFrame({"query_id": [0], "text": ["w00013"], "k": [k]})
+    for asc in (True, False):
+        got = (
+            topk_replica_resident(
+                spark, qpdf, shard_paths, termdict, n_docs, avgdl, CFG,
+                sort_by={"dv_dir": kw, "kind": "keyword",
+                         "ascending": asc},
+            )
+            .toPandas()
+            .sort_values("rank")
+            .reset_index(drop=True)
+        )
+        vocab = sorted(roles["role"].dropna().unique().tolist())
+        ordmap = {v: i for i, v in enumerate(vocab)}
+        matches = pdf[
+            pdf["ltext"].str.split("[^a-z0-9]+").map(
+                lambda ts: "w00013" in ts
+            )
+        ].merge(roles, on="doc_id")
+        matches = matches.assign(o=matches["role"].map(ordmap))
+        exp = matches.sort_values(
+            ["o", "doc_id"], ascending=[asc, True]
+        ).head(k)
+        assert got["doc_id"].tolist() == exp["doc_id"].tolist(), asc
+        assert got["bm25"].tolist() == [float(o) for o in exp["o"]], asc
+
+
+def test_cli_keyword_sort(spark, tmp_path):
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run(extra):
+        return subprocess.run(
+            [sys.executable, os.path.join(repo, "cli_main.py"),
+             "--master", "local[2]", "--shuffle-partitions", "4", *extra],
+            capture_output=True, text=True, timeout=600, cwd=repo,
+        )
+
+    corpus = str(tmp_path / "corpus.parquet")
+    spark_transcripts(spark, 500, seed=41).write.mode("overwrite").parquet(
+        corpus
+    )
+    idx_dir = str(tmp_path / "idx")
+    r = run(["build", "--input", corpus, "--index-dir", idx_dir,
+             "--keyword-docvalues", "role"])
+    assert r.returncode == 0, r.stderr
+    qp = str(tmp_path / "q.parquet")
+    spark.createDataFrame(
+        [(0, "w00013 w00042", 8)], "query_id long, text string, k int"
+    ).write.mode("overwrite").parquet(qp)
+    out = str(tmp_path / "res")
+    r = run(["query", "--index-dir", idx_dir, "--topology", "replica",
+             "--sort-by", "role:asc", "--queries", qp, "--out", out])
+    assert r.returncode == 0, r.stderr
+    got = spark.read.parquet(out).toPandas().sort_values("rank")
+    assert len(got) > 0
+    assert "sort_term" in got.columns
+    # terms come back in dictionary (== lexicographic) order
+    terms = got["sort_term"].dropna().tolist()
+    assert terms == sorted(terms)
+
+
 def test_cli_terms_agg(spark, tmp_path):
     import subprocess
     import sys
