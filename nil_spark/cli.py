@@ -798,12 +798,6 @@ def cmd_query(args) -> int:
             bad = f"--topology {topology}"
         elif verify != "none":
             bad = "--verify"
-        elif sort_arg:
-            # decay composes (the cursor lives in the combined score
-            # space the kernel serves); a field sort does not — its
-            # cursor would be a (value, doc) pair the kernel doesn't
-            # take yet
-            bad = "--sort-by"
         elif "after_doc" not in q.columns or "after_score" not in q.columns:
             bad = "a queries file with only one of after_doc/after_score"
         if bad is not None:

@@ -1551,8 +1551,15 @@ def topk_replica_resident(
         _ad = [
             -1 if pd.isna(d) else int(d) for d in queries_pdf["after_doc"]
         ]
+        # NaN after_score is PRESERVED: under a field sort it is a real
+        # cursor position (the page ended inside the missing-values
+        # block, which sorts last — the kernel maps it to the same ±inf
+        # sentinel sort_key uses).  On the BM25 path a NaN cursor can't
+        # come from a real page (scores are never NaN); there the
+        # all-False keep mask returns the empty page, i.e. "past the
+        # end", which is the honest answer for a forged cursor.
         _as = [
-            0.0 if pd.isna(s) else float(s)
+            float("nan") if pd.isna(s) else float(s)
             for s in queries_pdf.get("after_score", [float("nan")] * len(_ad))
         ]
     else:
@@ -1655,9 +1662,33 @@ def topk_replica_resident(
                         else hits[0][0][0]
                     )
                     kk = int(kk)
-                    keyv = sort_key(dvals, cu, sort_by["ascending"])
+                    asc = sort_by["ascending"]
+                    keyv = sort_key(dvals, cu, asc)
+                    if a_d >= 0:
+                        # search_after in the field-sort space: the
+                        # cursor is (page N-1's last sort_value,
+                        # doc_id).  Compared on the ROUNDED key — the
+                        # space the cursor came from — exact across
+                        # equal-value ties; a NaN cursor (the page
+                        # ended inside the missing-values block, which
+                        # sorts last) maps to the same ±inf sentinel
+                        # sort_key uses, so paging continues by doc_id
+                        # within that block.
+                        rk = np.round(keyv, SCORE_DECIMALS)
+                        a_v = (
+                            (np.inf if asc else -np.inf)
+                            if np.isnan(a_s)
+                            else a_s
+                        )
+                        keep = (
+                            ((rk > a_v) if asc else (rk < a_v))
+                            | ((rk == a_v) & (cu > a_d))
+                        )
+                        cu, keyv = cu[keep], keyv[keep]
+                        if not len(cu):
+                            continue
                     order = np.lexsort(
-                        (cu, keyv if sort_by["ascending"] else -keyv)
+                        (cu, keyv if asc else -keyv)
                     )[: min(kk, len(cu))]
                     vals = np.where(
                         cu[order] < len(dvals),

@@ -523,6 +523,88 @@ def test_cli_keyword_sort(spark, tmp_path):
     assert terms == sorted(terms)
 
 
+def test_sort_search_after_pages(spark, tmp_path_factory):
+    """Cursor pagination composes with field sort: reconstructing the
+    ranking page-by-page (k=7, cursor = last (sort_value, doc_id))
+    equals the single big-k run — numeric field, asc AND desc,
+    including docs with MISSING values (NaN sorts last; the cursor
+    keeps paging by doc_id inside the missing block)."""
+    from pyspark.sql import functions as SF
+
+    from nil_spark.operators.docvalues import docvalues_dir, write_docvalues
+    from nil_spark.operators.segments import (
+        DOCSTAT_SENTINEL,
+        topk_replica_resident,
+    )
+
+    d = str(tmp_path_factory.mktemp("sortpage_idx"))
+    rows = []
+    for i in range(40):
+        ts = None if i % 4 == 0 else pd.Timestamp(2024, 1, 1 + (i * 7) % 28)
+        rows.append((f"c{i:03d}", 0, "user", f"w00013 x{i % 5}", None, ts))
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    docs = assign_doc_ids(
+        spark.createDataFrame(
+            pdf,
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp",
+        )
+    )
+    import glob
+
+    shard_dir = os.path.join(d, "segments")
+    build_partial_segments(
+        docs.select("doc_id", "text").repartition(2), CFG
+    ).write.mode("overwrite").parquet(shard_dir)
+    write_docvalues(docs, d, ["ts"])
+    paths = sorted(glob.glob(os.path.join(shard_dir, "part-*.parquet")))
+    raw = spark.read.parquet(shard_dir)
+    termdict = (
+        raw.filter(SF.col("term") != DOCSTAT_SENTINEL)
+        .groupBy("term")
+        .agg(SF.sum("n_postings").cast("long").alias("df"))
+        .toPandas()
+    )
+    dv = docvalues_dir(d, "ts")
+
+    for asc in (True, False):
+        sb = {"dv_dir": dv, "ascending": asc}
+        big = (
+            topk_replica_resident(
+                spark,
+                pd.DataFrame({"query_id": [0], "text": ["w00013"], "k": [40]}),
+                paths, termdict, 40, 3.0, CFG, sort_by=sb,
+            )
+            .toPandas().sort_values("rank").reset_index(drop=True)
+        )
+        assert len(big) == 40
+        got_pages = []
+        a_s, a_d = float("nan"), -1
+        for _guard in range(8):  # ceil(40/7)+2: a cycle fails, not hangs
+            page = (
+                topk_replica_resident(
+                    spark,
+                    pd.DataFrame(
+                        {"query_id": [0], "text": ["w00013"], "k": [7],
+                         "after_score": [a_s], "after_doc": [a_d]}
+                    ),
+                    paths, termdict, 40, 3.0, CFG, sort_by=sb,
+                )
+                .toPandas().sort_values("rank").reset_index(drop=True)
+            )
+            if not len(page):
+                break
+            got_pages.append(page)
+            a_s = float(page["bm25"].iloc[-1])
+            a_d = int(page["doc_id"].iloc[-1])
+        rebuilt = pd.concat(got_pages, ignore_index=True)
+        assert rebuilt["doc_id"].tolist() == big["doc_id"].tolist(), asc
+        bb, rr = big["bm25"], rebuilt["bm25"]
+        assert ((bb.isna() & rr.isna()) | (bb == rr)).all(), asc
+
+
 def test_cli_terms_agg(spark, tmp_path):
     import subprocess
     import sys
