@@ -403,7 +403,15 @@ def _cmd_query_dsl(spark, args, cfg) -> int:
     import glob as _glob
     import os
 
-    from nil_spark.functions.querylang import QueryParseError, parse_query
+    from nil_spark.functions.querylang import (
+        QueryParseError,
+        field_predicates,
+        parse_query,
+    )
+    from nil_spark.operators.docvalues import (
+        docvalues_dir,
+        keyword_docvalues_dir,
+    )
     from nil_spark.operators.dsl_exec import (
         _collect_phrases,
         dsl_search_replica,
@@ -435,6 +443,7 @@ def _cmd_query_dsl(spark, args, cfg) -> int:
     # parse up front: a typo'd query should fail structured with the
     # offending query id, not as a worker-side traceback
     phrases: set = set()
+    fields: set = set()
     for qid, text in zip(qpdf["query_id"], qpdf["dsl"]):
         try:
             if not isinstance(text, str):
@@ -450,6 +459,30 @@ def _cmd_query_dsl(spark, args, cfg) -> int:
             }), file=sys.stderr)
             return 2
         _collect_phrases(ast, phrases)
+        fields |= field_predicates(ast)
+
+    # field predicates resolve from the index's doc-values side-cars
+    numeric_dv: dict = {}
+    keyword_dv: dict = {}
+    for kind, f in sorted(fields):
+        d = (
+            keyword_docvalues_dir(args.index_dir, f)
+            if kind == "keyword"
+            else docvalues_dir(args.index_dir, f)
+        )
+        if d is None:
+            flag = (
+                "--keyword-docvalues" if kind == "keyword"
+                else "--docvalues"
+            )
+            print(json.dumps({
+                "error": "no doc-values store for field",
+                "field": f,
+                "kind": kind,
+                "hint": f"rebuild with `build {flag} {f}`",
+            }), file=sys.stderr)
+            return 2
+        (keyword_dv if kind == "keyword" else numeric_dv)[f] = d
 
     pos_store = None
     if phrases:
@@ -474,6 +507,7 @@ def _cmd_query_dsl(spark, args, cfg) -> int:
             spark, qpdf, paths, termdict.toPandas(), n_docs, avgdl, cfg,
             k=args.k, pos_store=pos_store, universe_mode="indexed",
             excluded=load_tombstones(spark, args.index_dir),
+            numeric_dv=numeric_dv, keyword_dv=keyword_dv,
         )
     except ValueError as e:  # pruned dictionary / shingle-term index
         print(json.dumps({"error": "index unsuitable for dsl",

@@ -9,6 +9,8 @@ A small search DSL over tokenized documents —
     unary  := NOT unary | atom
     atom   := '(' expr ')' | '"' word+ '"' | word
             | ATLEAST '(' n ',' expr (',' expr)* ')'
+            | field ':' value                 (keyword term filter)
+            | field ':[' (num|'*') TO (num|'*') ']'   (numeric range)
 
 — parsed once into an AST, then compiled to (a) a PySpark boolean
 ``Column`` over a tokenized-documents relation, (b) an equivalent
@@ -23,7 +25,15 @@ definition:
    matched doc sets;
  * ATLEAST(n, e1, ..., em) matches documents satisfying at least n of
    the m sub-expressions — Lucene's minimum_should_match on a boolean
-   query (n=1 degrades to OR, n=m to AND).
+   query (n=1 degrades to OR, n=m to AND);
+ * field:value / field:[lo TO hi] are ES FILTER-context predicates
+   over metadata fields (keyword equality, unanalyzed and
+   case-sensitive / inclusive numeric range, '*' = open end,
+   [* TO *] = exists).  They never contribute scoring terms, and a
+   null field value never matches — so NOT field:v matches nulls,
+   complement semantics in every backend.  The engine backend
+   resolves them from the doc-values side-car stores
+   (operators/docvalues.py), never the corpus.
 
 Phrase matching is implemented in all three backends as substring
 containment over the space-joined token list padded with sentinel
@@ -48,8 +58,12 @@ from dataclasses import dataclass
 _TOKEN_RE = re.compile(
     r"\s*(?:(?P<lparen>\()|(?P<rparen>\))|(?P<comma>,)"
     r"|(?P<quote>\"[^\"]*\")(?:~(?P<slop>\d+))?"
+    r"|(?P<frange>[A-Za-z_][A-Za-z0-9_]*:\[[^\[\]]*\])"
+    r"|(?P<fterm>[A-Za-z_][A-Za-z0-9_]*:[A-Za-z0-9_.\-]+)"
     r"|(?P<word>[A-Za-z0-9]+))"
 )
+
+_RANGE_BOUND = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
 
 _WORD_SPLIT = re.compile(r"[^a-z0-9]+")
 
@@ -95,6 +109,30 @@ class AtLeast:
     children: tuple
 
 
+@dataclass(frozen=True)
+class FieldTerm:
+    """``field:value`` — ES keyword term FILTER: exact, unanalyzed
+    equality on a metadata field.  Filter context: matches or not,
+    contributes no BM25 scoring terms.  A null/missing field value
+    never matches (so NOT field:v matches null — complement
+    semantics, pinned across all backends)."""
+
+    field: str
+    value: str
+
+
+@dataclass(frozen=True)
+class FieldRange:
+    """``field:[lo TO hi]`` — ES numeric range FILTER, bounds
+    INCLUSIVE, ``*`` for an open end.  ``field:[* TO *]`` degrades to
+    the ES ``exists`` query (any non-null value).  Null/NaN never
+    matches.  Filter context (no scoring terms)."""
+
+    field: str
+    lo: float | None
+    hi: float | None
+
+
 # ------------------------------------------------------------- parsing
 
 
@@ -121,6 +159,33 @@ def _lex(text: str) -> list:
                 raise QueryParseError("empty phrase")
             slop = int(m.group("slop")) if m.group("slop") else 0
             out.append(("PHRASE", (tuple(words), slop)))
+        elif m.lastgroup == "frange":
+            raw = m.group("frange")
+            field, _, body = raw.partition(":")
+            parts = re.split(r"\s+TO\s+", body[1:-1].strip(), flags=re.I)
+            if len(parts) != 2:
+                raise QueryParseError(
+                    f"range needs '[lo TO hi]', got {raw!r}"
+                )
+
+            def bound(s: str, raw=raw):
+                s = s.strip()
+                if s == "*":
+                    return None
+                if not _RANGE_BOUND.match(s):
+                    raise QueryParseError(
+                        f"bad range bound {s!r} in {raw!r} (number or *)"
+                    )
+                return float(s)
+
+            lo, hi = bound(parts[0]), bound(parts[1])
+            if lo is not None and hi is not None and lo > hi:
+                raise QueryParseError(f"empty range {raw!r} (lo > hi)")
+            out.append(("FRANGE", (field.lower(), lo, hi)))
+        elif m.lastgroup == "fterm":
+            raw = m.group("fterm")
+            field, _, value = raw.partition(":")
+            out.append(("FTERM", (field.lower(), value)))
         elif m.lastgroup == "lparen":
             out.append(("(", "("))
         elif m.lastgroup == "comma":
@@ -163,7 +228,8 @@ class _Parser:
             if p == "AND":
                 self.next()
                 parts.append(self.unary())
-            elif p in ("WORD", "PHRASE", "NOT", "(", "ATLEAST"):
+            elif p in ("WORD", "PHRASE", "NOT", "(", "ATLEAST",
+                       "FTERM", "FRANGE"):
                 # implicit AND between adjacent atoms
                 parts.append(self.unary())
             else:
@@ -214,6 +280,12 @@ class _Parser:
             return node
         if p == "WORD":
             return Term(self.next()[1])
+        if p == "FTERM":
+            f, v = self.next()[1]
+            return FieldTerm(f, v)
+        if p == "FRANGE":
+            f, lo, hi = self.next()[1]
+            return FieldRange(f, lo, hi)
         if p == "PHRASE":
             words, slop = self.next()[1]
             return Phrase(words, slop) if len(words) > 1 else Term(words[0])
@@ -246,6 +318,8 @@ def analyze_ast(node, cfg):
 
     if isinstance(node, Term):
         return Term(an(node.word))
+    if isinstance(node, (FieldTerm, FieldRange)):
+        return node  # keyword/numeric filters are never analyzed (ES)
     if isinstance(node, Phrase):
         return Phrase(tuple(an(w) for w in node.words), node.slop)
     if isinstance(node, Not):
@@ -280,27 +354,73 @@ def positive_terms(node) -> list:
         elif isinstance(n, (And, Or, AtLeast)):
             for c in n.children:
                 walk(c, neg)
+        # FieldTerm / FieldRange: filter context, no scoring terms
 
     walk(node, False)
     return sorted(out)
 
 
+def field_predicates(node) -> set:
+    """The ``(kind, field)`` pairs a query touches — kind is
+    ``"keyword"`` (FieldTerm) or ``"numeric"`` (FieldRange).  Callers
+    use this to resolve/validate the doc-values stores a query
+    needs before executing it."""
+    out: set = set()
+    if isinstance(node, FieldTerm):
+        out.add(("keyword", node.field))
+    elif isinstance(node, FieldRange):
+        out.add(("numeric", node.field))
+    elif isinstance(node, Not):
+        out |= field_predicates(node.child)
+    elif isinstance(node, (And, Or, AtLeast)):
+        for c in node.children:
+            out |= field_predicates(c)
+    return out
+
+
 # ------------------------------------------------------ backend: Spark
 
 
-def compile_spark(node, toks_col, padded_col):
+def compile_spark(node, toks_col, padded_col, field_cols=None):
     """Compile to a PySpark boolean Column.
 
     ``toks_col``   — ArrayType(StringType) token-list Column;
     ``padded_col`` — the space-padded joined string Column
                      (``' ' || array_join(toks,' ') || ' '``), passed
                      in so the concat is built once per relation, not
-                     once per phrase node.
+                     once per phrase node;
+    ``field_cols`` — dict field-name → Column for FieldTerm/FieldRange
+                     predicates (keyword fields as strings, numeric
+                     fields castable to double).  Field predicates are
+                     compiled null-safe (null never matches, so NOT
+                     over a null field matches — complement semantics,
+                     identical to the engine backend's doc-values
+                     evaluation).
     """
     from pyspark.sql import functions as F
 
+    def fcol(f):
+        if not field_cols or f not in field_cols:
+            raise QueryParseError(
+                f"unknown field {f!r} (available: "
+                f"{sorted(field_cols or {})})"
+            )
+        return field_cols[f]
+
     if isinstance(node, Term):
         return F.array_contains(toks_col, node.word)
+    if isinstance(node, FieldTerm):
+        return fcol(node.field).cast("string").eqNullSafe(
+            F.lit(node.value)
+        )
+    if isinstance(node, FieldRange):
+        col = fcol(node.field).cast("double")
+        cond = ~F.isnan(col) & col.isNotNull()
+        if node.lo is not None:
+            cond = cond & (col >= F.lit(node.lo))
+        if node.hi is not None:
+            cond = cond & (col <= F.lit(node.hi))
+        return F.coalesce(cond, F.lit(False))
     if isinstance(node, Phrase):
         if node.slop == 0:
             return padded_col.contains(" " + " ".join(node.words) + " ")
@@ -332,21 +452,25 @@ def compile_spark(node, toks_col, padded_col):
             pos_arr(node.words[0]), lambda q: chain(1, q, q)
         )
     if isinstance(node, Not):
-        return ~compile_spark(node.child, toks_col, padded_col)
+        return ~compile_spark(node.child, toks_col, padded_col, field_cols)
     if isinstance(node, And):
-        out = compile_spark(node.children[0], toks_col, padded_col)
+        out = compile_spark(node.children[0], toks_col, padded_col,
+                            field_cols)
         for c in node.children[1:]:
-            out = out & compile_spark(c, toks_col, padded_col)
+            out = out & compile_spark(c, toks_col, padded_col, field_cols)
         return out
     if isinstance(node, Or):
-        out = compile_spark(node.children[0], toks_col, padded_col)
+        out = compile_spark(node.children[0], toks_col, padded_col,
+                            field_cols)
         for c in node.children[1:]:
-            out = out | compile_spark(c, toks_col, padded_col)
+            out = out | compile_spark(c, toks_col, padded_col, field_cols)
         return out
     if isinstance(node, AtLeast):
         total = None
         for c in node.children:
-            term = compile_spark(c, toks_col, padded_col).cast("int")
+            term = compile_spark(
+                c, toks_col, padded_col, field_cols
+            ).cast("int")
             total = term if total is None else total + term
         return total >= node.n
     raise TypeError(f"unknown AST node {node!r}")
@@ -355,12 +479,40 @@ def compile_spark(node, toks_col, padded_col):
 # ------------------------------------------------------- backend: SQL
 
 
-def compile_duckdb(node, toks_expr: str, padded_expr: str) -> str:
+def compile_duckdb(
+    node, toks_expr: str, padded_expr: str, field_exprs=None
+) -> str:
     """Compile to a DuckDB boolean SQL expression over ``toks_expr``
     (a VARCHAR[] expression) and ``padded_expr`` (the space-padded
-    joined string expression)."""
+    joined string expression).  ``field_exprs`` maps field name → SQL
+    expression for FieldTerm/FieldRange (keyword fields as VARCHAR,
+    numeric fields as DOUBLE-comparable, e.g. ``epoch(ts)``); field
+    predicates compile null-safe via ``coalesce(..., FALSE)`` so NOT
+    over a null field matches (complement semantics)."""
+
+    def fexpr(f):
+        if not field_exprs or f not in field_exprs:
+            raise QueryParseError(
+                f"unknown field {f!r} (available: "
+                f"{sorted(field_exprs or {})})"
+            )
+        return field_exprs[f]
+
     if isinstance(node, Term):
         return f"list_contains({toks_expr}, '{node.word}')"
+    if isinstance(node, FieldTerm):
+        v = node.value.replace("'", "''")
+        return (
+            f"coalesce(CAST({fexpr(node.field)} AS VARCHAR) = '{v}', FALSE)"
+        )
+    if isinstance(node, FieldRange):
+        e = fexpr(node.field)
+        conds = [f"NOT isnan(CAST({e} AS DOUBLE))"]
+        if node.lo is not None:
+            conds.append(f"{e} >= {node.lo!r}")
+        if node.hi is not None:
+            conds.append(f"{e} <= {node.hi!r}")
+        return f"coalesce({' AND '.join(conds)}, FALSE)"
     if isinstance(node, Phrase):
         if node.slop == 0:
             ph = " ".join(node.words)
@@ -389,20 +541,24 @@ def compile_duckdb(node, toks_expr: str, padded_expr: str) -> str:
             f"p0 -> {chain(1)})) > 0)"
         )
     if isinstance(node, Not):
-        return f"(NOT {compile_duckdb(node.child, toks_expr, padded_expr)})"
+        inner = compile_duckdb(node.child, toks_expr, padded_expr,
+                               field_exprs)
+        return f"(NOT {inner})"
     if isinstance(node, And):
         inner = " AND ".join(
-            compile_duckdb(c, toks_expr, padded_expr) for c in node.children
+            compile_duckdb(c, toks_expr, padded_expr, field_exprs)
+            for c in node.children
         )
         return f"({inner})"
     if isinstance(node, Or):
         inner = " OR ".join(
-            compile_duckdb(c, toks_expr, padded_expr) for c in node.children
+            compile_duckdb(c, toks_expr, padded_expr, field_exprs)
+            for c in node.children
         )
         return f"({inner})"
     if isinstance(node, AtLeast):
         inner = " + ".join(
-            f"({compile_duckdb(c, toks_expr, padded_expr)})::INT"
+            f"({compile_duckdb(c, toks_expr, padded_expr, field_exprs)})::INT"
             for c in node.children
         )
         return f"(({inner}) >= {node.n})"
@@ -412,10 +568,25 @@ def compile_duckdb(node, toks_expr: str, padded_expr: str) -> str:
 # ---------------------------------------------------- backend: Python
 
 
-def eval_python(node, toks: list) -> bool:
-    """Pure-Python oracle evaluator over one document's token list."""
+def eval_python(node, toks: list, fields: dict | None = None) -> bool:
+    """Pure-Python oracle evaluator over one document's token list.
+    ``fields`` maps field name → value (str for keyword fields, number
+    for numeric; None/NaN never matches a field predicate)."""
     if isinstance(node, Term):
         return node.word in toks
+    if isinstance(node, FieldTerm):
+        v = (fields or {}).get(node.field)
+        return v is not None and str(v) == node.value
+    if isinstance(node, FieldRange):
+        v = (fields or {}).get(node.field)
+        if v is None:
+            return False
+        v = float(v)
+        if v != v:  # NaN
+            return False
+        return (node.lo is None or v >= node.lo) and (
+            node.hi is None or v <= node.hi
+        )
     if isinstance(node, Phrase):
         n = len(node.words)
         w = list(node.words)
@@ -443,11 +614,14 @@ def eval_python(node, toks: list) -> bool:
                 return True
         return False
     if isinstance(node, Not):
-        return not eval_python(node.child, toks)
+        return not eval_python(node.child, toks, fields)
     if isinstance(node, And):
-        return all(eval_python(c, toks) for c in node.children)
+        return all(eval_python(c, toks, fields) for c in node.children)
     if isinstance(node, Or):
-        return any(eval_python(c, toks) for c in node.children)
+        return any(eval_python(c, toks, fields) for c in node.children)
     if isinstance(node, AtLeast):
-        return sum(eval_python(c, toks) for c in node.children) >= node.n
+        return (
+            sum(eval_python(c, toks, fields) for c in node.children)
+            >= node.n
+        )
     raise TypeError(f"unknown AST node {node!r}")

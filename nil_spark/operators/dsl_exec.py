@@ -52,11 +52,14 @@ from nil_spark.config import EngineConfig
 from nil_spark.functions.querylang import (
     And,
     AtLeast,
+    FieldRange,
+    FieldTerm,
     Not,
     Or,
     Phrase,
     Term,
     analyze_ast,
+    field_predicates,
     parse_query,
     positive_terms,
 )
@@ -75,6 +78,10 @@ def _ast_json(node, phrase_ids: dict) -> dict:
     broadcast phrase-docset table."""
     if isinstance(node, Term):
         return {"t": int(_hash_token(node.word))}
+    if isinstance(node, FieldTerm):
+        return {"ft": [node.field, node.value]}
+    if isinstance(node, FieldRange):
+        return {"fr": [node.field, node.lo, node.hi]}
     if isinstance(node, Phrase):
         return {"p": phrase_ids[(node.words, node.slop)]}
     if isinstance(node, Not):
@@ -104,19 +111,30 @@ def _collect_phrases(node, out: set):
 # ------------------------------------------------- kernel evaluation
 
 
-def _eval_node(node: dict, view, phrase_sets: dict, universe) -> np.ndarray:
+def _eval_node(
+    node: dict, view, phrase_sets: dict, universe, fsolve=None
+) -> np.ndarray:
     """Evaluate a serialized AST node → SORTED unique int64 doc array.
     ``universe`` is a zero-arg callable returning the sorted doc-id
     universe for NOT complements (built lazily: pure-positive queries
-    never pay for it)."""
+    never pay for it).  ``fsolve`` resolves field-predicate nodes
+    ({"ft": ...}/{"fr": ...}) to doc sets from the node-shared
+    doc-values arrays (built per split, memoized per predicate)."""
     if "t" in node:
         e = view.get(int(node["t"]))
         return np.asarray(e[0], np.int64) if e is not None else _EMPTY
+    if "ft" in node or "fr" in node:
+        if fsolve is None:
+            raise ValueError(
+                "field predicate in query but no doc-values resolver"
+            )
+        return fsolve(node)
     if "p" in node:
         return phrase_sets[node["p"]]
     if "o" in node:
         parts = [
-            _eval_node(c, view, phrase_sets, universe) for c in node["o"]
+            _eval_node(c, view, phrase_sets, universe, fsolve)
+            for c in node["o"]
         ]
         parts = [p for p in parts if len(p)]
         if not parts:
@@ -130,7 +148,7 @@ def _eval_node(node: dict, view, phrase_sets: dict, universe) -> np.ndarray:
         if pos:
             sets = sorted(
                 (
-                    _eval_node(c, view, phrase_sets, universe)
+                    _eval_node(c, view, phrase_sets, universe, fsolve)
                     for c in pos
                 ),
                 key=len,
@@ -146,7 +164,7 @@ def _eval_node(node: dict, view, phrase_sets: dict, universe) -> np.ndarray:
         for c in neg:
             if not len(cand):
                 return _EMPTY
-            ex = _eval_node(c, view, phrase_sets, universe)
+            ex = _eval_node(c, view, phrase_sets, universe, fsolve)
             if len(ex):
                 cand = cand[~_membership(ex, cand)]
         return cand
@@ -154,7 +172,8 @@ def _eval_node(node: dict, view, phrase_sets: dict, universe) -> np.ndarray:
         # minimum_should_match: each child set holds unique docs, so a
         # doc's multiplicity in the concatenation IS its clause count
         parts = [
-            _eval_node(c, view, phrase_sets, universe) for c in node["c"]
+            _eval_node(c, view, phrase_sets, universe, fsolve)
+            for c in node["c"]
         ]
         parts = [p for p in parts if len(p)]
         if len(parts) < node["m"]:
@@ -166,7 +185,7 @@ def _eval_node(node: dict, view, phrase_sets: dict, universe) -> np.ndarray:
     if "n" in node:
         # bare NOT (not foldable into an enclosing AND): complement
         # against the universe
-        child = _eval_node(node["n"], view, phrase_sets, universe)
+        child = _eval_node(node["n"], view, phrase_sets, universe, fsolve)
         u = universe()
         if not len(child):
             return u
@@ -213,9 +232,19 @@ def dsl_search_replica(
     n_splits: int | None = None,
     universe_mode: str = "dense",
     excluded: np.ndarray | None = None,
+    numeric_dv: dict | None = None,
+    keyword_dv: dict | None = None,
 ) -> DataFrame:
     """Execute DSL queries ``(query_id, dsl)`` index-natively →
     ``(query_id, rank, doc_id, bm25)`` top-k.
+
+    ``numeric_dv`` / ``keyword_dv`` map field name → doc-values store
+    dir (operators/docvalues.py) for FieldRange / FieldTerm predicates
+    in the queries.  The arrays are node-shared mmaps (publish once per
+    node), each predicate's doc set is computed vectorized in-kernel
+    and memoized per split — field filters never touch the corpus and
+    add no shuffle.  A query referencing a field with no store errors
+    at the driver (build with ``--docvalues`` / ``--keyword-docvalues``).
 
     ``universe_mode`` fixes what NOT complements against:
 
@@ -278,6 +307,28 @@ def dsl_search_replica(
         (int(qid), analyze_ast(parse_query(text), cfg))
         for qid, text in zip(queries_pdf["query_id"], queries_pdf["dsl"])
     ]
+
+    # 0) field predicates must have a doc-values store to resolve from
+    needed: set = set()
+    for _, ast in parsed:
+        needed |= field_predicates(ast)
+    for kind, f in sorted(needed):
+        store = (keyword_dv if kind == "keyword" else numeric_dv) or {}
+        if f not in store:
+            flag = (
+                "--keyword-docvalues" if kind == "keyword"
+                else "--docvalues"
+            )
+            raise ValueError(
+                f"query uses {kind} field {f!r} but the index has no "
+                f"doc-values store for it — rebuild with {flag} {f}"
+            )
+    numeric_dv = {
+        f: numeric_dv[f] for k, f in needed if k == "numeric"
+    }
+    keyword_dv = {
+        f: keyword_dv[f] for k, f in needed if k == "keyword"
+    }
 
     # 1) resolve every distinct phrase exactly from the positional store
     phrases: set = set()
@@ -354,6 +405,55 @@ def dsl_search_replica(
     def per_split(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         view = None
         ucache: list = []
+        dv_arrays: dict = {}
+        kw_arrays: dict = {}
+        fcache: dict = {}
+
+        def fsolve(nd: dict) -> np.ndarray:
+            key = json.dumps(nd, sort_keys=True)
+            got = fcache.get(key)
+            if got is not None:
+                return got
+            if "ft" in nd:
+                import bisect
+
+                f, v = nd["ft"]
+                if f not in kw_arrays:
+                    from nil_spark.operators.docvalues import (
+                        load_keyword_docvalues,
+                    )
+
+                    kw_arrays[f] = load_keyword_docvalues(keyword_dv[f])
+                ords, vocab = kw_arrays[f]
+                i = bisect.bisect_left(vocab, v)
+                if i < len(vocab) and vocab[i] == v:
+                    ids = np.nonzero(ords == np.int32(i))[0].astype(
+                        np.int64
+                    )
+                else:
+                    ids = _EMPTY
+            else:
+                f, lo, hi = nd["fr"]
+                if f not in dv_arrays:
+                    from nil_spark.operators.docvalues import (
+                        load_docvalues,
+                    )
+
+                    dv_arrays[f] = load_docvalues(numeric_dv[f])
+                dv = dv_arrays[f]
+                mask = ~np.isnan(dv)
+                if lo is not None:
+                    mask &= dv >= lo
+                if hi is not None:
+                    mask &= dv <= hi
+                ids = np.nonzero(mask)[0].astype(np.int64)
+            if universe_mode == "indexed" and len(ids):
+                # doc-values may cover docs the index never contained
+                # (e.g. min-size-filtered); a field filter must not
+                # resurrect them — same doc set ES would have
+                ids = ids[_membership(universe(), ids)]
+            fcache[key] = ids
+            return ids
 
         def universe() -> np.ndarray:
             if not ucache:
@@ -390,7 +490,7 @@ def dsl_search_replica(
                 pdf["query_id"], pdf["ast_json"], pdf["tlist_json"]
             ):
                 matched = _eval_node(
-                    json.loads(aj), view, psets, universe
+                    json.loads(aj), view, psets, universe, fsolve
                 )
                 if excluded_bc is not None and len(matched):
                     matched = matched[

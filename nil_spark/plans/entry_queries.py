@@ -430,6 +430,42 @@ def _gate_pos_store(spark: SparkSession, sf_dir: str):
     return spark.read.parquet(pos_dir), cfg
 
 
+def _gate_docvalues(spark: SparkSession, sf_dir: str):
+    """Build (or reuse, content-keyed in /tmp) the gate doc-values
+    side-cars over ``documents`` — numeric n_chars + keyword lang —
+    and return ``(numeric_dv, keyword_dv)`` dicts of field → store dir
+    for field-predicate DSL serving (operators/dsl_exec.py)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from nil_spark.operators.docvalues import (
+        docvalues_dir,
+        keyword_docvalues_dir,
+        write_docvalues,
+        write_keyword_docvalues,
+    )
+
+    src = f"{sf_dir}/documents.parquet"
+    st_src = os.stat(src) if os.path.isfile(src) else None
+    ident = (os.path.realpath(src),
+             st_src.st_mtime_ns if st_src else 0,
+             st_src.st_size if st_src else 0, "dv-v1")
+    fp = hashlib.md5(repr(ident).encode()).hexdigest()[:16]
+    idx = os.path.join(tempfile.gettempdir(), f"nil_gate_dv_{fp}")
+    if (
+        docvalues_dir(idx, "n_chars") is None
+        or keyword_docvalues_dir(idx, "lang") is None
+    ):
+        docs = spark.read.parquet(src)
+        write_docvalues(docs, idx, ["n_chars"])
+        write_keyword_docvalues(docs, idx, ["lang"])
+    return (
+        {"n_chars": docvalues_dir(idx, "n_chars")},
+        {"lang": keyword_docvalues_dir(idx, "lang")},
+    )
+
+
 def q_phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME phrase queries answered index-natively: positional
     side-car store (operators/positions.py) → term-pruned scan →

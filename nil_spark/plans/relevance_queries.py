@@ -87,6 +87,21 @@ DSL_QUERIES = [
 ]
 DSL_K = 10
 
+# field-scoped predicates (ES filter context): keyword equality on
+# lang, numeric ranges on n_chars — mixed freely with the boolean
+# full-text algebra.  Filters gate matching but never contribute
+# scoring terms, so BM25 ranks come only from the text terms.
+FIELD_DSL_QUERIES = [
+    (0, "join AND lang:en"),
+    (1, "scan AND n_chars:[150 TO 400]"),
+    (2, "hash AND NOT lang:en"),
+    (3, '"fast query" OR n_chars:[* TO 120]'),
+    (4, "merge lang:de n_chars:[100 TO *]"),  # implicit AND with filters
+    (5, 'NOT lang:en AND "fast query"'),
+    (6, "ATLEAST(2, dup, lang:es, n_chars:[200 TO 500])"),
+    (7, "n_chars:[* TO *] AND vector"),  # exists-degenerate range
+]
+
 
 def _eq():
     # deferred: entry_queries imports this module at its bottom, so all
@@ -566,18 +581,41 @@ def q_dsl_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     array of per-query match structs exploded), then BM25-rank matches
     on each query's positive terms (pure-negation queries rank by id at
     score 0)."""
+    return _dsl_rank_frame(spark, sf_dir, _parsed_dsl())
+
+
+def _dsl_rank_frame(
+    spark: SparkSession,
+    sf_dir: str,
+    parsed: list,
+    field_names: tuple = (),
+) -> DataFrame:
+    """Shared DataFrame backend under ``dsl_search`` and
+    ``dsl_field_search``: one corpus scan matches every query, one
+    BM25 pass ranks the matches.  ``field_names`` are documents
+    columns carried through the scan for FieldTerm/FieldRange
+    predicates (compiled null-safe by compile_spark)."""
     EQ = _eq()
-    parsed = _parsed_dsl()
-    docs = EQ._docs_toks(spark, sf_dir)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = d.select(
+        "doc_id",
+        *field_names,
+        F.filter(
+            F.split(F.lower("text"), EQ.TOKEN_SPLIT), lambda x: x != ""
+        ).alias("toks"),
+    )
     base = docs.withColumn(
         "padded",
         F.concat(F.lit(" "), F.array_join("toks", " "), F.lit(" ")),
     )
+    field_cols = {f: F.col(f) for f in field_names} or None
     match_arr = F.array(
         *[
             F.struct(
                 F.lit(qid).cast("long").alias("query_id"),
-                compile_spark(ast, F.col("toks"), F.col("padded")).alias("m"),
+                compile_spark(
+                    ast, F.col("toks"), F.col("padded"), field_cols
+                ).alias("m"),
             )
             for qid, ast in parsed
         ]
@@ -634,11 +672,19 @@ def q_dsl_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dsl_sql() -> str:
+    return _dsl_sql_core(_parsed_dsl())
+
+
+def _dsl_sql_core(parsed: list, field_names: tuple = ()) -> str:
     EQ = _eq()
-    parsed = _parsed_dsl()
+    field_exprs = {f: f for f in field_names} or None
+    field_sel = "".join(f", d.{f}" for f in field_names)
+    field_join = (
+        " JOIN documents d USING (doc_id)" if field_names else ""
+    )
     matched_selects = "\n UNION ALL\n".join(
         f" SELECT {qid}::BIGINT AS query_id, doc_id FROM dtokp WHERE "
-        + compile_duckdb(ast, "toks", "padded")
+        + compile_duckdb(ast, "toks", "padded", field_exprs)
         for qid, ast in parsed
     )
     qt_vals = ", ".join(
@@ -651,8 +697,8 @@ def _dsl_sql() -> str:
     return f"""
 WITH {EQ._DOCS_CTE},
 dtokp AS (SELECT doc_id, toks,
-                 ' ' || coalesce(array_to_string(toks, ' '), '') || ' ' AS padded
-          FROM docs),
+                 ' ' || coalesce(array_to_string(toks, ' '), '') || ' ' AS padded{field_sel}
+          FROM docs{field_join}),
 matched AS (
 {matched_selects}),
 dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM docs),
@@ -1010,6 +1056,70 @@ def q_dsl_search_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------- q: field-predicate DSL
+
+
+def _parsed_field_dsl() -> list:
+    return [(qid, parse_query(text)) for qid, text in FIELD_DSL_QUERIES]
+
+
+def q_dsl_field_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSL with ES filter-context field predicates — keyword
+    equality (lang:en) and inclusive numeric ranges
+    (n_chars:[150 TO 400]) mixed into the boolean algebra.  Filters
+    gate matching, never score: BM25 ranks come only from the text
+    terms (a pure-filter query ranks by doc id at 0), and a null field
+    value never matches, so NOT field:v has complement semantics."""
+    return _dsl_rank_frame(
+        spark, sf_dir, _parsed_field_dsl(), field_names=("lang", "n_chars")
+    )
+
+
+def q_dsl_field_search_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME field-predicate queries executed index-natively:
+    terms from the replica postings, field predicates resolved
+    vectorized from the node-shared doc-values side-cars
+    (operators/docvalues.py — ordinal compare for keywords, dense
+    range mask for numerics), boolean algebra + BM25 in the one
+    zero-shuffle kernel.  Gated by the identical oracle as
+    ``dsl_field_search``, pinning the two backends hash-identical."""
+    import pandas as pd
+
+    from nil_spark.operators.dsl_exec import dsl_search_replica
+
+    EQ = _eq()
+    shard_paths, td_pdf, n_docs, avgdl, cfg = EQ._gate_engine_index(
+        spark, sf_dir
+    )
+    pos_store, _pcfg = EQ._gate_pos_store(spark, sf_dir)
+    numeric_dv, keyword_dv = EQ._gate_docvalues(spark, sf_dir)
+    qpdf = pd.DataFrame(
+        {
+            "query_id": [i for i, _ in FIELD_DSL_QUERIES],
+            "dsl": [t for _, t in FIELD_DSL_QUERIES],
+        }
+    )
+    return dsl_search_replica(
+        spark,
+        qpdf,
+        shard_paths,
+        td_pdf,
+        n_docs,
+        avgdl,
+        cfg,
+        k=DSL_K,
+        pos_store=pos_store,
+        numeric_dv=numeric_dv,
+        keyword_dv=keyword_dv,
+    )
+
+
+def _dsl_field_sql() -> str:
+    return _dsl_sql_core(
+        _parsed_field_dsl(), field_names=("lang", "n_chars")
+    )
+
+
 # --------------------------------------------------------- registry
 
 
@@ -1022,6 +1132,11 @@ def build_registry() -> dict:
         "collocations": (q_collocations, _collocations_sql()),
         "dsl_search": (q_dsl_search, _dsl_sql()),
         "dsl_search_engine": (q_dsl_search_engine, _dsl_sql()),
+        "dsl_field_search": (q_dsl_field_search, _dsl_field_sql()),
+        "dsl_field_search_engine": (
+            q_dsl_field_search_engine,
+            _dsl_field_sql(),
+        ),
         "search_corrected": (q_search_corrected, _search_corrected_sql()),
         "wildcard_search": (q_wildcard_search, _wildcard_sql()),
         "blockjoin_topk": (q_blockjoin_topk, _blockjoin_sql()),

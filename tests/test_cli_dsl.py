@@ -46,7 +46,9 @@ def dsl_index(tmp_path_factory):
     idx_dir = str(tmp / "idx")
     out = _run(["--stopword-cutoff", "2.0",
                 "build", "--input", str(tmp / "corpus.parquet"),
-                "--index-dir", idx_dir, "--positions"])
+                "--index-dir", idx_dir, "--positions",
+                "--docvalues", "turn_idx",
+                "--keyword-docvalues", "role"])
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
     return tmp, idx_dir, pdf
 
@@ -102,6 +104,78 @@ def test_cli_dsl_matches_python_oracle(dsl_index):
         ast = parse_query(dsl)
         exp = {d for d, ts in toks.items() if eval_python(ast, ts)}
         assert got_sets.get(i, set()) == exp, dsl
+
+
+def test_cli_dsl_field_predicates(dsl_index):
+    """Field predicates through the CLI: keyword (role) and numeric
+    (turn_idx) doc-values stores resolved from the index dir, matched
+    sets pinned to the Python evaluator over the raw transcript
+    fields."""
+    tmp, idx_dir, pdf = dsl_index
+    toks = _toks_by_doc(pdf)
+    ordered = pdf.sort_values(
+        ["conv_id", "turn_idx"], kind="mergesort"
+    ).reset_index(drop=True)
+    fields = {
+        i: {"role": r.role, "turn_idx": float(r.turn_idx)}
+        for i, r in enumerate(ordered.itertuples())
+    }
+    from collections import Counter
+
+    freq = Counter(t for ts in toks.values() for t in ts)
+    (w1, _), = freq.most_common(1)
+    dsls = [
+        f"{w1} AND role:user",
+        "turn_idx:[1 TO 3]",
+        f"NOT role:user AND {w1}",
+        f"{w1} AND turn_idx:[* TO 2] AND NOT role:assistant",
+    ]
+    qpdf = pd.DataFrame({"query_id": range(len(dsls)), "dsl": dsls})
+    pq.write_table(
+        pa.Table.from_pandas(qpdf, preserve_index=False),
+        str(tmp / "fieldq.parquet"),
+    )
+    out = _run(["--stopword-cutoff", "2.0",
+                "query", "--index-dir", idx_dir, "--mode", "dsl",
+                "-k", "100000",
+                "--queries", str(tmp / "fieldq.parquet"),
+                "--out", str(tmp / "fieldres")])
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    got = pd.concat(
+        pq.read_table(os.path.join(tmp / "fieldres", f)).to_pandas()
+        for f in os.listdir(tmp / "fieldres")
+        if f.endswith(".parquet")
+    )
+    got_sets = {
+        int(q): set(g["doc_id"].tolist())
+        for q, g in got.groupby("query_id")
+    }
+    for i, dsl in enumerate(dsls):
+        ast = parse_query(dsl)
+        exp = {
+            d for d, ts in toks.items()
+            if eval_python(ast, ts, fields[d])
+        }
+        assert got_sets.get(i, set()) == exp, dsl
+
+
+def test_cli_dsl_missing_docvalues_refused(dsl_index):
+    """A field with no doc-values store fails structured with the
+    rebuild hint, not a worker traceback."""
+    tmp, idx_dir, _ = dsl_index
+    qpdf = pd.DataFrame({"query_id": [0], "dsl": ["lang:en"]})
+    pq.write_table(
+        pa.Table.from_pandas(qpdf, preserve_index=False),
+        str(tmp / "missq.parquet"),
+    )
+    out = _run(["--stopword-cutoff", "2.0",
+                "query", "--index-dir", idx_dir, "--mode", "dsl",
+                "--queries", str(tmp / "missq.parquet"),
+                "--out", str(tmp / "missres")])
+    assert out.returncode == 2
+    e = _err(out)
+    assert e["error"] == "no doc-values store for field"
+    assert e["field"] == "lang" and "--keyword-docvalues" in e["hint"]
 
 
 def test_cli_dsl_null_query_structured(dsl_index):
