@@ -84,3 +84,88 @@ def md5_prefix64_col(c: Column) -> Column:
 def md5_prefix64_sql(expr: str) -> str:
     """DuckDB SQL fragment computing the same 60-bit md5-prefix hash."""
     return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+# ----------------------------------------------- murmur3 (Iceberg bucket)
+#
+# Iceberg's bucket partition transform is pinned by the public spec to
+# 32-bit Murmur3 (x86 variant, seed 0) over the value's canonical byte
+# form: ints/longs/timestamps as the 8-byte little-endian long, strings
+# as UTF-8 bytes; bucket = (hash & Integer.MAX_VALUE) % N
+# (https://iceberg.apache.org/spec/#appendix-b-32-bit-hash-requirements).
+# Test vectors from the spec appendix: hashLong(34) = 2017239379,
+# hashString("iceberg") = 1210000089.
+
+_MM3_C1 = 0xCC9E2D51
+_MM3_C2 = 0x1B873593
+_U32 = 0xFFFFFFFF
+
+
+def mmh3_32(data: bytes, seed: int = 0) -> int:
+    """Murmur3 x86 32-bit over ``data`` → UNSIGNED 32-bit int."""
+    h = seed & _U32
+    n = len(data)
+    nblocks = n // 4
+    for i in range(nblocks):
+        k = int.from_bytes(data[i * 4 : (i + 1) * 4], "little")
+        k = (k * _MM3_C1) & _U32
+        k = ((k << 15) | (k >> 17)) & _U32
+        k = (k * _MM3_C2) & _U32
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & _U32
+        h = (h * 5 + 0xE6546B64) & _U32
+    tail = data[nblocks * 4 :]
+    if tail:
+        k = 0
+        for i, b in enumerate(tail):
+            k |= b << (8 * i)
+        k = (k * _MM3_C1) & _U32
+        k = ((k << 15) | (k >> 17)) & _U32
+        k = (k * _MM3_C2) & _U32
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & _U32
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & _U32
+    h ^= h >> 16
+    return h
+
+
+def mmh3_32_i64(v: np.ndarray) -> np.ndarray:
+    """Vectorized murmur3_32 (seed 0) of int64 values as 8-byte
+    little-endian longs — identical to ``mmh3_32(v.tobytes('<q'))``
+    per element.  Returns uint32."""
+    x = np.ascontiguousarray(v, np.int64).view(np.uint64)
+    h = np.zeros(len(x), np.uint32)
+    with np.errstate(over="ignore"):
+        for blk in ((x & _U32), (x >> np.uint64(32))):
+            k = blk.astype(np.uint32)
+            k = k * np.uint32(_MM3_C1)
+            k = (k << np.uint32(15)) | (k >> np.uint32(17))
+            k = k * np.uint32(_MM3_C2)
+            h ^= k
+            h = (h << np.uint32(13)) | (h >> np.uint32(19))
+            h = h * np.uint32(5) + np.uint32(0xE6546B64)
+        h ^= np.uint32(8)  # length
+        h ^= h >> np.uint32(16)
+        h = h * np.uint32(0x85EBCA6B)
+        h ^= h >> np.uint32(13)
+        h = h * np.uint32(0xC2B2AE35)
+        h ^= h >> np.uint32(16)
+    return h
+
+
+def iceberg_bucket_long(v, n: int):
+    """Iceberg bucket[n] of int64 scalar/array (ints, timestamps as
+    micros): (mmh3 & INT_MAX) % n."""
+    if isinstance(v, np.ndarray):
+        return ((mmh3_32_i64(v) & np.uint32(0x7FFFFFFF)) % np.uint32(n)).astype(
+            np.int32
+        )
+    return (mmh3_32(int(v).to_bytes(8, "little", signed=True)) & 0x7FFFFFFF) % n
+
+
+def iceberg_bucket_str(s: str, n: int) -> int:
+    """Iceberg bucket[n] of a string (UTF-8 bytes)."""
+    return (mmh3_32(s.encode("utf-8")) & 0x7FFFFFFF) % n

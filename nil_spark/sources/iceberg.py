@@ -28,10 +28,19 @@ published table spec (https://iceberg.apache.org/spec/, format v2):
    files); ``streaming/iceberg_sink.py`` appends micro-batches with
    exactly-once batch bookkeeping in snapshot summaries;
  * scan planning: file pruning from manifest partition values
-   (identity transforms) and column lower/upper bounds (spec
-   single-value binary serialization), so a filtered scan opens only
-   matching files — at 10^12-turn scale this replaces object-store
-   listing with O(manifest) driver work, which is the point of Iceberg.
+   (identity AND transformed fields — equality/range predicates are
+   compared in the transformed space for the order-preserving
+   year/month/day/hour/truncate transforms, equality for bucket) and
+   column lower/upper bounds (spec single-value binary serialization),
+   so a filtered scan opens only matching files — at 10^12-turn scale
+   this replaces object-store listing with O(manifest) driver work,
+   which is the point of Iceberg;
+ * partition transforms (spec §Partition Transforms): identity,
+   year/month/day/hour, bucket[N] (spec-pinned murmur3_32, Appendix B
+   test vectors), truncate[W] — declared as ``"day(ts)"``,
+   ``"bucket(16, conv_id)"``, ``"truncate(4, role)"`` in
+   ``partition_by``; derived values live in the path + manifest while
+   source columns stay in the data files.
 
 Scale notes: the metadata tree is driver-side KBs per snapshot; data
 file stats are collected with a parallel Spark stage over parquet
@@ -43,8 +52,7 @@ satisfied structurally; equality deletes DO carry the fence (per-file
 data sequence numbers ride the broadcastable plan).  Additive schema
 evolution is supported (``add_column`` — old files surface the new
 column as null, no rewrite).  Out of scope (documented, not silently
-wrong): non-identity partition transforms, column rename/drop/type
-promotion.
+wrong): column rename/drop/type promotion.
 
 Single-writer assumption: commits are ``os.replace``-atomic on the
 version hint, the Hadoop-catalog convention.  Multi-writer setups need
@@ -55,6 +63,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import struct
 import time
 import uuid
@@ -171,6 +180,167 @@ def _decode_bound(ice_type: str, b: bytes) -> Any:
 
 
 # --------------------------------------------------------------- Avro schemas
+# ------------------------------------------------ partition transforms
+#
+# Iceberg partition transforms (spec §Partition Transforms): identity,
+# year/month/day/hour (timestamps → ordinals since 1970), bucket[N]
+# (murmur3_32 of the canonical byte form, & INT_MAX, % N — pinned by
+# the spec's Appendix B test vectors, implemented in
+# functions/hashing.py) and truncate[W] (ints: floored-mod width
+# buckets; strings: W-char prefix).  The session timezone is pinned
+# UTC by nil_spark.session.get_spark, so time transforms are
+# deterministic across clusters.
+
+_PART_FN_RE = re.compile(
+    r"^\s*(year|month|day|hour|bucket|truncate)\s*\("
+    r"(?:\s*(\d+)\s*,)?\s*([A-Za-z_]\w*)\s*\)\s*$"
+)
+_DAY_US = 86_400_000_000
+_HOUR_US = 3_600_000_000
+
+
+def _parse_partition_item(item: str) -> tuple[str, str, str]:
+    """``'col'`` | ``'day(col)'`` | ``'bucket(16, col)'`` |
+    ``'truncate(4, col)'`` → (source_col, transform, field_name)."""
+    m = _PART_FN_RE.match(item)
+    if not m:
+        return item.strip(), "identity", item.strip()
+    fn, nstr, col = m.groups()
+    if fn in ("bucket", "truncate"):
+        if not nstr or int(nstr) < 1:
+            raise ValueError(f"{fn} transform needs a positive width: {item!r}")
+        return col, f"{fn}[{int(nstr)}]", (
+            f"{col}_bucket" if fn == "bucket" else f"{col}_trunc"
+        )
+    if nstr:
+        raise ValueError(f"{fn} transform takes no width: {item!r}")
+    return col, fn, f"{col}_{fn}"
+
+
+def _transform_spark_col(transform: str, col, dt: T.DataType):
+    """Partition-transform a source Column for the write path."""
+    if transform == "identity":
+        return col
+    if transform in ("year", "month", "day", "hour"):
+        ts = col.cast("timestamp")
+        if transform == "year":
+            return (F.year(ts) - F.lit(1970)).cast("int")
+        if transform == "month":
+            return (
+                (F.year(ts) - F.lit(1970)) * 12 + F.month(ts) - F.lit(1)
+            ).cast("int")
+        us = _DAY_US if transform == "day" else _HOUR_US
+        return F.floor(F.unix_micros(ts) / F.lit(us)).cast("int")
+    if transform.startswith("truncate["):
+        w = int(transform[9:-1])
+        if isinstance(dt, T.StringType):
+            return F.substring(col, 1, w)
+        # floored modulo per spec: v - (((v % W) + W) % W)
+        return (col - (((col % w) + w) % w)).cast(dt)
+    if transform.startswith("bucket["):
+        n = int(transform[7:-1])
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("int")
+        def _bucket(s):
+            import pandas as pd
+
+            from nil_spark.functions.hashing import (
+                iceberg_bucket_long,
+                iceberg_bucket_str,
+            )
+
+            if pd.api.types.is_datetime64_any_dtype(s):
+                mask = s.isna()
+                micros = s.astype("datetime64[us]").astype("int64")
+                out = pd.Series(
+                    iceberg_bucket_long(micros.to_numpy(), n), index=s.index
+                ).astype("object")
+                out[mask] = None
+                return out
+            if pd.api.types.is_numeric_dtype(s):
+                mask = s.isna()
+                arr = s.fillna(0).astype("int64").to_numpy()
+                out = pd.Series(
+                    iceberg_bucket_long(arr, n), index=s.index
+                ).astype("object")
+                out[mask] = None
+                return out
+            return s.map(
+                lambda x: iceberg_bucket_str(x, n)
+                if isinstance(x, str)
+                else None
+            )
+
+        return _bucket(col)
+    raise ValueError(f"unsupported partition transform {transform!r}")
+
+
+def _transform_py(transform: str, value, ice_type: str):
+    """Apply a partition transform to a PYTHON literal (for manifest
+    pruning).  Naive datetimes are interpreted as UTC (the engine's
+    pinned session timezone).  Returns None when the literal cannot be
+    transformed (caller then skips partition pruning)."""
+    import datetime as _dt
+
+    if transform == "identity":
+        return value
+    if transform in ("year", "month", "day", "hour"):
+        v = value
+        if isinstance(v, str):
+            try:
+                v = _dt.datetime.fromisoformat(v)
+            except ValueError:
+                return None
+        if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+            v = _dt.datetime(v.year, v.month, v.day)
+        if not isinstance(v, _dt.datetime):
+            return None
+        if transform == "year":
+            return v.year - 1970
+        if transform == "month":
+            return (v.year - 1970) * 12 + v.month - 1
+        tz = v.tzinfo or _dt.timezone.utc
+        micros = int(v.replace(tzinfo=tz).timestamp() * 1_000_000)
+        us = _DAY_US if transform == "day" else _HOUR_US
+        return micros // us
+    if transform.startswith("truncate["):
+        w = int(transform[9:-1])
+        if ice_type == "string":
+            return value[:w] if isinstance(value, str) else None
+        try:
+            v = int(value)
+        except (TypeError, ValueError):
+            return None
+        return v - (((v % w) + w) % w)
+    if transform.startswith("bucket["):
+        n = int(transform[7:-1])
+        from nil_spark.functions.hashing import (
+            iceberg_bucket_long,
+            iceberg_bucket_str,
+        )
+
+        if ice_type == "string":
+            return (
+                iceberg_bucket_str(value, n)
+                if isinstance(value, str)
+                else None
+            )
+        if ice_type in ("timestamp", "timestamptz"):
+            v = value
+            if isinstance(v, _dt.datetime):
+                tz = v.tzinfo or _dt.timezone.utc
+                v = int(v.replace(tzinfo=tz).timestamp() * 1_000_000)
+            if not isinstance(v, int):
+                return None
+            return int(iceberg_bucket_long(v, n))
+        try:
+            return int(iceberg_bucket_long(int(value), n))
+        except (TypeError, ValueError):
+            return None
+    return None
+
+
 def _bounds_map_schema(name: str) -> dict:
     # Iceberg encodes map<int, binary> as an Avro array of key/value
     # records (Avro maps require string keys) with logicalType "map".
@@ -327,12 +497,41 @@ class IcebergTable:
         return _spark_schema_from_ice(ice)
 
     def partition_columns(self) -> list[str]:
+        """IDENTITY-transform partition column names — the columns
+        Spark's partitionBy strips from data files, so readers must
+        reattach them from the directory path.  Transformed partition
+        fields (day/bucket/truncate) are DERIVED: their source column
+        stays inside the data files and the derived value lives only in
+        the path + manifest."""
+        return [
+            pf["name"]
+            for pf in self.partition_fields()
+            if pf["transform"] == "identity"
+        ]
+
+    def partition_fields(self) -> list[dict]:
+        """Default partition-spec fields with the source column name
+        and Iceberg type resolved (``source-name`` / ``source-type``)."""
         md = self.metadata()
-        spec = next(s for s in md["partition-specs"] if s["spec-id"] == md["default-spec-id"])
+        spec = next(
+            s
+            for s in md["partition-specs"]
+            if s["spec-id"] == md["default-spec-id"]
+        )
+        ice = next(
+            s
+            for s in md["schemas"]
+            if s["schema-id"] == md["current-schema-id"]
+        )
+        by_id = {f["id"]: f for f in ice["fields"]}
+        out = []
         for pf in spec["fields"]:
-            if pf["transform"] != "identity":
-                raise ValueError(f"unsupported partition transform {pf['transform']!r}")
-        return [pf["name"] for pf in spec["fields"]]
+            f = dict(pf)
+            src = by_id[pf["source-id"]]
+            f["source-name"] = src["name"]
+            f["source-type"] = src["type"]
+            out.append(f)
+        return out
 
     def _commit(self, md: dict) -> None:
         v = 1 if not os.path.exists(os.path.join(self.meta_dir, "version-hint.text")) else (
@@ -406,15 +605,27 @@ class IcebergTable:
         os.makedirs(t.data_dir, exist_ok=True)
         ice_schema = _ice_schema_from_spark(df.schema)
         by_name = {f["name"]: f for f in ice_schema["fields"]}
-        part_fields = [
-            {
-                "name": c,
-                "transform": "identity",
-                "source-id": by_name[c]["id"],
-                "field-id": 1000 + i,
-            }
-            for i, c in enumerate(partition_by or [])
-        ]
+        part_fields = []
+        for i, item in enumerate(partition_by or []):
+            col, transform, fname = _parse_partition_item(item)
+            if col not in by_name:
+                raise ValueError(
+                    f"partition source column {col!r} not in schema "
+                    f"{sorted(by_name)}"
+                )
+            if transform != "identity" and fname in by_name:
+                raise ValueError(
+                    f"derived partition field name {fname!r} collides "
+                    "with a schema column"
+                )
+            part_fields.append(
+                {
+                    "name": fname,
+                    "transform": transform,
+                    "source-id": by_name[col]["id"],
+                    "field-id": 1000 + i,
+                }
+            )
         md = {
             "format-version": 2,
             "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL, t.path)),
@@ -453,12 +664,30 @@ class IcebergTable:
         return t
 
     def _write_data_files(self, spark: SparkSession, df: DataFrame) -> list[dict]:
-        """Write df as parquet under data/ and return stats per new file."""
-        part_cols = self.partition_columns()
+        """Write df as parquet under data/ and return stats per new
+        file.  Identity partition columns come straight from the data;
+        transformed fields (day/bucket/truncate) are computed as
+        temporary derived columns — partitionBy strips them from the
+        files (they're recomputable), while their SOURCE columns stay
+        in the data files."""
+        pfs = self.partition_fields()
+        names = []
+        for pf in pfs:
+            if pf["transform"] == "identity":
+                names.append(pf["name"])
+                continue
+            dt = df.schema[pf["source-name"]].dataType
+            df = df.withColumn(
+                pf["name"],
+                _transform_spark_col(
+                    pf["transform"], F.col(pf["source-name"]), dt
+                ),
+            )
+            names.append(pf["name"])
         before = set(self._list_parquet())
         w = df.write.mode("append")
-        if part_cols:
-            w = w.partitionBy(*part_cols)
+        if names:
+            w = w.partitionBy(*names)
         w.parquet(self.data_dir)
         new = sorted(set(self._list_parquet()) - before)
         return _collect_stats(spark, new)
@@ -483,7 +712,10 @@ class IcebergTable:
                 k, v = seg.split("=", 1)
                 # Spark URL-encodes special chars in partition path segments
                 vals[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
-        return {c: vals.get(c) for c in self.partition_columns()}
+        return {
+            pf["name"]: vals.get(pf["name"])
+            for pf in self.partition_fields()
+        }
 
     def _write_manifest(
         self,
@@ -526,7 +758,8 @@ class IcebergTable:
                         "file_path": st["path"],
                         "file_format": "PARQUET",
                         "partition": self._partition_values(st["path"]) if content == 0 else {
-                            c: None for c in self.partition_columns()
+                            pf["name"]: None
+                            for pf in self.partition_fields()
                         },
                         "record_count": st["rows"],
                         "file_size_in_bytes": st["size"],
@@ -792,7 +1025,9 @@ class IcebergTable:
         by_name = {f["name"]: f for f in ice["fields"]}
         _m, manifests = read_container(snap["manifest-list"])
         plan: dict = {"data": [], "pos_deletes": [], "eq_deletes": [], "pruned": 0}
-        part_cols = set(self.partition_columns())
+        pfs_by_source: dict = {}
+        for pf in self.partition_fields():
+            pfs_by_source.setdefault(pf["source-name"], []).append(pf)
         for mf in manifests:
             _meta, entries = read_container(mf["manifest_path"])
             for e in entries:
@@ -809,7 +1044,7 @@ class IcebergTable:
                     )
                     continue
                 if predicate is not None and self._prunable(
-                    dfile, predicate, by_name, part_cols
+                    dfile, predicate, by_name, pfs_by_source
                 ):
                     plan["pruned"] += 1
                     continue
@@ -831,16 +1066,47 @@ class IcebergTable:
         return [f for f, _s in p["data"]], p["pos_deletes"], p["pruned"]
 
     @staticmethod
-    def _prunable(dfile, predicate, by_name, part_cols) -> bool:
+    def _prunable(dfile, predicate, by_name, pfs_by_source) -> bool:
+        """True iff the manifest entry PROVABLY excludes the predicate
+        — via a partition value (identity exactly; transformed fields
+        by comparing in the transformed space, sound because
+        year/month/day/hour/truncate are order-preserving and bucket
+        supports equality) or via column lower/upper bounds."""
         col, op, lit = predicate
         f = by_name.get(col)
         if f is None or not isinstance(f["type"], str):
             return False
-        if col in part_cols:
-            pv = dfile["partition"].get(col)
-            if pv is not None and op == "==":
-                return str(pv) != str(lit)
-            return False
+        for pf in pfs_by_source.get(col, ()):
+            pv = dfile["partition"].get(pf["name"])
+            if pv is None:
+                continue
+            t = pf["transform"]
+            if t == "identity":
+                if op == "==" and str(pv) != str(lit):
+                    return True
+                continue
+            tl = _transform_py(t, lit, f["type"])
+            if tl is None:
+                continue
+            if t.startswith("bucket["):
+                # buckets are unordered: only equality prunes
+                if op == "==" and int(pv) != int(tl):
+                    return True
+                continue
+            # order-preserving transform: file holds only rows with
+            # t(x) == pv, so x OP lit is satisfiable iff pv is on the
+            # right side of t(lit)
+            pvv = (
+                str(pv)
+                if t.startswith("truncate[") and f["type"] == "string"
+                else int(pv)
+            )
+            if op == "==" and pvv != tl:
+                return True
+            if op in ("<", "<=") and pvv > tl:
+                return True
+            if op in (">", ">=") and pvv < tl:
+                return True
         lo = hi = None
         for kv in dfile.get("lower_bounds") or []:
             if kv["key"] == f["id"]:
