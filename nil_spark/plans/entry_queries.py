@@ -853,6 +853,109 @@ FROM ranked r JOIN docs ON docs.doc_id = r.doc_id
 """
 
 
+# --------------------------------------------- q: highlighted snippets
+
+
+HIGHLIGHT_PAD = 2  # context tokens either side of the minimal window
+
+
+def q_search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highlighting (ES ``highlight`` / Lucene highlighter): the
+    snippet pipeline of ``search_snippets`` extended with ±PAD context
+    tokens and ``<em>`` marks around the query terms — fragment bounds
+    come from the positional index (min_window), the text of the k
+    winners only is sliced and marked JVM-side (slice + transform +
+    array_join higher-order expressions, no UDF).  Scale shape
+    identical to search_snippets: the corpus is never scanned for
+    highlighting, only queries×k winning docs are touched."""
+    import pandas as pd
+
+    from nil_spark.operators.positions import min_window_positional
+
+    store, cfg = _gate_pos_store(spark, sf_dir)
+    qpdf = pd.DataFrame(
+        {
+            "query_id": [i for i, _ in MIN_WINDOW_QUERIES],
+            "text": [t for _, t in MIN_WINDOW_QUERIES],
+        }
+    )
+    ranked = min_window_positional(spark, qpdf, store, cfg, k=MIN_WINDOW_K)
+    qterms = spark.createDataFrame(
+        [(i, t.split()) for i, t in MIN_WINDOW_QUERIES],
+        "query_id long, qterms array<string>",
+    )
+    toks = _docs_toks(spark, sf_dir)
+    pad = F.lit(HIGHLIGHT_PAD)
+    start0 = F.greatest(
+        F.col("win_start").cast("int") - pad, F.lit(0)
+    )
+    length = (
+        F.col("win_start").cast("int")
+        - start0
+        + F.col("win_len").cast("int")
+        + 1
+        + pad
+    )
+    frag = F.transform(
+        F.slice("toks", start0 + 1, length),
+        lambda x: F.when(
+            F.array_contains(F.col("qterms"), x),
+            F.concat(F.lit("<em>"), x, F.lit("</em>")),
+        ).otherwise(x),
+    )
+    return (
+        toks.join(F.broadcast(ranked), "doc_id")
+        .join(F.broadcast(qterms), "query_id")
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            F.array_join(frag, " ").alias("fragment"),
+        )
+    )
+
+
+def _search_highlight_sql() -> str:
+    vals = ", ".join(
+        f"({i}, '{t.split()[0]}', '{t.split()[1]}', '{t.split()[2]}')"
+        for i, t in MIN_WINDOW_QUERIES
+    )
+    P = HIGHLIGHT_PAD
+    return f"""
+WITH {_DOCS_CTE},
+pos AS (SELECT doc_id, unnest(toks) AS tok,
+               generate_subscripts(toks, 1) AS p
+        FROM docs),
+q(query_id, t1, t2, t3) AS (VALUES {vals}),
+t AS (SELECT q.query_id, a.doc_id,
+             greatest(a.p, b.p, c.p) - least(a.p, b.p, c.p) AS wl,
+             least(a.p, b.p, c.p) AS st
+      FROM q
+      JOIN pos a ON a.tok = q.t1
+      JOIN pos b ON b.doc_id = a.doc_id AND b.tok = q.t2
+      JOIN pos c ON c.doc_id = a.doc_id AND c.tok = q.t3),
+d AS (SELECT query_id, doc_id, min(wl) AS win_len FROM t GROUP BY 1, 2),
+sel AS (SELECT t.query_id, t.doc_id, d.win_len, min(t.st) AS win_start
+        FROM t JOIN d ON d.query_id = t.query_id
+                     AND d.doc_id = t.doc_id AND t.wl = d.win_len
+        GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT query_id,
+         (row_number() OVER (PARTITION BY query_id ORDER BY win_len, doc_id))::INT AS rank,
+         doc_id, win_start, win_len
+  FROM sel QUALIFY rank <= {MIN_WINDOW_K})
+SELECT r.query_id, r.rank, r.doc_id,
+       array_to_string(list_transform(
+         docs.toks[greatest(r.win_start - {P}, 1)
+                   : r.win_start + r.win_len + {P}],
+         x -> CASE WHEN x IN (q.t1, q.t2, q.t3)
+              THEN '<em>' || x || '</em>' ELSE x END), ' ') AS fragment
+FROM ranked r
+JOIN docs ON docs.doc_id = r.doc_id
+JOIN q ON q.query_id = r.query_id
+"""
+
+
 # --------------------------------------- q: filtered serving (engine)
 
 
@@ -2920,6 +3023,7 @@ REGISTRY: dict[str, tuple] = {
     "span_near": (q_span_near, _span_near_sql()),
     "min_window": (q_min_window, _min_window_sql()),
     "search_snippets": (q_search_snippets, _search_snippets_sql()),
+    "search_highlight": (q_search_highlight, _search_highlight_sql()),
     "bm25_filtered_topk": (q_bm25_filtered_topk, _bm25_filtered_sql()),
     "hybrid_rrf_topk": (q_hybrid_rrf_topk, _hybrid_rrf_sql()),
     "search_facets": (q_search_facets, _search_facets_sql()),
