@@ -198,9 +198,12 @@ def q_percentiles_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``percentiles`` aggregation per event_type over ``value``:
     exact linear-interpolation quantiles (Spark ``percentile`` ==
     DuckDB ``quantile_cont``, verified bit-identical).  Exact is the
-    oracle tier; at 100 TB the same plan swaps in
-    ``percentile_approx`` (t-digest) — one mergeable sketch per group,
-    map-side combined, never a full sort."""
+    oracle tier; at 100 TB the same plan swaps in a mergeable t-digest
+    — either Spark's built-in ``percentile_approx`` or the engine's
+    own deterministic implementation (operators/tdigest.py:
+    per-partition mapInPandas digests, associative driver merge,
+    rank-error-bounded tests in tests/test_tdigest.py) — never a full
+    sort."""
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     cols = [
         F.round(F.expr(f"percentile(value, {p})"), 6).alias(
