@@ -30,7 +30,11 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nil_spark.functions.querylang import compile_spark, parse_query
+from nil_spark.functions.querylang import (
+    compile_spark,
+    field_predicates,
+    parse_query,
+)
 
 from nil_spark.sources.transcripts import TRANSCRIPT_SCHEMA as DOC_SCHEMA
 
@@ -55,6 +59,19 @@ class StreamingPercolator:
         self.parsed = [(int(qid), parse_query(t)) for qid, t in stored_queries]
         if not self.parsed:
             raise ValueError("percolator needs at least one stored query")
+        # field predicates (role:user, ts:[a TO b], ...) resolve against
+        # the incoming doc columns — validate at construction so a
+        # stored query naming an unknown field fails fast, not per batch
+        known = {
+            c.split()[0] for c in DOC_SCHEMA.split(",")
+        } - {"text"}
+        for qid, ast in self.parsed:
+            bad = {f for _k, f in field_predicates(ast)} - known
+            if bad:
+                raise ValueError(
+                    f"stored query {qid} uses unknown doc field(s) "
+                    f"{sorted(bad)} — available: {sorted(known)}"
+                )
         os.makedirs(out_dir, exist_ok=True)
         self._manifest_path = os.path.join(out_dir, "manifest.json")
         if os.path.exists(self._manifest_path):
@@ -85,11 +102,18 @@ class StreamingPercolator:
             "padded",
             F.concat(F.lit(" "), F.array_join("toks", " "), F.lit(" ")),
         )
+        field_cols = {
+            f.name: F.col(f.name)
+            for f in docs.schema.fields
+            if f.name not in ("text",)
+        }
         match_arr = F.array(
             *[
                 F.struct(
                     F.lit(qid).cast("long").alias("query_id"),
-                    compile_spark(ast, F.col("toks"), F.col("padded")).alias("m"),
+                    compile_spark(
+                        ast, F.col("toks"), F.col("padded"), field_cols
+                    ).alias("m"),
                 )
                 for qid, ast in self.parsed
             ]

@@ -85,6 +85,60 @@ def test_stream_matches_batch_and_oracle(spark, doc_stream_dir, tmp_path):
     assert len(got) > 0  # the stored set actually fires on this corpus
 
 
+def test_field_predicates_in_stored_queries(spark, doc_stream_dir, tmp_path):
+    """Stored queries may filter on doc METADATA (ES percolator over
+    the full document): role keyword equality, turn_idx / ts numeric
+    ranges — resolved from the incoming batch columns, pinned to the
+    Python oracle with per-row field dicts."""
+    docs_dir, t = doc_stream_dir
+    ts_mid = float(t["ts"].iloc[len(t) // 2].timestamp())
+    stored = [
+        (0, "w00001 AND role:user"),
+        (1, "turn_idx:[0 TO 1] AND NOT role:tool"),
+        (2, f"w00002 AND ts:[{ts_mid} TO *]"),
+    ]
+    out = str(tmp_path / "perc_fields")
+    perc = StreamingPercolator(out, stored)
+    perc.run_available(spark, docs_dir)
+    got = (
+        perc.results(spark)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx", "query_id"])
+        .reset_index(drop=True)[["conv_id", "turn_idx", "query_id"]]
+    )
+    parsed = [(qid, parse_query(q)) for qid, q in stored]
+    exp_rows = [
+        (r["conv_id"], r["turn_idx"], qid)
+        for _, r in t.iterrows()
+        for qid, ast in parsed
+        if eval_python(
+            ast,
+            _tok(r["text"]),
+            {
+                "role": r["role"],
+                "turn_idx": float(r["turn_idx"]),
+                "ts": float(r["ts"].timestamp()),
+            },
+        )
+    ]
+    exp = (
+        pd.DataFrame(exp_rows, columns=["conv_id", "turn_idx", "query_id"])
+        .sort_values(["conv_id", "turn_idx", "query_id"])
+        .reset_index(drop=True)
+    )
+    exp["turn_idx"] = exp["turn_idx"].astype(got["turn_idx"].dtype)
+    exp["query_id"] = exp["query_id"].astype(got["query_id"].dtype)
+    pd.testing.assert_frame_equal(got, exp)
+    assert got.groupby("query_id").size().gt(0).all()
+
+
+def test_unknown_field_fails_fast(tmp_path):
+    with pytest.raises(ValueError, match="unknown doc field"):
+        StreamingPercolator(
+            str(tmp_path / "p"), [(0, "w00001 AND lang:en")]
+        )
+
+
 def test_rerun_is_idempotent(spark, doc_stream_dir, tmp_path):
     docs_dir, _t = doc_stream_dir
     out = str(tmp_path / "perc_idem")
