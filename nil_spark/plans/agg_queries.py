@@ -414,6 +414,162 @@ WHERE bucket_rank > {COMPOSITE_PAGE} AND bucket_rank <= {2 * COMPOSITE_PAGE}
 """
 
 
+# ---------------------------------------------- q: extended stats
+
+
+def q_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``extended_stats`` per event_type over ``value``: count /
+    min / max / sum / avg / population variance / population std — one
+    groupBy on the tiny key space, every moment map-side combinable
+    (sum, sum of squares), the textbook scalable aggregate."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return e.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("doc_count"),
+        F.round(F.min("value"), 6).alias("v_min"),
+        F.round(F.max("value"), 6).alias("v_max"),
+        F.round(F.sum("value"), 6).alias("v_sum"),
+        F.round(F.avg("value"), 6).alias("v_avg"),
+        F.round(F.var_pop("value"), 6).alias("v_var"),
+        F.round(F.stddev_pop("value"), 6).alias("v_std"),
+    )
+
+
+def _extended_stats_sql() -> str:
+    return """
+SELECT event_type, count(*)::BIGINT AS doc_count,
+       round(min(value), 6) AS v_min, round(max(value), 6) AS v_max,
+       round(sum(value), 6) AS v_sum, round(avg(value), 6) AS v_avg,
+       round(var_pop(value), 6) AS v_var,
+       round(stddev_pop(value), 6) AS v_std
+FROM events GROUP BY event_type
+"""
+
+
+# ------------------------------------------------ q: numeric histogram
+
+
+HISTO_INTERVAL = 50
+
+
+def q_histogram_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``histogram`` aggregation (fixed numeric interval, not
+    calendar): documents bucketed by floor(n_chars / interval) *
+    interval with min_doc_count 0 — every bucket across the data's
+    span emitted, zero-filled when empty, same spine discipline as
+    ``date_histogram``."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = F.lit(HISTO_INTERVAL)
+    per = d.groupBy(
+        (F.floor(F.col("n_chars") / w) * w).cast("long").alias("bucket")
+    ).agg(
+        F.count("*").cast("long").alias("dc"),
+        F.sum("n_chars").cast("long").alias("tc"),
+    )
+    bounds = d.agg(
+        (F.floor(F.min("n_chars") / w) * w).cast("long").alias("bmin"),
+        (F.floor(F.max("n_chars") / w) * w).cast("long").alias("bmax"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("bmin", "bmax", F.lit(HISTO_INTERVAL).cast("long"))
+        ).alias("bucket")
+    )
+    return spine.join(per, "bucket", "left").select(
+        "bucket",
+        F.coalesce("dc", F.lit(0)).cast("long").alias("doc_count"),
+        F.coalesce("tc", F.lit(0)).cast("long").alias("total_chars"),
+    )
+
+
+def _histogram_agg_sql() -> str:
+    W = HISTO_INTERVAL
+    return f"""
+WITH per AS (
+  SELECT (floor(n_chars / {W}) * {W})::BIGINT AS bucket,
+         count(*)::BIGINT AS dc, sum(n_chars)::BIGINT AS tc
+  FROM documents GROUP BY 1),
+b AS (SELECT (floor(min(n_chars) / {W}) * {W})::BIGINT AS bmin,
+             (floor(max(n_chars) / {W}) * {W})::BIGINT AS bmax
+      FROM documents),
+spine AS (SELECT unnest(generate_series(bmin, bmax, {W}))::BIGINT AS bucket
+          FROM b)
+SELECT spine.bucket, coalesce(dc, 0)::BIGINT AS doc_count,
+       coalesce(tc, 0)::BIGINT AS total_chars
+FROM spine LEFT JOIN per ON spine.bucket = per.bucket
+"""
+
+
+# ------------------------------------------------- q: multi_terms
+
+
+MULTI_TERMS_K = 10
+
+
+def q_multi_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``multi_terms``: buckets keyed by the (source, lang)
+    COMBINATION, top-K by doc_count (ties by keys ascending) — the
+    composite key space stays bucket-sized, so the rank window runs
+    over an already-tiny aggregate."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    buckets = d.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("doc_count")
+    )
+    w = Window.orderBy(
+        F.col("doc_count").desc(), F.col("source"), F.col("lang")
+    )
+    return (
+        buckets.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= MULTI_TERMS_K)
+        .select("rank", "source", "lang", "doc_count")
+    )
+
+
+def _multi_terms_sql() -> str:
+    return f"""
+SELECT rank, source, lang, doc_count FROM (
+  SELECT (row_number() OVER (ORDER BY doc_count DESC, source, lang))::INT
+             AS rank,
+         source, lang, doc_count
+  FROM (SELECT source, lang, count(*)::BIGINT AS doc_count
+        FROM documents GROUP BY 1, 2))
+WHERE rank <= {MULTI_TERMS_K}
+"""
+
+
+# -------------------------------------------------- q: rare_terms
+
+
+RARE_MAX_DF = 2
+
+
+def q_rare_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``rare_terms``: vocabulary terms appearing in at most
+    RARE_MAX_DF documents (the long tail a terms agg's top-N can never
+    surface).  One distinct + one groupBy over (doc, term); at scale
+    this is the term-dictionary df column with a filter — the index
+    answers it without touching postings."""
+    EQ = _eq()
+    docs = EQ._docs_toks(spark, sf_dir)
+    return (
+        docs.select("doc_id", F.explode("toks").alias("term"))
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("doc_count"))
+        .filter(F.col("doc_count") <= RARE_MAX_DF)
+    )
+
+
+def _rare_terms_sql() -> str:
+    EQ = _eq()
+    return f"""
+WITH {EQ._DOCS_CTE},
+dt AS (SELECT DISTINCT doc_id, tok AS term
+       FROM docs, unnest(toks) AS u(tok))
+SELECT term, count(*)::BIGINT AS doc_count
+FROM dt GROUP BY 1 HAVING count(*) <= {RARE_MAX_DF}
+"""
+
+
 # -------------------------------------------------- q: regexp search
 
 
@@ -647,6 +803,10 @@ def build_registry() -> dict:
         "dismax_topk": (q_dismax_topk, _dismax_sql()),
         "date_histogram": (q_date_histogram, _date_histogram_sql()),
         "composite_agg": (q_composite_agg, _composite_agg_sql()),
+        "extended_stats": (q_extended_stats, _extended_stats_sql()),
+        "histogram_agg": (q_histogram_agg, _histogram_agg_sql()),
+        "multi_terms_agg": (q_multi_terms_agg, _multi_terms_sql()),
+        "rare_terms_agg": (q_rare_terms_agg, _rare_terms_sql()),
         "regexp_search": (q_regexp_search, _regexp_sql()),
         "phrase_suggest": (q_phrase_suggest, _phrase_suggest_sql()),
     }
