@@ -1459,9 +1459,12 @@ def cmd_agg(args) -> int:
 
     pos_store = None
     paths = None
+    dsl_ndv: dict = {}
+    dsl_kdv: dict = {}
     if getattr(args, "dsl", None):
         from nil_spark.functions.querylang import (
             QueryParseError,
+            field_predicates,
             parse_query,
         )
         from nil_spark.operators.dsl_exec import _collect_phrases
@@ -1473,6 +1476,27 @@ def cmd_agg(args) -> int:
                               "detail": str(e)}), file=sys.stderr)
             spark.stop()
             return 2
+        for kind, f in sorted(field_predicates(ast)):
+            d = (
+                keyword_docvalues_dir(args.index_dir, f)
+                if kind == "keyword"
+                else docvalues_dir(args.index_dir, f)
+            )
+            if d is None:
+                flag = (
+                    "--keyword-docvalues" if kind == "keyword"
+                    else "--docvalues"
+                )
+                print(json.dumps({
+                    "error": "no doc-values store for field",
+                    "field": f,
+                    "kind": kind,
+                    "hint": f"the DSL filter uses {f!r}; rebuild with "
+                            f"`build {flag} {f}`",
+                }), file=sys.stderr)
+                spark.stop()
+                return 2
+            (dsl_kdv if kind == "keyword" else dsl_ndv)[f] = d
         phrases: set = set()
         _collect_phrases(ast, phrases)
         if phrases:
@@ -1490,8 +1514,32 @@ def cmd_agg(args) -> int:
             _glob.glob(f"{args.index_dir}/partial_segments/part-*.parquet")
         ) or sorted(_glob.glob(f"{args.index_dir}/segments/part-*.parquet"))
 
+    pct = None
+    if getattr(args, "percentiles", None):
+        if terms_field:
+            print(json.dumps({
+                "error": "--percentiles needs a numeric --field",
+                "hint": "percentiles sketch a numeric doc-values "
+                        "column; --terms-field buckets keywords",
+            }), file=sys.stderr)
+            spark.stop()
+            return 2
+        try:
+            pct = [float(x) for x in args.percentiles.split(",") if x]
+            if not pct or any(not 0.0 <= q <= 1.0 for q in pct):
+                raise ValueError(args.percentiles)
+        except ValueError:
+            print(json.dumps({
+                "error": "bad --percentiles",
+                "hint": "comma-separated fractions in [0,1], "
+                        "e.g. 0.5,0.95,0.99",
+            }), file=sys.stderr)
+            spark.stop()
+            return 2
+
     from nil_spark.operators.aggs_engine import (
         date_histogram_replica,
+        percentiles_replica,
         terms_agg_replica,
     )
     from nil_spark.operators.deletes import load_tombstones
@@ -1505,6 +1553,15 @@ def cmd_agg(args) -> int:
                 shard_paths=paths, avgdl=avgdl, cfg=cfg,
                 pos_store=pos_store, excluded=tombs,
                 metric_dv_dir=mdv,
+                dsl_numeric_dv=dsl_ndv, dsl_keyword_dv=dsl_kdv,
+            )
+        elif pct is not None:
+            out = percentiles_replica(
+                spark, dv, n_docs, pct,
+                dsl=getattr(args, "dsl", None),
+                shard_paths=paths, avgdl=avgdl, cfg=cfg,
+                pos_store=pos_store, excluded=tombs,
+                dsl_numeric_dv=dsl_ndv, dsl_keyword_dv=dsl_kdv,
             )
         else:
             out = date_histogram_replica(
@@ -1513,6 +1570,7 @@ def cmd_agg(args) -> int:
                 shard_paths=paths, avgdl=avgdl, cfg=cfg,
                 pos_store=pos_store, excluded=tombs,
                 metric_dv_dir=mdv,
+                dsl_numeric_dv=dsl_ndv, dsl_keyword_dv=dsl_kdv,
             )
         out.write.mode("overwrite").parquet(args.out)
     except ValueError as e:  # pruned dictionary / non-unigram index
@@ -1524,7 +1582,9 @@ def cmd_agg(args) -> int:
         "buckets": spark.read.parquet(args.out).count(),
         **({"terms_field": terms_field, "size": args.size}
            if terms_field else
-           {"field": args.field, "interval_s": args.interval}),
+           ({"field": args.field, "percentiles": pct}
+            if pct is not None else
+            {"field": args.field, "interval_s": args.interval})),
         **({"metric_field": args.metric_field}
            if getattr(args, "metric_field", None) else {}),
         **({"dsl": args.dsl} if getattr(args, "dsl", None) else {}),
@@ -1768,6 +1828,11 @@ def main(argv=None) -> int:
     ag.add_argument("--metric-field", default=None,
                     help="optional second doc-values field: per-bucket "
                          "value_sum / value_avg sub-aggregation")
+    ag.add_argument("--percentiles", default=None,
+                    help="comma-separated quantiles in [0,1] (e.g. "
+                         "0.5,0.95,0.99): t-digest percentiles of "
+                         "--field instead of a histogram (composable "
+                         "with --dsl)")
     ag.add_argument("--dsl", default=None,
                     help="optional boolean-DSL filter (AND/OR/NOT/"
                          "\"phrase\"/ATLEAST) evaluated index-natively; "

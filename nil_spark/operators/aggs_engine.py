@@ -55,6 +55,8 @@ from nil_spark.operators.dsl_exec import (
     _ast_json,
     _collect_phrases,
     _eval_node,
+    make_field_resolver,
+    validate_field_stores,
 )
 from nil_spark.operators.docvalues import load_docvalues
 from nil_spark.operators.phrase import _membership
@@ -62,7 +64,8 @@ from nil_spark.operators.segments import _load_replica
 
 
 def _prepare_filter_bc(
-    spark, dsl, shard_paths, cfg, pos_store, avgdl, universe_mode
+    spark, dsl, shard_paths, cfg, pos_store, avgdl, universe_mode,
+    numeric_dv=None, keyword_dv=None,
 ):
     """Validate + compile the optional DSL filter into a broadcast
     payload (serialized analyzed AST, resolved phrase doc-sets, replica
@@ -98,6 +101,10 @@ def _prepare_filter_bc(
     from nil_spark.functions.querylang import analyze_ast
 
     ast = analyze_ast(parse_query(dsl), cfg)
+    # field predicates (role:user, ts:[a TO b]) need doc-values stores
+    numeric_dv, keyword_dv = validate_field_stores(
+        [ast], numeric_dv, keyword_dv
+    )
     phrases: set = set()
     _collect_phrases(ast, phrases)
     phrase_ids = {ws: i for i, ws in enumerate(sorted(phrases))}
@@ -131,6 +138,8 @@ def _prepare_filter_bc(
         float(avgdl),
         float(cfg.bm25_k1),
         float(cfg.bm25_b),
+        numeric_dv,
+        keyword_dv,
     )
     return spark.sparkContext.broadcast(payload)
 
@@ -139,7 +148,7 @@ def _eval_filter(payload, n_docs: int, universe_mode: str) -> np.ndarray:
     """Worker-side: evaluate the compiled filter against the replica
     store → SORTED matched doc ids (runs once per task; posting-mass
     bounded, the per-shard repetition Lucene pays)."""
-    aj, psets, paths, a, k1, b = payload
+    aj, psets, paths, a, k1, b, numeric_dv, keyword_dv = payload
     view = _load_replica(paths, a, k1, b)
     if universe_mode == "dense" and view.max_doc >= n_docs:
         raise ValueError(
@@ -157,8 +166,12 @@ def _eval_filter(payload, n_docs: int, universe_mode: str) -> np.ndarray:
             )
         return ucache[0]
 
+    fsolve = make_field_resolver(
+        numeric_dv, keyword_dv, universe_mode, universe
+    )
     return np.asarray(
-        _eval_node(json.loads(aj), view, psets, universe), np.int64
+        _eval_node(json.loads(aj), view, psets, universe, fsolve),
+        np.int64,
     )
 
 
@@ -207,6 +220,8 @@ def date_histogram_replica(
     metric_dv_dir: Optional[str] = None,
     n_splits: Optional[int] = None,
     universe_mode: str = "indexed",
+    dsl_numeric_dv: Optional[dict] = None,
+    dsl_keyword_dv: Optional[dict] = None,
 ) -> DataFrame:
     """Fixed-interval histogram over a doc-values field, in-kernel.
 
@@ -233,7 +248,8 @@ def date_histogram_replica(
         raise ValueError(f"n_docs must be positive, got {n_docs}")
 
     filt_bc = _prepare_filter_bc(
-        spark, dsl, shard_paths, cfg, pos_store, avgdl, universe_mode
+        spark, dsl, shard_paths, cfg, pos_store, avgdl, universe_mode,
+        numeric_dv=dsl_numeric_dv, keyword_dv=dsl_keyword_dv,
     )
     excl_bc = (
         spark.sparkContext.broadcast(
@@ -346,6 +362,8 @@ def terms_agg_replica(
     metric_dv_dir: Optional[str] = None,
     n_splits: Optional[int] = None,
     universe_mode: str = "indexed",
+    dsl_numeric_dv: Optional[dict] = None,
+    dsl_keyword_dv: Optional[dict] = None,
 ) -> DataFrame:
     """ES ``terms`` aggregation over a KEYWORD doc-values field
     (Lucene SortedDocValues): top-``size`` buckets by doc_count
@@ -374,7 +392,8 @@ def terms_agg_replica(
     from nil_spark.operators.docvalues import load_keyword_docvalues
 
     filt_bc = _prepare_filter_bc(
-        spark, dsl, shard_paths, cfg, pos_store, avgdl, universe_mode
+        spark, dsl, shard_paths, cfg, pos_store, avgdl, universe_mode,
+        numeric_dv=dsl_numeric_dv, keyword_dv=dsl_keyword_dv,
     )
     excl_bc = (
         spark.sparkContext.broadcast(
@@ -463,4 +482,97 @@ def terms_agg_replica(
         .filter(F.col("rank") <= size)
         .crossJoin(F.broadcast(total))
         .select(*cols)
+    )
+
+
+def percentiles_replica(
+    spark: SparkSession,
+    dv_dir: str,
+    n_docs: int,
+    qs: list,
+    compression: float = 200.0,
+    dsl: Optional[str] = None,
+    shard_paths: Optional[list] = None,
+    avgdl: float = 1.0,
+    cfg: Optional[EngineConfig] = None,
+    pos_store: Optional[DataFrame] = None,
+    excluded: Optional[np.ndarray] = None,
+    n_splits: Optional[int] = None,
+    universe_mode: str = "indexed",
+    dsl_numeric_dv: Optional[dict] = None,
+    dsl_keyword_dv: Optional[dict] = None,
+) -> DataFrame:
+    """ES ``percentiles`` aggregation over a numeric doc-values field,
+    served by the engine's deterministic t-digest
+    (operators/tdigest.py): per-id-range tasks sketch their slice of
+    the node-shared doc-values array into ONE O(compression)-byte
+    digest row, the driver merges the P digests associatively and
+    answers every requested quantile — no sort, no row-proportional
+    shuffle, rank error O(q(1-q)/compression).
+
+    Same optional index-native DSL filter (incl. field predicates) and
+    tombstone exclusion as the other engine aggregations.  Returns a
+    tiny DataFrame ``(q double, value double, doc_count long)``.
+    """
+    from nil_spark.operators.tdigest import TDigest
+
+    for q in qs:
+        if not 0.0 <= float(q) <= 1.0:
+            raise ValueError(f"percentile out of [0,1]: {q}")
+    if n_docs <= 0:
+        raise ValueError(f"n_docs must be positive, got {n_docs}")
+    filt_bc = _prepare_filter_bc(
+        spark, dsl, shard_paths, cfg, pos_store, avgdl, universe_mode,
+        numeric_dv=dsl_numeric_dv, keyword_dv=dsl_keyword_dv,
+    )
+    excl_bc = (
+        spark.sparkContext.broadcast(
+            np.unique(np.asarray(excluded, np.int64))
+        )
+        if excluded is not None and len(excluded)
+        else None
+    )
+    rdf = _range_frame(spark, n_docs, n_splits)
+    dv = dv_dir
+    comp = float(compression)
+
+    def per_range(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        vals = None
+        matched_global = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if vals is None:
+                vals = load_docvalues(dv)
+                if filt_bc is not None and matched_global is None:
+                    matched_global = _eval_filter(
+                        filt_bc.value, n_docs, universe_mode
+                    )
+            chunks = []
+            excl = excl_bc.value if excl_bc is not None else None
+            for lo, hi in zip(pdf["lo"], pdf["hi"]):
+                ids = _range_ids(int(lo), int(hi), matched_global, excl)
+                if not len(ids):
+                    continue
+                v = np.where(
+                    ids < len(vals),
+                    vals[np.minimum(ids, len(vals) - 1)],
+                    np.nan,
+                )
+                chunks.append(v[~np.isnan(v)])
+            if chunks:
+                arr = np.concatenate(chunks)
+                if len(arr):
+                    d = TDigest.from_values(arr, comp)
+                    yield pd.DataFrame({"digest": [d.to_bytes()]})
+
+    rows = rdf.mapInPandas(per_range, schema="digest binary").collect()
+    digests = [TDigest.from_bytes(bytes(r["digest"])) for r in rows]
+    merged = (
+        TDigest.merge_all(digests) if digests else TDigest.empty(comp)
+    )
+    n = int(merged.total)
+    return spark.createDataFrame(
+        [(float(q), float(merged.quantile(float(q))), n) for q in qs],
+        "q double, value double, doc_count long",
     )

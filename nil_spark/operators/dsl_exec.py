@@ -111,6 +111,93 @@ def _collect_phrases(node, out: set):
 # ------------------------------------------------- kernel evaluation
 
 
+def make_field_resolver(
+    numeric_dv: dict | None,
+    keyword_dv: dict | None,
+    universe_mode: str,
+    universe,
+):
+    """Worker-side resolver for field-predicate AST nodes: doc sets
+    computed vectorized from the node-shared doc-values arrays
+    (lazy-loaded once per worker closure, memoized per predicate).
+    In indexed-universe mode field sets are intersected with the index
+    universe so filters cannot resurrect never-indexed docs.  Shared by
+    the DSL serving kernel and the aggregation filter path."""
+    dv_arrays: dict = {}
+    kw_arrays: dict = {}
+    fcache: dict = {}
+
+    def fsolve(nd: dict) -> np.ndarray:
+        key = json.dumps(nd, sort_keys=True)
+        got = fcache.get(key)
+        if got is not None:
+            return got
+        if "ft" in nd:
+            import bisect
+
+            f, v = nd["ft"]
+            if f not in kw_arrays:
+                from nil_spark.operators.docvalues import (
+                    load_keyword_docvalues,
+                )
+
+                kw_arrays[f] = load_keyword_docvalues(keyword_dv[f])
+            ords, vocab = kw_arrays[f]
+            i = bisect.bisect_left(vocab, v)
+            if i < len(vocab) and vocab[i] == v:
+                ids = np.nonzero(ords == np.int32(i))[0].astype(np.int64)
+            else:
+                ids = _EMPTY
+        else:
+            f, lo, hi = nd["fr"]
+            if f not in dv_arrays:
+                from nil_spark.operators.docvalues import load_docvalues
+
+                dv_arrays[f] = load_docvalues(numeric_dv[f])
+            dv = dv_arrays[f]
+            mask = ~np.isnan(dv)
+            if lo is not None:
+                mask &= dv >= lo
+            if hi is not None:
+                mask &= dv <= hi
+            ids = np.nonzero(mask)[0].astype(np.int64)
+        if universe_mode == "indexed" and len(ids):
+            # doc-values may cover docs the index never contained
+            # (e.g. min-size-filtered); a field filter must not
+            # resurrect them — same doc set ES would have
+            ids = ids[_membership(universe(), ids)]
+        fcache[key] = ids
+        return ids
+
+    return fsolve
+
+
+def validate_field_stores(
+    parsed_asts, numeric_dv: dict | None, keyword_dv: dict | None
+) -> tuple[dict, dict]:
+    """Driver-side: every field predicate in ``parsed_asts`` must have
+    a doc-values store; returns the (numeric, keyword) dir maps pruned
+    to the referenced fields."""
+    needed: set = set()
+    for ast in parsed_asts:
+        needed |= field_predicates(ast)
+    for kind, f in sorted(needed):
+        store = (keyword_dv if kind == "keyword" else numeric_dv) or {}
+        if f not in store:
+            flag = (
+                "--keyword-docvalues" if kind == "keyword"
+                else "--docvalues"
+            )
+            raise ValueError(
+                f"query uses {kind} field {f!r} but the index has no "
+                f"doc-values store for it — rebuild with {flag} {f}"
+            )
+    return (
+        {f: numeric_dv[f] for k, f in needed if k == "numeric"},
+        {f: keyword_dv[f] for k, f in needed if k == "keyword"},
+    )
+
+
 def _eval_node(
     node: dict, view, phrase_sets: dict, universe, fsolve=None
 ) -> np.ndarray:
@@ -309,26 +396,9 @@ def dsl_search_replica(
     ]
 
     # 0) field predicates must have a doc-values store to resolve from
-    needed: set = set()
-    for _, ast in parsed:
-        needed |= field_predicates(ast)
-    for kind, f in sorted(needed):
-        store = (keyword_dv if kind == "keyword" else numeric_dv) or {}
-        if f not in store:
-            flag = (
-                "--keyword-docvalues" if kind == "keyword"
-                else "--docvalues"
-            )
-            raise ValueError(
-                f"query uses {kind} field {f!r} but the index has no "
-                f"doc-values store for it — rebuild with {flag} {f}"
-            )
-    numeric_dv = {
-        f: numeric_dv[f] for k, f in needed if k == "numeric"
-    }
-    keyword_dv = {
-        f: keyword_dv[f] for k, f in needed if k == "keyword"
-    }
+    numeric_dv, keyword_dv = validate_field_stores(
+        [ast for _, ast in parsed], numeric_dv, keyword_dv
+    )
 
     # 1) resolve every distinct phrase exactly from the positional store
     phrases: set = set()
@@ -405,55 +475,6 @@ def dsl_search_replica(
     def per_split(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         view = None
         ucache: list = []
-        dv_arrays: dict = {}
-        kw_arrays: dict = {}
-        fcache: dict = {}
-
-        def fsolve(nd: dict) -> np.ndarray:
-            key = json.dumps(nd, sort_keys=True)
-            got = fcache.get(key)
-            if got is not None:
-                return got
-            if "ft" in nd:
-                import bisect
-
-                f, v = nd["ft"]
-                if f not in kw_arrays:
-                    from nil_spark.operators.docvalues import (
-                        load_keyword_docvalues,
-                    )
-
-                    kw_arrays[f] = load_keyword_docvalues(keyword_dv[f])
-                ords, vocab = kw_arrays[f]
-                i = bisect.bisect_left(vocab, v)
-                if i < len(vocab) and vocab[i] == v:
-                    ids = np.nonzero(ords == np.int32(i))[0].astype(
-                        np.int64
-                    )
-                else:
-                    ids = _EMPTY
-            else:
-                f, lo, hi = nd["fr"]
-                if f not in dv_arrays:
-                    from nil_spark.operators.docvalues import (
-                        load_docvalues,
-                    )
-
-                    dv_arrays[f] = load_docvalues(numeric_dv[f])
-                dv = dv_arrays[f]
-                mask = ~np.isnan(dv)
-                if lo is not None:
-                    mask &= dv >= lo
-                if hi is not None:
-                    mask &= dv <= hi
-                ids = np.nonzero(mask)[0].astype(np.int64)
-            if universe_mode == "indexed" and len(ids):
-                # doc-values may cover docs the index never contained
-                # (e.g. min-size-filtered); a field filter must not
-                # resurrect them — same doc set ES would have
-                ids = ids[_membership(universe(), ids)]
-            fcache[key] = ids
-            return ids
 
         def universe() -> np.ndarray:
             if not ucache:
@@ -478,6 +499,10 @@ def dsl_search_replica(
                         np.unique(np.asarray(view.docs, np.int64))
                     )
             return ucache[0]
+
+        fsolve = make_field_resolver(
+            numeric_dv, keyword_dv, universe_mode, universe
+        )
 
         for pdf in it:
             if len(pdf) == 0:

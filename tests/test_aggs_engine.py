@@ -283,6 +283,121 @@ def test_cli_agg_lifecycle(spark, idx, tmp_path):
     assert err["fields"] == ["nope"]
 
 
+# ------------------------------------------------ percentiles (t-digest)
+
+
+def _rank_err(values: np.ndarray, q: float, est: float) -> float:
+    s = np.sort(values)
+    n = len(s)
+    lo = np.searchsorted(s, est, side="left")
+    hi = np.searchsorted(s, est, side="right")
+    return max(0.0, lo - q * n, q * n - hi) / n
+
+
+def test_percentiles_matches_exact(spark, idx):
+    """percentiles_replica over the turn_idx doc-values: per-range
+    t-digests merged on the driver — estimates inside the rank-error
+    bound of the exact quantiles, count exact."""
+    from nil_spark.operators.aggs_engine import percentiles_replica
+
+    d, _paths, n_docs, pdf = idx
+    qs = [0.05, 0.5, 0.95]
+    got = percentiles_replica(
+        spark, docvalues_dir(d, "turn_idx"), n_docs, qs
+    ).toPandas().set_index("q")
+    vals = pdf["metric"].to_numpy(float)
+    assert (got["doc_count"] == n_docs).all()
+    for q in qs:
+        assert _rank_err(vals, q, got.loc[q, "value"]) < 0.01
+
+
+def test_percentiles_dsl_and_field_filters(spark, idx, kw_idx):
+    """The same optional index-native DSL filter the other engine aggs
+    take — including a FIELD predicate resolved from the keyword
+    doc-values — restricts which docs are sketched."""
+    from nil_spark.operators.aggs_engine import percentiles_replica
+
+    d, shard_paths, n_docs, pdf = idx
+    kw_dir, roles = kw_idx
+    qs = [0.5, 0.9]
+
+    got = percentiles_replica(
+        spark, docvalues_dir(d, "turn_idx"), n_docs, qs,
+        dsl="w00001", shard_paths=shard_paths, cfg=CFG,
+    ).toPandas().set_index("q")
+    mask = pdf["ltext"].str.contains(r"(?:^|[^a-z0-9])w00001(?:[^a-z0-9]|$)")
+    vals = pdf.loc[mask, "metric"].to_numpy(float)
+    assert int(got["doc_count"].iloc[0]) == int(mask.sum())
+    for q in qs:
+        assert _rank_err(vals, q, got.loc[q, "value"]) < 0.02
+
+    got2 = percentiles_replica(
+        spark, docvalues_dir(d, "turn_idx"), n_docs, qs,
+        dsl="role:user", shard_paths=shard_paths, cfg=CFG,
+        dsl_keyword_dv={"role": kw_dir},
+    ).toPandas().set_index("q")
+    m = roles.merge(pdf[["doc_id", "metric"]], on="doc_id")
+    uvals = m.loc[m["role"] == "user", "metric"].to_numpy(float)
+    assert int(got2["doc_count"].iloc[0]) == len(uvals)
+    for q in qs:
+        assert _rank_err(uvals, q, got2.loc[q, "value"]) < 0.02
+
+
+def test_percentiles_guards(spark, idx):
+    from nil_spark.operators.aggs_engine import percentiles_replica
+
+    d, shard_paths, n_docs, _pdf = idx
+    with pytest.raises(ValueError, match="out of"):
+        percentiles_replica(
+            spark, docvalues_dir(d, "turn_idx"), n_docs, [1.5]
+        )
+    with pytest.raises(ValueError, match="doc-values store"):
+        percentiles_replica(
+            spark, docvalues_dir(d, "turn_idx"), n_docs, [0.5],
+            dsl="lang:en", shard_paths=shard_paths, cfg=CFG,
+        )
+
+
+def test_cli_percentiles(spark, tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run(extra):
+        return subprocess.run(
+            [sys.executable, os.path.join(repo, "cli_main.py"),
+             "--master", "local[2]", "--shuffle-partitions", "4",
+             "--stopword-cutoff", "2.0", *extra],
+            capture_output=True, text=True, timeout=600, cwd=repo,
+        )
+
+    corpus = str(tmp_path / "corpus.parquet")
+    spark_transcripts(spark, 500, seed=29).write.mode("overwrite").parquet(
+        corpus
+    )
+    idx_dir = str(tmp_path / "idx")
+    r = run(["build", "--input", corpus, "--index-dir", idx_dir,
+             "--docvalues", "turn_idx"])
+    assert r.returncode == 0, r.stderr
+    out = str(tmp_path / "pct")
+    r = run(["agg", "--index-dir", idx_dir, "--field", "turn_idx",
+             "--percentiles", "0.5,0.95", "--out", out])
+    assert r.returncode == 0, r.stderr
+    got = spark.read.parquet(out).toPandas().sort_values("q")
+    assert list(got["q"]) == [0.5, 0.95]
+    assert (got["doc_count"] == 500).all()
+    summary = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["percentiles"] == [0.5, 0.95]
+
+    r = run(["agg", "--index-dir", idx_dir, "--field", "turn_idx",
+             "--percentiles", "1.5", "--out", out])
+    assert r.returncode == 2
+    err = _json.loads(r.stderr.strip().splitlines()[-1])
+    assert err["error"] == "bad --percentiles"
+
+
 @pytest.fixture(scope="module")
 def kw_idx(spark, idx):
     """Keyword (ordinal) doc-values over `role` on the same corpus."""
