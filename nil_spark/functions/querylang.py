@@ -58,9 +58,10 @@ from dataclasses import dataclass
 _TOKEN_RE = re.compile(
     r"\s*(?:(?P<lparen>\()|(?P<rparen>\))|(?P<comma>,)"
     r"|(?P<quote>\"[^\"]*\")(?:~(?P<slop>\d+))?"
+    r"(?:\^(?P<qboost>\d+(?:\.\d+)?))?"
     r"|(?P<frange>[A-Za-z_][A-Za-z0-9_]*:\[[^\[\]]*\])"
     r"|(?P<fterm>[A-Za-z_][A-Za-z0-9_]*:[A-Za-z0-9_.\-]+)"
-    r"|(?P<word>[A-Za-z0-9]+))"
+    r"|(?P<word>[A-Za-z0-9]+)(?:\^(?P<wboost>\d+(?:\.\d+)?))?)"
 )
 
 _RANGE_BOUND = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
@@ -78,12 +79,14 @@ class QueryParseError(ValueError):
 @dataclass(frozen=True)
 class Term:
     word: str
+    boost: float = 1.0  # query-time boost (word^2.5) — scoring only
 
 
 @dataclass(frozen=True)
 class Phrase:
     words: tuple
     slop: int = 0  # ordered width slack: match iff pos_m - pos_1 <= slop + m - 1
+    boost: float = 1.0  # "a b"~n^2 — scales every member's BM25 term
 
 
 @dataclass(frozen=True)
@@ -146,19 +149,25 @@ def _lex(text: str) -> list:
         if not m:
             raise QueryParseError(f"bad character at {pos}: {text[pos]!r}")
         pos = m.end()
-        if m.lastgroup == "word":
+        if m.group("word") is not None:
             w = m.group("word")
+            b = m.group("wboost")
             up = w.upper()
-            if up in ("AND", "OR", "NOT", "ATLEAST"):
+            if b is None and up in ("AND", "OR", "NOT", "ATLEAST"):
                 out.append((up, up))
             else:
-                out.append(("WORD", w.lower()))
-        elif m.lastgroup in ("quote", "slop"):
+                out.append(
+                    ("WORD", (w.lower(), float(b) if b else 1.0))
+                )
+        elif m.group("quote") is not None:
             words = [w for w in _WORD_SPLIT.split(m.group("quote").strip('"').lower()) if w]
             if not words:
                 raise QueryParseError("empty phrase")
             slop = int(m.group("slop")) if m.group("slop") else 0
-            out.append(("PHRASE", (tuple(words), slop)))
+            qb = m.group("qboost")
+            out.append(
+                ("PHRASE", (tuple(words), slop, float(qb) if qb else 1.0))
+            )
         elif m.lastgroup == "frange":
             raw = m.group("frange")
             field, _, body = raw.partition(":")
@@ -250,9 +259,9 @@ class _Parser:
                 raise QueryParseError("ATLEAST needs '('")
             self.next()
             t, v = self.next() if self.i < len(self.toks) else (None, None)
-            if t != "WORD" or not v.isdigit():
+            if t != "WORD" or not v[0].isdigit() or v[1] != 1.0:
                 raise QueryParseError("ATLEAST needs a leading integer")
-            n = int(v)
+            n = int(v[0])
             children = []
             while self.peek() == ",":
                 self.next()
@@ -279,7 +288,8 @@ class _Parser:
             self.next()
             return node
         if p == "WORD":
-            return Term(self.next()[1])
+            w, b = self.next()[1]
+            return Term(w, b)
         if p == "FTERM":
             f, v = self.next()[1]
             return FieldTerm(f, v)
@@ -287,8 +297,12 @@ class _Parser:
             f, lo, hi = self.next()[1]
             return FieldRange(f, lo, hi)
         if p == "PHRASE":
-            words, slop = self.next()[1]
-            return Phrase(words, slop) if len(words) > 1 else Term(words[0])
+            words, slop, b = self.next()[1]
+            return (
+                Phrase(words, slop, b)
+                if len(words) > 1
+                else Term(words[0], b)
+            )
         raise QueryParseError(f"unexpected token {p}")
 
 
@@ -317,11 +331,13 @@ def analyze_ast(node, cfg):
         return apply_analyzer([w], cfg)[0]
 
     if isinstance(node, Term):
-        return Term(an(node.word))
+        return Term(an(node.word), node.boost)
     if isinstance(node, (FieldTerm, FieldRange)):
         return node  # keyword/numeric filters are never analyzed (ES)
     if isinstance(node, Phrase):
-        return Phrase(tuple(an(w) for w in node.words), node.slop)
+        return Phrase(
+            tuple(an(w) for w in node.words), node.slop, node.boost
+        )
     if isinstance(node, Not):
         return Not(analyze_ast(node.child, cfg))
     if isinstance(node, And):
@@ -358,6 +374,34 @@ def positive_terms(node) -> list:
 
     walk(node, False)
     return sorted(out)
+
+
+def positive_term_boosts(node) -> dict:
+    """word → effective query-time boost for scoring: the SUM of the
+    boosts of the word's positive occurrences (a bare Term contributes
+    its own boost; every member of a boosted Phrase contributes the
+    phrase's boost) — Lucene's behavior, where ``a^2 OR a`` creates two
+    scorers whose contributions add.  Words only under NOT contribute
+    nothing (same rule as positive_terms).  All-1.0 queries yield the
+    exact unboosted scoring, so the boost path is a strict superset."""
+    out: dict = {}
+
+    def walk(n, neg: bool):
+        if isinstance(n, Term):
+            if not neg:
+                out[n.word] = out.get(n.word, 0.0) + n.boost
+        elif isinstance(n, Phrase):
+            if not neg:
+                for w in n.words:
+                    out[w] = out.get(w, 0.0) + n.boost
+        elif isinstance(n, Not):
+            walk(n.child, not neg)
+        elif isinstance(n, (And, Or, AtLeast)):
+            for c in n.children:
+                walk(c, neg)
+
+    walk(node, False)
+    return out
 
 
 def field_predicates(node) -> set:

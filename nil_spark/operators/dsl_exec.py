@@ -61,7 +61,7 @@ from nil_spark.functions.querylang import (
     analyze_ast,
     field_predicates,
     parse_query,
-    positive_terms,
+    positive_term_boosts,
 )
 from nil_spark.functions.tokenize import _hash_token
 from nil_spark.operators.phrase import _membership
@@ -442,12 +442,16 @@ def dsl_search_replica(
     rows = []
     for qid, ast in parsed:
         tl = []
-        for w in positive_terms(ast):
+        for w, boost in sorted(positive_term_boosts(ast).items()):
             t = int(_hash_token(w))
             if t in df_map:
                 d = float(df_map[t])
                 tl.append(
-                    (t, math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)))
+                    (
+                        t,
+                        boost
+                        * math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)),
+                    )
                 )
         rows.append(
             (qid, json.dumps(_ast_json(ast, phrase_ids)), json.dumps(tl))

@@ -91,6 +91,19 @@ DSL_K = 10
 # lang, numeric ranges on n_chars — mixed freely with the boolean
 # full-text algebra.  Filters gate matching but never contribute
 # scoring terms, so BM25 ranks come only from the text terms.
+# query-time boosts (Lucene query-string `term^2`): scoring only —
+# matching is boost-blind; a word's effective boost is the SUM of its
+# positive occurrences' boosts (Lucene: `a^2 OR a` = two scorers whose
+# contributions add); phrase boosts scale every member term.
+BOOST_DSL_QUERIES = [
+    (0, "dup^3 OR vector"),
+    (1, '"hash join"^2 AND merge'),
+    (2, "scan AND (big^0.5 OR small^2)"),
+    (3, "dup^2 OR (dup AND vector)"),  # additive repeat: dup at 3.0
+    (4, '"slow batch"~2^2 OR filter^1.5'),
+    (5, "NOT sort^5 AND table"),  # boost under NOT scores nothing
+]
+
 FIELD_DSL_QUERIES = [
     (0, "join AND lang:en"),
     (1, "scan AND n_chars:[150 TO 400]"),
@@ -233,7 +246,8 @@ def q_mlt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seed_id",
             "doc_id",
             (
-                F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                F.col("w")
+                * F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
                 * (F.col("tf") * 2.2)
                 / (F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl")))
             ).alias("partial"),
@@ -337,7 +351,8 @@ def q_synonym_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "doc_id",
             (
-                F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                F.col("w")
+                * F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
                 * (F.col("tf") * 2.2)
                 / (F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl")))
             ).alias("partial"),
@@ -626,10 +641,16 @@ def _dsl_rank_frame(
         .select(F.col("qm.query_id").alias("query_id"), "doc_id")
     )
 
+    from nil_spark.functions.querylang import positive_term_boosts
+
     qt_rows = [
-        (qid, t) for qid, ast in parsed for t in positive_terms(ast)
+        (qid, t, w)
+        for qid, ast in parsed
+        for t, w in sorted(positive_term_boosts(ast).items())
     ]
-    qt = spark.createDataFrame(qt_rows, "query_id long, term string")
+    qt = spark.createDataFrame(
+        qt_rows, "query_id long, term string, w double"
+    )
     qterms = qt.select("term").distinct()
 
     dl = docs.select("doc_id", F.size("toks").cast("double").alias("dl"))
@@ -652,7 +673,8 @@ def _dsl_rank_frame(
             "query_id",
             "doc_id",
             (
-                F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                F.col("w")
+                * F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
                 * (F.col("tf") * 2.2)
                 / (F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl")))
             ).alias("partial"),
@@ -687,10 +709,12 @@ def _dsl_sql_core(parsed: list, field_names: tuple = ()) -> str:
         + compile_duckdb(ast, "toks", "padded", field_exprs)
         for qid, ast in parsed
     )
+    from nil_spark.functions.querylang import positive_term_boosts
+
     qt_vals = ", ".join(
-        f"({qid}, '{t}')"
+        f"({qid}, '{t}', {w!r})"
         for qid, ast in parsed
-        for t in positive_terms(ast)
+        for t, w in sorted(positive_term_boosts(ast).items())
     )
     all_terms = sorted({t for _, ast in parsed for t in positive_terms(ast)})
     in_list = ", ".join(f"'{t}'" for t in all_terms)
@@ -703,14 +727,14 @@ matched AS (
 {matched_selects}),
 dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM docs),
 stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
-qt(query_id, term) AS (VALUES {qt_vals}),
+qt(query_id, term, w) AS (VALUES {qt_vals}),
 tf AS (SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
        FROM docs, unnest(toks) AS u(tok)
        WHERE tok IN ({in_list}) GROUP BY 1, 2),
 dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
 scored AS (
   SELECT qt.query_id, tf.doc_id,
-         round(sum( ln(1 + (s.n - dfr.df + 0.5) / (dfr.df + 0.5))
+         round(sum( qt.w * ln(1 + (s.n - dfr.df + 0.5) / (dfr.df + 0.5))
                     * (tf.tf * 2.2)
                     / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6) AS bm25
   FROM qt JOIN tf USING (term) JOIN dfr USING (term)
@@ -842,7 +866,8 @@ def q_wildcard_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "doc_id",
             (
-                F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                F.col("w")
+                * F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
                 * (F.col("tf") * 2.2)
                 / (F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl")))
             ).alias("partial"),
@@ -966,7 +991,8 @@ def q_search_corrected(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "doc_id",
             (
-                F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                F.col("w")
+                * F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
                 * (F.col("tf") * 2.2)
                 / (F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl")))
             ).alias("partial"),
@@ -1120,6 +1146,59 @@ def _dsl_field_sql() -> str:
     )
 
 
+# ------------------------------------------------ q: boosted DSL
+
+
+def _parsed_boost_dsl() -> list:
+    return [(qid, parse_query(text)) for qid, text in BOOST_DSL_QUERIES]
+
+
+def q_dsl_boost_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time boosts (`term^2`, `"phrase"~n^1.5`) through the
+    DataFrame backend: matching is boost-blind, ranking scales each
+    term's BM25 contribution by the summed boost of its positive
+    occurrences (Lucene additive-scorer semantics); boosts under NOT
+    contribute nothing."""
+    return _dsl_rank_frame(spark, sf_dir, _parsed_boost_dsl())
+
+
+def q_dsl_boost_search_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME boosted queries index-natively: the driver folds each
+    term's boost into its idf before shipping the scoring list to the
+    zero-shuffle kernel — gated by the identical oracle as
+    ``dsl_boost_search``."""
+    import pandas as pd
+
+    from nil_spark.operators.dsl_exec import dsl_search_replica
+
+    EQ = _eq()
+    shard_paths, td_pdf, n_docs, avgdl, cfg = EQ._gate_engine_index(
+        spark, sf_dir
+    )
+    pos_store, _pcfg = EQ._gate_pos_store(spark, sf_dir)
+    qpdf = pd.DataFrame(
+        {
+            "query_id": [i for i, _ in BOOST_DSL_QUERIES],
+            "dsl": [t for _, t in BOOST_DSL_QUERIES],
+        }
+    )
+    return dsl_search_replica(
+        spark,
+        qpdf,
+        shard_paths,
+        td_pdf,
+        n_docs,
+        avgdl,
+        cfg,
+        k=DSL_K,
+        pos_store=pos_store,
+    )
+
+
+def _dsl_boost_sql() -> str:
+    return _dsl_sql_core(_parsed_boost_dsl())
+
+
 # --------------------------------------------------------- registry
 
 
@@ -1136,6 +1215,11 @@ def build_registry() -> dict:
         "dsl_field_search_engine": (
             q_dsl_field_search_engine,
             _dsl_field_sql(),
+        ),
+        "dsl_boost_search": (q_dsl_boost_search, _dsl_boost_sql()),
+        "dsl_boost_search_engine": (
+            q_dsl_boost_search_engine,
+            _dsl_boost_sql(),
         ),
         "search_corrected": (q_search_corrected, _search_corrected_sql()),
         "wildcard_search": (q_wildcard_search, _wildcard_sql()),

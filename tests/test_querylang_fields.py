@@ -346,3 +346,42 @@ def test_engine_missing_store_raises(spark):
         dsl_search_replica(
             spark, qpdf, shard_paths, td_pdf, n_docs, avgdl, cfg
         )
+
+
+# --------------------------------------------------------- boosts
+
+
+def test_parse_boosts():
+    from nil_spark.functions.querylang import (
+        Phrase,
+        positive_term_boosts,
+    )
+
+    q = parse_query('dup^3 OR "hash join"~2^2 AND merge')
+    assert q == Or(
+        (
+            Term("dup", 3.0),
+            And(
+                (
+                    Phrase(("hash", "join"), 2, 2.0),
+                    Term("merge"),
+                )
+            ),
+        )
+    )
+    assert positive_term_boosts(q) == {
+        "dup": 3.0,
+        "hash": 2.0,
+        "join": 2.0,
+        "merge": 1.0,
+    }
+    # additive repeats (Lucene: a^2 OR a = two scorers)
+    assert positive_term_boosts(parse_query("a^2 OR a")) == {"a": 3.0}
+    # boosts under NOT score nothing
+    assert positive_term_boosts(parse_query("NOT a^5 AND b")) == {
+        "b": 1.0
+    }
+    # a boosted keyword-looking word is a term, not an operator
+    assert parse_query("and^2") == Term("and", 2.0)
+    # single-word quoted phrase keeps its boost as a Term
+    assert parse_query('"dup"^4') == Term("dup", 4.0)
