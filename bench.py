@@ -371,6 +371,53 @@ def main() -> None:
         agd_times.append(time.perf_counter() - t0)
     queries["engine_agg_filtered"] = round(min(agk_times), 3)
     queries["engine_agg_filtered_df"] = round(min(agd_times), 3)
+
+    # field-predicate DSL serving: the same 200-query boolean batch
+    # with a numeric doc-values range filter appended (ts in the upper
+    # half of the corpus span) — measures the in-kernel doc-values
+    # range mask + universe intersection on top of engine_dsl_batch.
+    ts_mid = docs_b.agg(
+        (
+            (
+                SF.unix_micros(SF.min(SF.col("ts").cast("timestamp")))
+                + SF.unix_micros(SF.max(SF.col("ts").cast("timestamp")))
+            )
+            / SF.lit(2e6)
+        ).alias("m")
+    ).collect()[0]["m"]
+    dslf_pdf = dsl_pdf.copy()
+    dslf_pdf["dsl"] = [
+        f"({d}) AND ts:[{ts_mid:.3f} TO *]" for d in dslf_pdf["dsl"]
+    ]
+    ndv = {"ts": dv_dir}
+    force(dsl_search_replica(
+        spark, dslf_pdf.iloc[:n_warm], paths, td_full, n_docs, avgdl,
+        cfg_dsl, k=10, universe_mode="indexed", numeric_dv=ndv,
+    ))
+    df_times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        force(dsl_search_replica(
+            spark, dslf_pdf, paths, td_full, n_docs, avgdl, cfg_dsl,
+            k=10, universe_mode="indexed", numeric_dv=ndv,
+        ))
+        df_times.append(time.perf_counter() - t0)
+    queries["engine_dsl_fields"] = round(min(df_times), 3)
+
+    # t-digest percentiles over the doc-values array: per-range
+    # digests + driver merge (operators/tdigest.py) — the quantile
+    # scale path, cost O(n_docs/cores) per run
+    from nil_spark.operators.aggs_engine import percentiles_replica
+
+    force(percentiles_replica(spark, dv_dir, n_docs, [0.5]))  # JIT
+    pc_times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        force(percentiles_replica(
+            spark, dv_dir, n_docs, [0.5, 0.95, 0.99]
+        ))
+        pc_times.append(time.perf_counter() - t0)
+    queries["engine_percentiles"] = round(min(pc_times), 3)
     shutil.rmtree(dv_root, ignore_errors=True)
 
     # end-to-end verified serving: BMW retrieval at k+margin, tier-1

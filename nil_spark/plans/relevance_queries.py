@@ -246,8 +246,7 @@ def q_mlt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seed_id",
             "doc_id",
             (
-                F.col("w")
-                * F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
                 * (F.col("tf") * 2.2)
                 / (F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl")))
             ).alias("partial"),
@@ -351,8 +350,7 @@ def q_synonym_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "doc_id",
             (
-                F.col("w")
-                * F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
                 * (F.col("tf") * 2.2)
                 / (F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl")))
             ).alias("partial"),
@@ -866,8 +864,7 @@ def q_wildcard_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "doc_id",
             (
-                F.col("w")
-                * F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
                 * (F.col("tf") * 2.2)
                 / (F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl")))
             ).alias("partial"),
@@ -991,8 +988,7 @@ def q_search_corrected(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "doc_id",
             (
-                F.col("w")
-                * F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
                 * (F.col("tf") * 2.2)
                 / (F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl")))
             ).alias("partial"),
