@@ -220,3 +220,35 @@ def test_create_errors(spark, tmp_path):
         IcebergTable.create(
             spark, df2, str(tmp_path / "b"), partition_by=["day(ts)"]
         )
+
+
+def test_streaming_sink_with_transform_partitioning(spark, tmp_path):
+    """The foreachBatch Iceberg sink accepts transform specs: each
+    micro-batch lands day-partitioned with bucket sub-dirs, the table
+    reads back whole, and incremental append planning carries the
+    derived partition values."""
+    from nil_spark.streaming.iceberg_sink import iceberg_batch_sink
+
+    p = str(tmp_path / "stream_tbl")
+    sink = iceberg_batch_sink(
+        p, partition_by=["day(ts)", "bucket(2, conv_id)"]
+    )
+    pdf = _mk_pdf(40)
+    df = spark.createDataFrame(pdf)
+    sink(df.filter("turn_idx < 20"), 0)
+    sink(df.filter("turn_idx >= 20"), 1)
+    t = IcebergTable(p)
+    assert [f["transform"] for f in t.partition_fields()] == [
+        "day",
+        "bucket[2]",
+    ]
+    assert t.scan(spark).count() == 40
+    files = t.incremental_files(0)
+    assert files and all(
+        set(pv) == {"ts_day", "conv_id_bucket"} for _p, _s, pv in files
+    )
+    # pruning works on the streamed table too
+    _, _, pruned = t.plan_files(
+        predicate=("ts", "<", dt.datetime(2026, 1, 2))
+    )
+    assert pruned > 0
