@@ -1090,17 +1090,22 @@ class IcebergTable:
                 continue
             if t.startswith("bucket["):
                 # buckets are unordered: only equality prunes
-                if op == "==" and int(pv) != int(tl):
-                    return True
+                try:
+                    if op == "==" and int(pv) != int(tl):
+                        return True
+                except (TypeError, ValueError):
+                    pass  # foreign/garbled value: never mis-prune
                 continue
             # order-preserving transform: file holds only rows with
             # t(x) == pv, so x OP lit is satisfiable iff pv is on the
             # right side of t(lit)
-            pvv = (
-                str(pv)
-                if t.startswith("truncate[") and f["type"] == "string"
-                else int(pv)
-            )
+            if t.startswith("truncate[") and f["type"] == "string":
+                pvv = str(pv)
+            else:
+                try:
+                    pvv = int(pv)
+                except (TypeError, ValueError):
+                    continue  # foreign/garbled value: never mis-prune
             if op == "==" and pvv != tl:
                 return True
             if op in ("<", "<=") and pvv > tl:
