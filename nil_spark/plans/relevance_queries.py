@@ -1195,6 +1195,170 @@ def _dsl_boost_sql() -> str:
     return _dsl_sql_core(_parsed_boost_dsl())
 
 
+# ------------------------------------------------ q: boosting query
+
+
+BOOSTING_QUERIES = [
+    # (query_id, positive DSL, negative DSL)
+    (0, "hash OR join", "slow"),
+    (1, "scan", '"table scan"'),
+    (2, "dup OR vector", "stream OR batch"),
+    (3, '"hash join"', "sort"),
+]
+NEG_BOOST = 0.3
+
+
+def q_boosting_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``boosting`` query: docs must match the POSITIVE query; docs
+    also matching the NEGATIVE query are not excluded (that's NOT) but
+    DEMOTED — their BM25 scaled by negative_boost before ranking.
+    Both clauses are full DSL expressions; one corpus scan evaluates
+    every (positive, negative) pair as a match-struct array, and the
+    demotion is a factor applied to the unrounded positive score
+    (round-before-rank happens after, the shared pin)."""
+    EQ = _eq()
+    parsed = [
+        (qid, parse_query(p), parse_query(n))
+        for qid, p, n in BOOSTING_QUERIES
+    ]
+    docs = EQ._docs_toks(spark, sf_dir)
+    base = docs.withColumn(
+        "padded",
+        F.concat(F.lit(" "), F.array_join("toks", " "), F.lit(" ")),
+    )
+    match_arr = F.array(
+        *[
+            F.struct(
+                F.lit(qid).cast("long").alias("query_id"),
+                compile_spark(p, F.col("toks"), F.col("padded")).alias("m"),
+                compile_spark(n, F.col("toks"), F.col("padded")).alias(
+                    "neg"
+                ),
+            )
+            for qid, p, n in parsed
+        ]
+    )
+    matched = (
+        base.select("doc_id", F.explode(match_arr).alias("qm"))
+        .filter(F.col("qm.m"))
+        .select(
+            F.col("qm.query_id").alias("query_id"),
+            "doc_id",
+            F.col("qm.neg").alias("neg"),
+        )
+    )
+
+    qt_rows = [
+        (qid, t) for qid, p, _n in parsed for t in positive_terms(p)
+    ]
+    qt = spark.createDataFrame(qt_rows, "query_id long, term string")
+    qterms = qt.select("term").distinct()
+    dl = docs.select("doc_id", F.size("toks").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("term"))
+        .join(F.broadcast(qterms), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfr = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    scored = (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(dfr), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (F.col("tf") * 2.2)
+                / (F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl")))
+            ).alias("partial"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("partial").alias("raw"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id")
+    )
+    return (
+        matched.join(scored, ["query_id", "doc_id"], "left")
+        .withColumn(
+            "bm25",
+            F.round(
+                F.coalesce("raw", F.lit(0.0))
+                * F.when(F.col("neg"), F.lit(NEG_BOOST)).otherwise(1.0),
+                6,
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= DSL_K)
+        .select("query_id", "rank", "doc_id", "bm25", "neg")
+    )
+
+
+def _boosting_sql() -> str:
+    EQ = _eq()
+    parsed = [
+        (qid, parse_query(p), parse_query(n))
+        for qid, p, n in BOOSTING_QUERIES
+    ]
+    matched_selects = "\n UNION ALL\n".join(
+        f" SELECT {qid}::BIGINT AS query_id, doc_id, "
+        + f"({compile_duckdb(n, 'toks', 'padded')}) AS neg "
+        + "FROM dtokp WHERE "
+        + compile_duckdb(p, "toks", "padded")
+        for qid, p, n in parsed
+    )
+    qt_vals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, p, _n in parsed
+        for t in positive_terms(p)
+    )
+    all_terms = sorted(
+        {t for _, p, _n in parsed for t in positive_terms(p)}
+    )
+    in_list = ", ".join(f"'{t}'" for t in all_terms)
+    return f"""
+WITH {EQ._DOCS_CTE},
+dtokp AS (SELECT doc_id, toks,
+                 ' ' || coalesce(array_to_string(toks, ' '), '') || ' ' AS padded
+          FROM docs),
+matched AS (
+{matched_selects}),
+dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM docs),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+qt(query_id, term) AS (VALUES {qt_vals}),
+tf AS (SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+       FROM docs, unnest(toks) AS u(tok)
+       WHERE tok IN ({in_list}) GROUP BY 1, 2),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - dfr.df + 0.5) / (dfr.df + 0.5))
+              * (tf.tf * 2.2)
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS raw
+  FROM qt JOIN tf USING (term) JOIN dfr USING (term)
+       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  GROUP BY 1, 2)
+SELECT query_id, rank, doc_id, bm25, neg FROM (
+  SELECT m.query_id, m.doc_id, m.neg,
+         round(coalesce(s.raw, 0.0)
+               * (CASE WHEN m.neg THEN {NEG_BOOST} ELSE 1.0 END), 6) AS bm25,
+         (row_number() OVER (PARTITION BY m.query_id
+            ORDER BY round(coalesce(s.raw, 0.0)
+                     * (CASE WHEN m.neg THEN {NEG_BOOST} ELSE 1.0 END), 6)
+                     DESC,
+                     m.doc_id))::INT AS rank
+  FROM matched m LEFT JOIN scored s
+    ON s.query_id = m.query_id AND s.doc_id = m.doc_id)
+WHERE rank <= {DSL_K}
+"""
+
+
 # --------------------------------------------------------- registry
 
 
@@ -1217,6 +1381,7 @@ def build_registry() -> dict:
             q_dsl_boost_search_engine,
             _dsl_boost_sql(),
         ),
+        "boosting_search": (q_boosting_search, _boosting_sql()),
         "search_corrected": (q_search_corrected, _search_corrected_sql()),
         "wildcard_search": (q_wildcard_search, _wildcard_sql()),
         "blockjoin_topk": (q_blockjoin_topk, _blockjoin_sql()),
