@@ -1195,6 +1195,70 @@ def _dsl_boost_sql() -> str:
     return _dsl_sql_core(_parsed_boost_dsl())
 
 
+# ------------------------------------------------ q: span_first
+
+
+SPAN_FIRST_QUERIES = [
+    # (query_id, term, end) — match iff the term occurs among the
+    # first `end` tokens (Lucene SpanFirstQuery)
+    (0, "hash", 8),
+    (1, "dup", 5),
+    (2, "window", 10),
+    (3, "merge", 6),
+]
+
+
+def q_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene ``SpanFirstQuery``: docs where the term's FIRST
+    occurrence falls within the leading ``end`` tokens (title-ish
+    matching without a title field), ranked by that position (doc_id
+    ties).  ``array_position`` is a JVM expression; at scale the
+    positional store answers the same predicate from position lists
+    without touching text (same store span_near/min_window read)."""
+    EQ = _eq()
+    docs = EQ._docs_toks(spark, sf_dir)
+    q = spark.createDataFrame(
+        SPAN_FIRST_QUERIES, "query_id long, term string, end int"
+    )
+    pos = docs.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "doc_id",
+        "end",
+        F.array_position("toks", F.col("term")).alias("first_pos"),
+    )
+    w = Window.partitionBy("query_id").orderBy("first_pos", "doc_id")
+    return (
+        pos.filter(
+            (F.col("first_pos") > 0)
+            & (F.col("first_pos") <= F.col("end"))
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= DSL_K)
+        .select("query_id", "rank", "doc_id", "first_pos")
+    )
+
+
+def _span_first_sql() -> str:
+    EQ = _eq()
+    vals = ", ".join(
+        f"({i}, '{t}', {e})" for i, t, e in SPAN_FIRST_QUERIES
+    )
+    return f"""
+WITH {EQ._DOCS_CTE},
+q(query_id, term, e) AS (VALUES {vals}),
+m AS (SELECT q.query_id, docs.doc_id,
+             coalesce(list_position(docs.toks, q.term), 0) AS first_pos,
+             q.e
+      FROM docs CROSS JOIN q)
+SELECT query_id, rank, doc_id, first_pos::BIGINT AS first_pos FROM (
+  SELECT query_id, doc_id, first_pos,
+         (row_number() OVER (PARTITION BY query_id
+                             ORDER BY first_pos, doc_id))::INT AS rank
+  FROM m WHERE first_pos > 0 AND first_pos <= e)
+WHERE rank <= {DSL_K}
+"""
+
+
 # ------------------------------------------------ q: boosting query
 
 
@@ -1382,6 +1446,7 @@ def build_registry() -> dict:
             _dsl_boost_sql(),
         ),
         "boosting_search": (q_boosting_search, _boosting_sql()),
+        "span_first": (q_span_first, _span_first_sql()),
         "search_corrected": (q_search_corrected, _search_corrected_sql()),
         "wildcard_search": (q_wildcard_search, _wildcard_sql()),
         "blockjoin_topk": (q_blockjoin_topk, _blockjoin_sql()),
