@@ -283,6 +283,17 @@ def _transform_py(transform: str, value, ice_type: str):
     transformed (caller then skips partition pruning)."""
     import datetime as _dt
 
+    def _utc_micros(v: _dt.datetime) -> int:
+        # Exact integer epoch-micros.  float seconds via .timestamp()
+        # lose 1µs for ~1% of microsecond-precision values, which makes
+        # bucket[N] hash a DIFFERENT value than the write path (exact
+        # datetime64[us]→int64) and mis-prune the matching file.
+        tz = v.tzinfo or _dt.timezone.utc
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+        return (v.replace(tzinfo=tz) - epoch) // _dt.timedelta(
+            microseconds=1
+        )
+
     if transform == "identity":
         return value
     if transform in ("year", "month", "day", "hour"):
@@ -300,8 +311,7 @@ def _transform_py(transform: str, value, ice_type: str):
             return v.year - 1970
         if transform == "month":
             return (v.year - 1970) * 12 + v.month - 1
-        tz = v.tzinfo or _dt.timezone.utc
-        micros = int(v.replace(tzinfo=tz).timestamp() * 1_000_000)
+        micros = _utc_micros(v)
         us = _DAY_US if transform == "day" else _HOUR_US
         return micros // us
     if transform.startswith("truncate["):
@@ -329,8 +339,7 @@ def _transform_py(transform: str, value, ice_type: str):
         if ice_type in ("timestamp", "timestamptz"):
             v = value
             if isinstance(v, _dt.datetime):
-                tz = v.tzinfo or _dt.timezone.utc
-                v = int(v.replace(tzinfo=tz).timestamp() * 1_000_000)
+                v = _utc_micros(v)
             if not isinstance(v, int):
                 return None
             return int(iceberg_bucket_long(v, n))
@@ -618,6 +627,31 @@ class IcebergTable:
                     f"derived partition field name {fname!r} collides "
                     "with a schema column"
                 )
+            if any(pf["name"] == fname for pf in part_fields):
+                # e.g. bucket(4,x) + bucket(8,x) both derive 'x_bucket':
+                # the second withColumn would silently overwrite the
+                # first and name-keyed manifest/prune lookups would
+                # resolve to the wrong transform
+                raise ValueError(
+                    f"derived partition field name {fname!r} collides "
+                    f"with another partition field — two transforms of "
+                    f"the same source column in one spec are not "
+                    f"supported; drop one of them"
+                )
+            if transform.startswith("bucket["):
+                src_type = by_name[col]["type"]
+                if not isinstance(src_type, str) or src_type in (
+                    "float", "double", "boolean",
+                ):
+                    # the Iceberg spec defines bucket over
+                    # int/long/decimal/date/time/timestamp/string/uuid/
+                    # fixed/binary — never float/double; silently
+                    # truncating fractions would produce non-spec
+                    # partition values
+                    raise ValueError(
+                        f"bucket transform is not defined over source "
+                        f"type {src_type!r} (column {col!r})"
+                    )
             part_fields.append(
                 {
                     "name": fname,

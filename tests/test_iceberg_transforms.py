@@ -91,6 +91,24 @@ def test_transform_py():
     )
 
 
+def test_transform_py_timestamp_micros_exact():
+    """Epoch-micros must be computed with integer arithmetic: float
+    seconds via .timestamp() lose 1µs for ~1% of microsecond-precision
+    values, so bucket[N] would hash a different value than the write
+    path (exact datetime64[us]→int64) and mis-prune the file holding
+    the match (round-4 ADVICE, reproduced literal)."""
+    v = dt.datetime(2004, 7, 20, 19, 48, 54, 935922)
+    exact = 1090352934935922  # pandas: Timestamp(v).value // 1000
+    assert pd.Timestamp(v).value // 1000 == exact
+    for n in (4, 16, 128):
+        assert _transform_py(f"bucket[{n}]", v, "timestamp") == int(
+            iceberg_bucket_long(exact, n)
+        )
+    # day/hour path uses the same exact conversion
+    assert _transform_py("day", v, "timestamp") == exact // (86400 * 10**6)
+    assert _transform_py("hour", v, "timestamp") == exact // (3600 * 10**6)
+
+
 # ------------------------------------------------- table round-trips
 
 
@@ -219,6 +237,20 @@ def test_create_errors(spark, tmp_path):
     with pytest.raises(ValueError, match="collides"):
         IcebergTable.create(
             spark, df2, str(tmp_path / "b"), partition_by=["day(ts)"]
+        )
+    # two transforms of the same source derive the same field name —
+    # the second withColumn would silently overwrite the first
+    with pytest.raises(ValueError, match="another partition field"):
+        IcebergTable.create(
+            spark, df, str(tmp_path / "c"),
+            partition_by=["bucket(4, conv_id)", "bucket(8, conv_id)"],
+        )
+    # the spec defines no bucket over float/double — reject instead of
+    # silently truncating fractions to int64
+    df3 = df.withColumn("score", df.turn_idx.cast("double"))
+    with pytest.raises(ValueError, match="not defined over"):
+        IcebergTable.create(
+            spark, df3, str(tmp_path / "d"), partition_by=["bucket(4, score)"]
         )
 
 
