@@ -21,6 +21,33 @@ def force(df) -> int:
     return 0
 
 
+def _calib_build_file(path: str) -> int:
+    """The REAL file-direct build kernel on one corpus file under plain
+    multiprocessing — identical computation to a build task, no Spark.
+    Module-level so mp.Pool can pickle it (bench_scaling._kernel_work
+    with bench.py's config)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from nil_spark.config import EngineConfig
+    from nil_spark.operators.segments import _fused_partition_frame
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    cfg = EngineConfig(gram_size=1, num_segments=int(cpus))
+    t = (
+        pq.read_table(path, columns=["conv_id", "turn_idx", "text"])
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    )
+    part = pd.DataFrame(
+        {"doc_id": np.arange(len(t), dtype=np.int64),
+         "text": t["text"].to_numpy()}
+    )
+    out = _fused_partition_frame(part, cfg, 1 << 20)
+    return 0 if out is None else len(out)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -60,7 +87,18 @@ def main() -> None:
     # sample per level).
     queries: dict[str, float] = {}
     queries_cold: dict[str, float] = {}
+    only = {
+        s for s in os.environ.get("NIL_BENCH_ONLY", "").split(",") if s
+    }
     for name, fn in sorted(entry_mod.queries().items()):
+        if only and name not in only:
+            continue
+        # round-4 lesson: with 100+ queries in one session, cached
+        # relations + JVM pressure from earlier queries made four cold
+        # numbers blow up 5x with unchanged code — clear the cache so
+        # each query's cold run starts from the same session state and
+        # cold numbers stay comparable round-over-round
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         force(fn(spark, sf_dir))
         queries_cold[name] = round(time.perf_counter() - t0, 3)
@@ -70,6 +108,23 @@ def main() -> None:
             force(fn(spark, sf_dir))
             warm.append(time.perf_counter() - t0)
         queries[name] = round(min(warm), 3)
+
+    if only:
+        # restricted reproduction run (NIL_BENCH_ONLY=a,b,...): gate
+        # queries only, no engine cases — for chasing per-query
+        # regressions without a 3-minute full pass
+        print(json.dumps({
+            "metric": "total_bench_seconds",
+            "value": round(sum(queries.values()), 3),
+            "unit": "sec",
+            "queries": queries,
+            "queries_cold": queries_cold,
+            "sf": sf,
+            "cpus": int(cpus),
+            "only": sorted(only),
+        }))
+        spark.stop()
+        return
 
     # ---- core engine: synthetic transcript corpus; the scale paths
     # (fused shard build + replica-resident serving) ----
@@ -149,6 +204,21 @@ def main() -> None:
     fd_s = min(fd_times)
     queries["engine_index_build_filedirect"] = round(fd_s, 3)
     shutil.rmtree(fd_dir, ignore_errors=True)
+
+    # ---- in-run host calibration #1 (round-4 verdict): the SAME
+    # build kernel under plain multiprocessing on the SAME corpus
+    # files, measured in the SAME session window — distinguishes "the
+    # shared host was slow during this run" from a real engine
+    # regression.  Engine-relative ratios are emitted alongside the
+    # raw numbers.
+    import multiprocessing as mp
+
+    with mp.Pool(int(cpus)) as pool:  # warm fork/import/page-cache
+        pool.map(_calib_build_file, fd_files[:2])
+    t0 = time.perf_counter()
+    with mp.Pool(int(cpus)) as pool:
+        pool.map(_calib_build_file, fd_files)
+    calib_build_tps = n_turns / (time.perf_counter() - t0)
     shutil.rmtree(corpus_dir, ignore_errors=True)
 
     qpdf = gen_queries(pdf, n_queries=n_queries, k=10, seed=43)
@@ -236,6 +306,48 @@ def main() -> None:
         q_times.append(time.perf_counter() - t0)
     query_s = min(q_times)
     queries["engine_bm25_batch"] = round(query_s, 3)
+
+    # ---- in-run host calibration #2: the SAME warm-query kernel
+    # under plain multiprocessing over the SAME shard store + query
+    # batch (bench_scaling's kernel, per-process replica loaded in the
+    # pool initializer, untimed — mirroring the engine's warm path)
+    import math
+
+    import numpy as np
+
+    from bench_scaling import _query_kernel_chunk, _query_kernel_init
+    from nil_spark.functions.tokenize import terms_for_tokens, tokenize_series
+
+    df_map = dict(zip(termdict["term"].astype(np.int64),
+                      termdict["df"].astype(np.int64)))
+    qtoks = tokenize_series(qpdf["text"], cfg)
+    calibq = []
+    for (qid, kk), ts_ in zip(zip(qpdf["query_id"], qpdf["k"]), qtoks):
+        th = np.unique(terms_for_tokens(ts_, cfg))
+        tl = [
+            (int(t), math.log(1.0 + (n_docs - df_map[int(t)] + 0.5)
+                              / (df_map[int(t)] + 0.5)))
+            for t in th if int(t) in df_map
+        ]
+        if tl:
+            calibq.append((int(qid), int(kk), tl))
+    cpaths = tuple(paths)
+    k1_, b_ = cfg.bm25_k1, cfg.bm25_b
+    procs = int(cpus)
+    n_chunks = procs * 4
+    step_q = (len(calibq) + n_chunks - 1) // n_chunks
+    chunks = [
+        (cpaths, avgdl, k1_, b_, n_docs,
+         calibq[i * step_q:(i + 1) * step_q])
+        for i in range(n_chunks)
+    ]
+    with mp.Pool(procs, initializer=_query_kernel_init,
+                 initargs=(cpaths, avgdl, k1_, b_)) as pool:
+        pool.map(_query_kernel_chunk, chunks[:procs], chunksize=1)  # warm
+        t0 = time.perf_counter()
+        pool.map(_query_kernel_chunk, chunks, chunksize=1)
+        calib_q_dt = time.perf_counter() - t0
+    calib_query_qps = len(calibq) / calib_q_dt
 
     # Block-Max WAND serving over the same replica + query batch: the
     # document-at-a-time path whose cost is O(evaluated docs), not
@@ -448,35 +560,54 @@ def main() -> None:
     shutil.rmtree(replica_store, ignore_errors=True)
 
     total = round(sum(queries.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_bench_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": queries,
-                "queries_cold": queries_cold,
-                "cold_total": round(sum(queries_cold.values()), 3),
-                "protocol": (
-                    "gate queries: 1 cold run (reported in queries_cold, "
-                    "incl. one-time JIT) + best-of-2 warm runs (headline); "
-                    "engine cases best-of-2 after declared warm-up — the "
-                    "noisy-shared-host defense bench_scaling.py uses"
-                ),
-                "sf": sf,
-                "index_build_turns_per_sec": round(n_turns / build_s, 1),
-                "index_build_fd_turns_per_sec": round(n_turns / fd_s, 1),
-                "query_qps": round(n_queries / query_s, 1),
-                "query_qps_cold": round(n_warm / cold_s, 1),
-                "lcs_verify_pairs": n_verify,
-                "lcs_verify_candidates": n_cand,
-                "lcs_verify_pairs_per_sec": round(n_verify / lcs_s, 1),
-                "bench_turns": n_turns,
-                "bench_queries": n_queries,
-                "cpus": int(cpus),
-            }
-        )
-    )
+    payload = {
+        "metric": "total_bench_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "queries_cold": queries_cold,
+        "cold_total": round(sum(queries_cold.values()), 3),
+        "protocol": (
+            "gate queries: clearCache + 1 cold run (reported in "
+            "queries_cold, incl. one-time JIT) + best-of-2 warm runs "
+            "(headline); engine cases best-of-2 after declared warm-up "
+            "— the noisy-shared-host defense bench_scaling.py uses; "
+            "calibration_* = same kernels under plain multiprocessing "
+            "in the SAME run (host ceiling), engine_relative_* = "
+            "engine raw / calibration"
+        ),
+        "sf": sf,
+        "index_build_turns_per_sec": round(n_turns / build_s, 1),
+        "index_build_fd_turns_per_sec": round(n_turns / fd_s, 1),
+        "query_qps": round(n_queries / query_s, 1),
+        "query_qps_cold": round(n_warm / cold_s, 1),
+        # in-run host calibration (round-4 verdict #1): same-kernel
+        # plain-multiprocessing throughput measured in this run —
+        # compare rounds on engine_relative_*, not raw, when the
+        # shared host drifts
+        "calibration_build_turns_per_sec": round(calib_build_tps, 1),
+        "calibration_query_qps": round(calib_query_qps, 1),
+        "engine_relative_build_fd": round(
+            (n_turns / fd_s) / calib_build_tps, 3
+        ),
+        "engine_relative_query": round(
+            (n_queries / query_s) / calib_query_qps, 3
+        ),
+        "lcs_verify_pairs": n_verify,
+        "lcs_verify_candidates": n_cand,
+        "lcs_verify_pairs_per_sec": round(n_verify / lcs_s, 1),
+        "bench_turns": n_turns,
+        "bench_queries": n_queries,
+        "cpus": int(cpus),
+    }
+    # full artifact on disk (round-4 verdict #7: the driver keeps only
+    # a 2000-char tail of stdout, which truncated the warm per-query
+    # dict — persist the whole payload so every round's numbers stay
+    # diffable)
+    os.makedirs("bench_artifacts", exist_ok=True)
+    with open("bench_artifacts/gate_r05.json", "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps(payload))
     spark.stop()
 
 

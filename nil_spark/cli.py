@@ -502,13 +502,37 @@ def _cmd_query_dsl(spark, args, cfg) -> int:
     ) or sorted(_glob.glob(f"{args.index_dir}/segments/part-*.parquet"))
     from nil_spark.operators.deletes import load_tombstones
 
+    from nil_spark.operators.segments import (
+        TermdictTooLargeError,
+        collect_termdict,
+    )
+
+    try:
+        td_pdf = collect_termdict(termdict)
+    except TermdictTooLargeError as e:
+        # DSL serving is replica-kernel-only — no join fallback exists
+        print(json.dumps({
+            "error": "termdict too large for the DSL replica kernel",
+            "detail": str(e),
+            "hint": "shrink the dictionary or raise "
+                    "NIL_TERMDICT_DRIVER_MAX",
+        }), file=sys.stderr)
+        return 2
+    from nil_spark.operators.dsl_exec import PhraseSetTooLargeError
+
     try:
         out = dsl_search_replica(
-            spark, qpdf, paths, termdict.toPandas(), n_docs, avgdl, cfg,
+            spark, qpdf, paths, td_pdf, n_docs, avgdl, cfg,
             k=args.k, pos_store=pos_store, universe_mode="indexed",
             excluded=load_tombstones(spark, args.index_dir),
             numeric_dv=numeric_dv, keyword_dv=keyword_dv,
         )
+    except PhraseSetTooLargeError as e:
+        print(json.dumps({
+            "error": "phrase matches too many docs",
+            "detail": str(e),
+        }), file=sys.stderr)
+        return 2
     except ValueError as e:  # pruned dictionary / shingle-term index
         print(json.dumps({"error": "index unsuitable for dsl",
                           "detail": str(e)}), file=sys.stderr)
@@ -874,6 +898,49 @@ def cmd_query(args) -> int:
             spark.read.parquet(args.filter_docs)
             .select("doc_id").toPandas()["doc_id"].to_numpy(_np.int64)
         )
+    if topology != "join":
+        # driver-resident termdict bound (segments.check_termdict_size):
+        # every non-join topology collects the full dictionary to build
+        # the broadcast term→df map.  When it's over the bound,
+        # auto-switch to the join topology (streams the dictionary) —
+        # unless a requested feature is pinned to the original topology,
+        # in which case refuse with a structured error rather than
+        # silently dropping the feature.
+        from nil_spark.operators.segments import (
+            TermdictTooLargeError,
+            check_termdict_size,
+        )
+
+        try:
+            check_termdict_size(termdict)
+        except TermdictTooLargeError as e:
+            pinned = (
+                explain
+                or getattr(args, "filter_docs", None)
+                or similarity != "bm25"
+                or decay_arg
+                or sort_arg
+                or "after_doc" in q.columns
+                or "after_score" in q.columns
+            )
+            if pinned:
+                print(json.dumps({
+                    "error": "termdict too large for a driver-resident "
+                             "topology",
+                    "detail": str(e),
+                    "hint": "the requested feature is pinned to "
+                            f"--topology {topology}; shrink the "
+                            "dictionary (df-stopword pruning) or raise "
+                            "NIL_TERMDICT_DRIVER_MAX",
+                }), file=sys.stderr)
+                spark.stop()
+                return 2
+            print(json.dumps({
+                "warning": "termdict over the driver-resident bound; "
+                           "auto-switching to --topology join",
+                "detail": str(e),
+            }), file=sys.stderr)
+            topology = "join"
     if topology == "join":
         out = topk_maxscore(q, segs, termdict, n_docs, avgdl, cfg)
     else:
@@ -1105,10 +1172,25 @@ def cmd_query_stream(args) -> int:
             _glob.glob(f"{args.index_dir}/partial_segments/part-*.parquet")
         ) or sorted(_glob.glob(f"{args.index_dir}/segments/part-*.parquet"))
     from nil_spark.operators.deletes import load_tombstones
+    from nil_spark.operators.segments import (
+        TermdictTooLargeError,
+        collect_termdict,
+    )
     from nil_spark.streaming.serving import StreamingQueryServer
 
+    try:
+        td_pdf = collect_termdict(termdict)
+    except TermdictTooLargeError as e:
+        # the streaming server's worker-side tokenizer needs the full
+        # broadcast df_map — no join fallback on this surface
+        print(json.dumps({
+            "error": "termdict too large for the streaming query server",
+            "detail": str(e),
+        }), file=sys.stderr)
+        spark.stop()
+        return 2
     srv = StreamingQueryServer(
-        args.out, paths, termdict.toPandas(), n_docs, avgdl, cfg,
+        args.out, paths, td_pdf, n_docs, avgdl, cfg,
         tokenize_on="worker",
         excluded=load_tombstones(spark, args.index_dir),
     )

@@ -108,29 +108,14 @@ def _prepare_filter_bc(
     phrases: set = set()
     _collect_phrases(ast, phrases)
     phrase_ids = {ws: i for i, ws in enumerate(sorted(phrases))}
-    phrase_sets: dict = {i: _EMPTY for i in phrase_ids.values()}
-    if phrase_ids:
-        if pos_store is None:
-            raise ValueError(
-                "the DSL filter contains phrases but no positional "
-                "store was provided"
-            )
-        from nil_spark.operators.positions import phrase_search_positional
+    if phrase_ids and pos_store is None:
+        raise ValueError(
+            "the DSL filter contains phrases but no positional "
+            "store was provided"
+        )
+    from nil_spark.operators.dsl_exec import resolve_phrase_sets
 
-        ppdf = pd.DataFrame(
-            {
-                "query_id": list(phrase_ids.values()),
-                "text": [" ".join(ws) for ws, _slop in phrase_ids],
-                "slop": [slop for _ws, slop in phrase_ids],
-            }
-        )
-        hits = (
-            phrase_search_positional(spark, ppdf, pos_store, cfg)
-            .select("query_id", "doc_id")
-            .toPandas()
-        )
-        for pid, grp in hits.groupby("query_id"):
-            phrase_sets[int(pid)] = np.sort(grp["doc_id"].to_numpy(np.int64))
+    phrase_sets = resolve_phrase_sets(spark, phrase_ids, pos_store, cfg)
     payload = (
         json.dumps(_ast_json(ast, phrase_ids)),
         phrase_sets,

@@ -202,7 +202,19 @@ def federated_topk(
             )
         if topology == "replica":
             if td_pdf is None:
-                td_pdf = fed.termdict.toPandas()
+                from nil_spark.operators.segments import (
+                    TermdictTooLargeError,
+                    collect_termdict,
+                )
+
+                try:
+                    td_pdf = collect_termdict(fed.termdict)
+                except TermdictTooLargeError as e:
+                    raise FederatedIndexError(
+                        f"merged termdict over the driver-resident "
+                        f"bound for topology='replica' — use "
+                        f"topology='join' ({e})"
+                    ) from e
             out = topk_replica_resident(
                 spark,
                 q_m.toPandas(),

@@ -1447,6 +1447,59 @@ def publish_replica(
     return d
 
 
+# ------------------------- driver-resident term-dictionary bound
+
+
+# Every non-join serving topology (replica / doc-sharded / term-sharded
+# / WAND / federated-replica) materializes the FULL term dictionary
+# driver-side to build the broadcast term→df map.  Bounded for a
+# unigram word vocabulary (~10^7 terms at web scale ≈ low GBs — fine),
+# but shingle serving (gram_size>1) can push |vocab| toward the posting
+# count itself, where the collect OOMs the driver.  The join topology
+# (topk_maxscore) has no such bound: it looks terms up BY JOIN and
+# streams the dictionary like any other relation — that is the
+# documented fallback past this limit.
+TERMDICT_DRIVER_MAX = 20_000_000
+
+
+class TermdictTooLargeError(ValueError):
+    """Structured refusal: the term dictionary exceeds the
+    driver-resident bound of the requested serving topology."""
+
+
+def check_termdict_size(termdict: DataFrame, max_terms: int | None = None) -> int:
+    """Count the dictionary and raise :class:`TermdictTooLargeError`
+    when it exceeds the driver-resident bound (default
+    ``TERMDICT_DRIVER_MAX``, env override ``NIL_TERMDICT_DRIVER_MAX``).
+    Returns the count.  One vocabulary-sized aggregate — cheap next to
+    the collect it guards."""
+    limit = (
+        max_terms
+        if max_terms is not None
+        else int(os.environ.get("NIL_TERMDICT_DRIVER_MAX",
+                                TERMDICT_DRIVER_MAX))
+    )
+    n = termdict.count()
+    if n > limit:
+        raise TermdictTooLargeError(
+            f"term dictionary has {n} entries, over the driver-resident "
+            f"bound of {limit} for this serving topology — serve via the "
+            f"join topology (topk_maxscore), which streams the dictionary "
+            f"through a join instead of collecting it, or raise "
+            f"NIL_TERMDICT_DRIVER_MAX if the driver has the memory"
+        )
+    return n
+
+
+def collect_termdict(
+    termdict: DataFrame, max_terms: int | None = None
+) -> pd.DataFrame:
+    """``termdict.toPandas()`` behind :func:`check_termdict_size` — the
+    guarded collect every driver-resident topology should use."""
+    check_termdict_size(termdict, max_terms)
+    return termdict.toPandas()
+
+
 def topk_replica_resident(
     spark: SparkSession,
     queries_pdf: pd.DataFrame,

@@ -22,11 +22,12 @@ from nil_spark.testing.oracle import OracleIndex
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run(args: list) -> subprocess.CompletedProcess:
+def _run(args: list, env: dict | None = None) -> subprocess.CompletedProcess:
     return subprocess.run(
         [sys.executable, os.path.join(REPO, "cli_main.py"), "--master", "local[2]",
          "--shuffle-partitions", "4", *args],
         capture_output=True, text=True, timeout=300, cwd=REPO,
+        env={**os.environ, **env} if env else None,
     )
 
 
@@ -104,6 +105,63 @@ def test_cli_query_topologies_rank_identical(cli_index, topology):
     assert len(got) == len(oracle), topology
     assert (got["doc_id"].values == oracle["doc_id"].values).all(), topology
     assert np.allclose(got["bm25"].values, oracle["bm25"].values, atol=1e-6)
+
+
+def test_cli_termdict_guard_auto_switch(cli_index):
+    """A vocabulary over the driver-resident bound (forced tiny via
+    NIL_TERMDICT_DRIVER_MAX) AUTO-SWITCHES --topology replica to the
+    join topology — same rank-identical results, warning on stderr —
+    instead of collecting an unbounded dictionary (round-4 verdict
+    'What's wrong #3')."""
+    tmp, idx_dir, pdf = cli_index
+    q = gen_queries(pdf, n_queries=4, k=5, seed=27)
+    qp = str(tmp / "q_guard.parquet")
+    pq.write_table(pa.Table.from_pandas(q, preserve_index=False), qp)
+    res = str(tmp / "res_guard")
+    out = _run(["query", "--index-dir", idx_dir, "--queries", qp,
+                "--out", res, "--topology", "replica"],
+               env={"NIL_TERMDICT_DRIVER_MAX": "3"})
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    warn = [
+        json.loads(ln) for ln in out.stderr.splitlines()
+        if ln.startswith("{") and "warning" in ln
+    ]
+    assert any("auto-switching" in w.get("warning", "") for w in warn), (
+        out.stderr[-2000:]
+    )
+    got = (
+        pd.concat(
+            pq.read_table(os.path.join(res, f)).to_pandas()
+            for f in os.listdir(res)
+            if f.endswith(".parquet")
+        )
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    oracle = OracleIndex(pdf, EngineConfig(gram_size=1)).topk_frame(q)
+    oracle = oracle.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert (got["doc_id"].values == oracle["doc_id"].values).all()
+
+
+def test_cli_termdict_guard_pinned_feature_refuses(cli_index):
+    """When a topology-pinned feature (--explain) is requested and the
+    dictionary is over the bound, the CLI refuses with a structured
+    error instead of silently dropping the feature or OOMing."""
+    tmp, idx_dir, pdf = cli_index
+    q = gen_queries(pdf, n_queries=2, k=3, seed=28)
+    qp = str(tmp / "q_guard2.parquet")
+    pq.write_table(pa.Table.from_pandas(q, preserve_index=False), qp)
+    out = _run(["query", "--index-dir", idx_dir, "--queries", qp,
+                "--out", str(tmp / "res_guard2"), "--topology", "replica",
+                "--explain"],
+               env={"NIL_TERMDICT_DRIVER_MAX": "3"})
+    assert out.returncode == 2, out.stdout[-2000:] + out.stderr[-2000:]
+    errs = [
+        json.loads(ln) for ln in out.stderr.splitlines()
+        if ln.startswith("{") and "error" in ln
+    ]
+    assert any("termdict too large" in e.get("error", "") for e in errs), (
+        out.stderr[-2000:]
+    )
 
 
 def test_cli_publish_replica_at_build(tmp_path, monkeypatch):

@@ -21,11 +21,12 @@ from nil_spark.sources.transcripts import gen_transcripts
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run(args: list) -> subprocess.CompletedProcess:
+def _run(args: list, env: dict | None = None) -> subprocess.CompletedProcess:
     return subprocess.run(
         [sys.executable, os.path.join(REPO, "cli_main.py"),
          "--master", "local[2]", "--shuffle-partitions", "4", *args],
         capture_output=True, text=True, timeout=300, cwd=REPO,
+        env={**os.environ, **env} if env else None,
     )
 
 
@@ -260,6 +261,40 @@ def test_cli_dsl_phrase_without_positions_refused(tmp_path):
                 "--out", str(tmp_path / "res")])
     assert out.returncode == 2
     assert _err(out)["error"] == "no positional store"
+
+
+def test_cli_dsl_phrase_doc_set_cap(dsl_index):
+    """A phrase whose matching doc set exceeds the broadcastable bound
+    (forced tiny via NIL_DSL_PHRASE_DOCS_MAX) is refused with a
+    structured error BEFORE any driver materialization — the round-4
+    verdict stop-phrase guard ('What's wrong #4')."""
+    tmp, idx_dir, pdf = dsl_index
+    toks = _toks_by_doc(pdf)
+    # find a bigram occurring in >= 2 docs (a 'hot phrase' at this scale)
+    from collections import Counter
+
+    big = Counter()
+    for ts in toks.values():
+        for a, b in set(zip(ts, ts[1:])):
+            big[(a, b)] += 1
+    (a, b), n = big.most_common(1)[0]
+    assert n >= 2, "corpus has no repeated bigram — fixture too small"
+    qpdf = pd.DataFrame({"query_id": [0], "dsl": [f'"{a} {b}"']})
+    qp = str(tmp / "q_phrasecap.parquet")
+    pq.write_table(pa.Table.from_pandas(qpdf, preserve_index=False), qp)
+    out = _run(["--stopword-cutoff", "2.0",
+                "query", "--index-dir", idx_dir, "--mode", "dsl",
+                "--queries", qp, "--out", str(tmp / "res_phrasecap")],
+               env={"NIL_DSL_PHRASE_DOCS_MAX": "1"})
+    assert out.returncode == 2, out.stdout[-2000:] + out.stderr[-2000:]
+    err = _err(out)
+    assert err["error"] == "phrase matches too many docs"
+    assert f"{a} {b}" in err["detail"]
+    # the same query under the default bound serves fine
+    out2 = _run(["--stopword-cutoff", "2.0",
+                 "query", "--index-dir", idx_dir, "--mode", "dsl",
+                 "--queries", qp, "--out", str(tmp / "res_phrasecap2")])
+    assert out2.returncode == 0, out2.stdout[-2000:] + out2.stderr[-2000:]
 
 
 def test_cli_dsl_flag_conflicts_and_schema(dsl_index):
