@@ -79,3 +79,27 @@ def test_entry_smoke(spark):
     n = df.count()
     assert n > 0
     assert df.columns == ["query_id", "rank", "doc_id", "bm25"]
+
+
+def test_readme_inventory_in_sync():
+    """README's driver-gated inventory can't drift from the registry:
+    every registered query name appears in README.md and the stated
+    counts match the live registry."""
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "README.md")) as f:
+        readme = f.read()
+    missing = [n for n in ALL if f"`{n}`" not in readme]
+    assert not missing, f"README inventory lacks: {missing}"
+    n_q = len(entry_mod.queries())
+    n_o = len(entry_mod.oracle_sql())
+    m = re.search(
+        r"\*\*(\d+) registered queries, (\d+) with DuckDB oracles\*\*",
+        readme,
+    )
+    assert m, "README count line missing"
+    assert (int(m.group(1)), int(m.group(2))) == (n_q, n_o), (
+        f"README says {m.groups()}, registry has ({n_q}, {n_o})"
+    )
