@@ -349,6 +349,20 @@ def main() -> None:
         calib_q_dt = time.perf_counter() - t0
     calib_query_qps = len(calibq) / calib_q_dt
 
+    # the Spark per-job scheduling floor, measured on a near-empty job:
+    # at a 200-query batch the engine pays this floor per job while the
+    # mp calibration pays none, so engine_relative_query is
+    # floor-bound by construction — report the floor so the ratio can
+    # be read correctly (the ratio's value is round-over-round host
+    # tracking, not an absolute efficiency target; the build ratio IS
+    # apples-to-apples)
+    floor_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        force(spark.range(int(cpus)).repartition(int(cpus)))
+        floor_times.append(time.perf_counter() - t0)
+    spark_job_floor_s = min(floor_times)
+
     # Block-Max WAND serving over the same replica + query batch: the
     # document-at-a-time path whose cost is O(evaluated docs), not
     # O(posting mass) — apples-to-apples with engine_bm25_batch (same
@@ -590,9 +604,17 @@ def main() -> None:
         "engine_relative_build_fd": round(
             (n_turns / fd_s) / calib_build_tps, 3
         ),
+        # floor-bound by construction at a 200-query batch (see
+        # protocol) — track it round-over-round, don't read it as
+        # absolute efficiency; floor-corrected ratio alongside
         "engine_relative_query": round(
             (n_queries / query_s) / calib_query_qps, 3
         ),
+        "engine_relative_query_floor_corrected": round(
+            (n_queries / max(query_s - spark_job_floor_s, 1e-9))
+            / calib_query_qps, 3
+        ),
+        "spark_job_floor_sec": round(spark_job_floor_s, 3),
         "lcs_verify_pairs": n_verify,
         "lcs_verify_candidates": n_cand,
         "lcs_verify_pairs_per_sec": round(n_verify / lcs_s, 1),
