@@ -45,7 +45,23 @@ def _calib_build_file(path: str) -> int:
          "text": t["text"].to_numpy()}
     )
     out = _fused_partition_frame(part, cfg, 1 << 20)
-    return 0 if out is None else len(out)
+    if out is None:
+        return 0
+    # identical work to an engine build task: the direct-write build
+    # persists the shard parquet in the worker, so the calibration
+    # ceiling must pay the same write (snappy, pinned schema)
+    import pyarrow as pa
+
+    from nil_spark.operators.segments import _segment_arrow_schema
+
+    dest = f"{path}.calib.{os.getpid()}.parquet"
+    pq.write_table(
+        pa.Table.from_pandas(out, schema=_segment_arrow_schema(),
+                             preserve_index=False),
+        dest, compression="snappy",
+    )
+    os.remove(dest)
+    return len(out)
 
 
 def main() -> None:
@@ -177,11 +193,12 @@ def main() -> None:
 
     # file-direct build variant: corpus written (untimed) as range-sorted
     # parquet slices, then built with workers reading the files directly
-    # (zero text bytes over the JVM->Python channel)
+    # AND writing their own shard parquet (direct-write: only a one-row
+    # manifest per file crosses the JVM<->Python channel)
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from nil_spark.operators.segments import build_partial_segments_from_files
+    from nil_spark.operators.segments import build_segment_store_files_direct
 
     corpus_dir = tempfile.mkdtemp(prefix="nil_bench_corpus_")
     step = (len(pdf) + int(cpus) - 1) // int(cpus)
@@ -196,10 +213,9 @@ def main() -> None:
     fd_dir = tempfile.mkdtemp(prefix="nil_bench_fd_")
     fd_times = []
     for _ in range(2):
+        shutil.rmtree(fd_dir, ignore_errors=True)
         t_fd = time.perf_counter()
-        build_partial_segments_from_files(spark, fd_files, cfg).write.mode(
-            "overwrite"
-        ).parquet(fd_dir)
+        build_segment_store_files_direct(spark, fd_files, cfg, fd_dir)
         fd_times.append(time.perf_counter() - t_fd)
     fd_s = min(fd_times)
     queries["engine_index_build_filedirect"] = round(fd_s, 3)

@@ -80,7 +80,7 @@ def worker(cores: int) -> None:
     from nil_spark.operators.segments import (
         DOCSTAT_SENTINEL,
         build_partial_segments,
-        build_partial_segments_from_files,
+        build_segment_store_files_direct,
         publish_replica,
         topk_replica_resident,
     )
@@ -140,10 +140,12 @@ def worker(cores: int) -> None:
         return derive_stats(dir_)
 
     def build_fd(dir_: str, files: list):
-        """File-direct fused build: workers read the range-sorted
-        parquet files with pyarrow — zero text bytes on the JVM→Python
-        channel; only compressed blobs come back."""
-        build_partial_segments_from_files(spark, files, cfg).write.parquet(dir_)
+        """File-direct fused build with DIRECT-WRITE output: workers
+        read the range-sorted parquet files with pyarrow AND write
+        their own shard parquet — the JVM↔Python channel carries only
+        a one-row manifest per file (the object-store write topology a
+        real cluster's executors use)."""
+        build_segment_store_files_direct(spark, files, cfg, dir_)
         return derive_stats(dir_)
 
     corpus_files = sorted(glob.glob(os.path.join(CORPUS_DIR, "part-*.parquet")))
@@ -312,7 +314,23 @@ def _kernel_work(path: str) -> int:
         {"doc_id": np.arange(len(t), dtype=np.int64), "text": t["text"].to_numpy()}
     )
     out = _fused_partition_frame(part, cfg, 1 << 20)
-    return 0 if out is None else len(out)
+    if out is None:
+        return 0
+    # identical work to an engine build task: the direct-write build
+    # persists the shard parquet in the worker, so the bare-host
+    # ceiling must pay the same write (snappy, pinned schema)
+    import pyarrow as pa
+
+    from nil_spark.operators.segments import _segment_arrow_schema
+
+    dest = f"{path}.calib.{os.getpid()}.parquet"
+    pq.write_table(
+        pa.Table.from_pandas(out, schema=_segment_arrow_schema(),
+                             preserve_index=False),
+        dest, compression="snappy",
+    )
+    os.remove(dest)
+    return len(out)
 
 
 def calibrate_host_kernel(n: int, n4: int) -> dict:
@@ -348,7 +366,7 @@ def prepare_calib_shards() -> None:
     """One-time (untimed) shard store for the query-kernel calibration:
     file-direct fused build over the shared corpus, local[8]."""
     from nil_spark.config import EngineConfig
-    from nil_spark.operators.segments import build_partial_segments_from_files
+    from nil_spark.operators.segments import build_segment_store_files_direct
     from nil_spark.session import get_spark
 
     import glob as g
@@ -361,7 +379,7 @@ def prepare_calib_shards() -> None:
     cfg = EngineConfig(gram_size=1, num_segments=DOC_PARTITIONS, df_stopword_cutoff=CUTOFF)
     files = sorted(g.glob(os.path.join(CORPUS_DIR, "part-*.parquet")))
     shutil.rmtree(CALIB_SHARDS, ignore_errors=True)
-    build_partial_segments_from_files(spark, files, cfg).write.parquet(CALIB_SHARDS)
+    build_segment_store_files_direct(spark, files, cfg, CALIB_SHARDS)
     spark.stop()
     open(done, "w").close()
 
@@ -617,10 +635,15 @@ Efficiency = (throughput_4N / throughput_N) / 4.
 **Pipelines measured** (the engine's scale paths):
 *build* = parquet scan → dense docID assignment → fused single-pass
 tokenize+partial-segment encode (Arrow UDF) → parquet shard store +
-global term dictionary + corpus stats.  *build (file-direct)* = same
-fused encode, but each Python worker reads its range-sorted input file
-directly (pyarrow) — zero text bytes on the shared JVM→Python channel,
-as an executor would read the object store on a real cluster.
+global term dictionary + corpus stats — the COMPAT path, kept for
+inputs that are not range-sorted files (arbitrary DataFrames); the
+declared scale/default build is file-direct.  *build (file-direct)* =
+same fused encode, but each Python worker reads its range-sorted input
+file directly (pyarrow) AND writes its own shard parquet (direct-write
+output; only a one-row manifest per file crosses the JVM↔Python
+channel) — exactly how an executor reads the object store and streams
+its output file back on a real cluster, with only commit metadata
+returning to the driver.
 *publish* = publish-at-build: the node-shared mmap replica store is
 materialized as part of the build — per-shard decode runs as a
 PARALLEL Spark stage (one task per shard writes flat per-shard arrays
@@ -694,7 +717,9 @@ warm query {result['efficiency_query_warm']} /
 **{round(result['efficiency_query_warm'] / query_calib['host_query_kernel_efficiency'], 2)}**.
 Each kernel calibration runs the IDENTICAL computation under plain
 multiprocessing with no Spark — build: pyarrow file read → tokenize →
-transpose → encode; query: per-process resident replica (loaded in the
+transpose → encode → pyarrow shard-parquet write (the direct-write
+build persists its output in the worker, so the ceiling pays the same
+write); query: per-process resident replica (loaded in the
 pool initializer, untimed, as the engine's warm path) + dense bincount
 scoring + top-k extraction over the same {QUERIES:,}-query batch.
 Whatever they measure is the host's ceiling for each workload's memory

@@ -463,6 +463,50 @@ def _fused_partition_frame(
     )
 
 
+def _file_offsets_validated(
+    file_paths: list[str], order_cols: tuple
+) -> list[int]:
+    """Per-file starting doc-id offsets (cumulative row counts) for the
+    file-direct builds, from footer-only metadata reads — no data I/O —
+    plus the range-layout validation both builds require: min/max
+    footer stats of the leading order column must be non-overlapping
+    ascending across files (boundary *equality* allowed — see
+    build_partial_segments_from_files)."""
+    import pyarrow.parquet as pq
+
+    offsets = []
+    acc = 0
+    ranges = []  # (min, max) of order_cols[0] per file, from footer stats
+    for p in file_paths:
+        offsets.append(acc)
+        md = pq.ParquetFile(p).metadata
+        acc += md.num_rows
+        col0 = order_cols[0]
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        ci = names.index(col0) if col0 in names else -1
+        fmin = fmax = None
+        if ci >= 0:
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    fmin = fmax = None
+                    break
+                fmin = st.min if fmin is None else min(fmin, st.min)
+                fmax = st.max if fmax is None else max(fmax, st.max)
+        ranges.append((fmin, fmax))
+    for i in range(len(ranges) - 1):
+        mx, nmin = ranges[i][1], ranges[i + 1][0]
+        if mx is not None and nmin is not None and mx > nmin:
+            raise ValueError(
+                f"file-direct build precondition violated: {file_paths[i]} "
+                f"max({order_cols[0]})={mx!r} overlaps {file_paths[i + 1]} "
+                f"min={nmin!r}; files must be globally range-sorted on "
+                f"{order_cols} (write with repartitionByRange + "
+                f"sortWithinPartitions), or use build_partial_segments"
+            )
+    return offsets
+
+
 def build_partial_segments_from_files(
     spark: SparkSession,
     file_paths: list[str],
@@ -497,36 +541,7 @@ def build_partial_segments_from_files(
     """
     import pyarrow.parquet as pq
 
-    offsets = []
-    acc = 0
-    ranges = []  # (min, max) of order_cols[0] per file, from footer stats
-    for p in file_paths:  # footer-only metadata reads — no data I/O
-        offsets.append(acc)
-        md = pq.ParquetFile(p).metadata
-        acc += md.num_rows
-        col0 = order_cols[0]
-        names = [md.schema.column(i).name for i in range(md.num_columns)]
-        ci = names.index(col0) if col0 in names else -1
-        fmin = fmax = None
-        if ci >= 0:
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(ci).statistics
-                if st is None or not st.has_min_max:
-                    fmin = fmax = None
-                    break
-                fmin = st.min if fmin is None else min(fmin, st.min)
-                fmax = st.max if fmax is None else max(fmax, st.max)
-        ranges.append((fmin, fmax))
-    for i in range(len(ranges) - 1):
-        mx, nmin = ranges[i][1], ranges[i + 1][0]
-        if mx is not None and nmin is not None and mx > nmin:
-            raise ValueError(
-                f"file-direct build precondition violated: {file_paths[i]} "
-                f"max({order_cols[0]})={mx!r} overlaps {file_paths[i + 1]} "
-                f"min={nmin!r}; files must be globally range-sorted on "
-                f"{order_cols} (write with repartitionByRange + "
-                f"sortWithinPartitions), or use build_partial_segments"
-            )
+    offsets = _file_offsets_validated(file_paths, order_cols)
     meta = spark.createDataFrame(
         [(p, o) for p, o in zip(file_paths, offsets)], "path string, offset long"
     ).repartition(len(file_paths), "path")
@@ -552,6 +567,116 @@ def build_partial_segments_from_files(
                     yield out
 
     return meta.mapInPandas(sweep, schema=SEGMENT_SCHEMA)
+
+
+# pyarrow schema the direct-write build pins its shard files to —
+# byte-compatible with what Spark's parquet writer produces for
+# SEGMENT_SCHEMA rows, so every downstream reader (spark.read.parquet,
+# publish_replica, _load_replica's pq.read_table) sees one shard
+# format regardless of which build wrote it.
+def _segment_arrow_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("term", pa.int64()),
+            ("chunk_idx", pa.int32()),
+            ("first_doc", pa.int64()),
+            ("last_doc", pa.int64()),
+            ("n_postings", pa.int64()),
+            ("doc_blob", pa.binary()),
+            ("tf_blob", pa.binary()),
+            ("dl_blob", pa.binary()),
+            ("bm_first", pa.list_(pa.int64())),
+            ("bm_max", pa.list_(pa.float64())),
+        ]
+    )
+
+
+def build_segment_store_files_direct(
+    spark: SparkSession,
+    file_paths: list[str],
+    cfg: EngineConfig,
+    out_dir: str,
+    max_chunk: int = 1 << 20,
+    order_cols: tuple = ("conv_id", "turn_idx"),
+) -> pd.DataFrame:
+    """File-direct build with file-direct OUTPUT: one task per input
+    parquet file; the Python worker reads its file itself (pyarrow),
+    runs the fused encode, and writes the finished shard parquet
+    ``out_dir/part-NNNNN.parquet`` itself (pyarrow, snappy — the same
+    physical format Spark's writer produces).  The JVM→Python channel
+    carries NOTHING but a one-row manifest per file: on a single box
+    that removes the Arrow return transfer of every compressed blob
+    plus the JVM parquet re-encode; on a real cluster it is exactly the
+    write topology an Iceberg/parquet table sink uses — each executor
+    streams its own output file to the object store, and only commit
+    metadata flows back to the driver.
+
+    Same precondition + docID assignment as
+    ``build_partial_segments_from_files`` (globally range-sorted files,
+    doc_id = file row offset + within-file rank — validated from the
+    parquet footers).  Empty shards (every doc filtered by the min-size
+    predicates) write no file.  Runs eagerly; returns the manifest as a
+    pandas frame ``(path, shard, n_rows)`` sorted by shard index.
+
+    Reference analog: NILMain.kt:71-87's per-partition partial-index
+    loop, with the partition's output persisted by the worker that
+    built it rather than funneled through a central writer.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    offsets = _file_offsets_validated(file_paths, order_cols)
+    os.makedirs(out_dir, exist_ok=True)
+    meta = spark.createDataFrame(
+        [(p, o, i) for i, (p, o) in enumerate(zip(file_paths, offsets))],
+        "path string, offset long, shard int",
+    ).repartition(len(file_paths), "path")
+
+    ocols = list(order_cols)
+    arrow_schema = _segment_arrow_schema()
+    man_schema = "path string, shard int, n_rows long"
+
+    def sweep(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for mpdf in it:
+            for path, off, shard in zip(
+                mpdf["path"], mpdf["offset"], mpdf["shard"]
+            ):
+                t = (
+                    pq.read_table(path, columns=[*ocols, "text"])
+                    .to_pandas()
+                    .sort_values(ocols, kind="mergesort")
+                )
+                part = pd.DataFrame(
+                    {
+                        "doc_id": np.arange(off, off + len(t), dtype=np.int64),
+                        "text": t["text"].to_numpy(),
+                    }
+                )
+                out = _fused_partition_frame(part, cfg, max_chunk)
+                if out is None:
+                    continue
+                dest = os.path.join(out_dir, f"part-{int(shard):05d}.parquet")
+                tbl = pa.Table.from_pandas(
+                    out, schema=arrow_schema, preserve_index=False
+                )
+                # write-then-rename so a killed/retried task never
+                # leaves a torn shard behind under the final name
+                tmp = f"{dest}.inprogress.{os.getpid()}"
+                pq.write_table(tbl, tmp, compression="snappy")
+                os.replace(tmp, dest)
+                yield pd.DataFrame(
+                    {"path": [dest], "shard": [int(shard)], "n_rows": [len(out)]}
+                )
+
+    manifest = (
+        meta.mapInPandas(sweep, schema=man_schema)
+        .toPandas()
+        .sort_values("shard", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    return manifest
 
 
 def build_index_fused(docs_with_ids: DataFrame, cfg: EngineConfig) -> dict:

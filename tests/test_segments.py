@@ -322,6 +322,79 @@ def test_filedirect_build_rank_identical(spark, transcripts_1k, queries_1k, tmp_
     assert np.allclose(got["bm25"].values, oracle["bm25"].values, atol=1e-6)
 
 
+def test_filedirect_output_build_parity(spark, transcripts_1k, queries_1k, tmp_path):
+    """Direct-write file-direct build (workers write their own shard
+    parquet with pyarrow; only a manifest row crosses the channel) must
+    produce a shard store LOGICALLY IDENTICAL to the Spark-written
+    file-direct build — same rows, blobs, and block-max metadata — and
+    serve rank-identically through the replica path."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nil_spark.operators.segments import (
+        build_partial_segments_from_files,
+        build_segment_store_files_direct,
+        index_from_partial_segments,
+        topk_replica_resident,
+    )
+
+    ordered = transcripts_1k.sort_values(
+        ["conv_id", "turn_idx"], kind="mergesort"
+    ).reset_index(drop=True)
+    files = []
+    step = (len(ordered) + 7) // 8
+    for i in range(8):
+        chunk = ordered.iloc[i * step : (i + 1) * step]
+        f = str(tmp_path / f"in-{i:05d}.parquet")
+        pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False), f)
+        files.append(f)
+
+    # (a) Spark-written store: the existing fd path
+    spark_dir = str(tmp_path / "store_spark")
+    build_partial_segments_from_files(spark, files, CFG).write.parquet(spark_dir)
+    # (b) worker-written store: the direct-write path
+    direct_dir = str(tmp_path / "store_direct")
+    manifest = build_segment_store_files_direct(spark, files, CFG, direct_dir)
+    assert len(manifest) == 8 and list(manifest["shard"]) == list(range(8))
+    assert not glob.glob(direct_dir + "/*.inprogress.*")
+
+    def canon(d):
+        pdf = spark.read.parquet(d).toPandas()
+        pdf["doc_blob"] = pdf["doc_blob"].apply(bytes)
+        pdf["tf_blob"] = pdf["tf_blob"].apply(bytes)
+        pdf["dl_blob"] = pdf["dl_blob"].apply(bytes)
+        pdf["bm_first"] = pdf["bm_first"].apply(lambda a: tuple(a))
+        pdf["bm_max"] = pdf["bm_max"].apply(lambda a: tuple(a))
+        return pdf.sort_values(
+            ["term", "chunk_idx", "first_doc"], kind="mergesort"
+        ).reset_index(drop=True)
+
+    a, b = canon(spark_dir), canon(direct_dir)
+    pd.testing.assert_frame_equal(a, b)
+
+    # and the store serves rank-identically to the oracle
+    idx = index_from_partial_segments(spark.read.parquet(direct_dir), CFG)
+    n_docs, avgdl = idx["n_docs"], idx["avgdl"]
+    termdict = idx["termdict"].toPandas()
+    if CFG.df_stopword_cutoff < 1.0:  # replica serves from the pruned dict
+        termdict = termdict[
+            termdict["df"] <= int(CFG.df_stopword_cutoff * n_docs)
+        ]
+    got = (
+        topk_replica_resident(
+            spark, queries_1k,
+            sorted(manifest["path"]), termdict, n_docs, avgdl, CFG,
+        )
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    oracle = OracleIndex(transcripts_1k, CFG).topk_frame(queries_1k)
+    oracle = oracle.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert (got["doc_id"].values == oracle["doc_id"].values).all()
+    assert np.allclose(got["bm25"].values, oracle["bm25"].values, atol=1e-6)
+
+
 def test_sharded_topk_rank_identical(spark, transcripts_1k, queries_1k, tmp_path):
     """Document-sharded scatter/gather top-k must equal the oracle."""
     import glob
