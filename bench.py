@@ -61,6 +61,17 @@ def _calib_build_file(path: str) -> int:
         dest, compression="snappy",
     )
     os.remove(dest)
+    g = out.groupby("term", sort=False)["n_postings"].sum()
+    stats = pd.DataFrame(
+        {"term": g.index.to_numpy(np.int64),
+         "df": g.to_numpy(np.int64),
+         "sdl": np.zeros(len(g), dtype=np.float64)}
+    )
+    pq.write_table(
+        pa.Table.from_pandas(stats, preserve_index=False),
+        dest, compression="snappy",
+    )
+    os.remove(dest)
     return len(out)
 
 

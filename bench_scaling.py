@@ -142,11 +142,16 @@ def worker(cores: int) -> None:
     def build_fd(dir_: str, files: list):
         """File-direct fused build with DIRECT-WRITE output: workers
         read the range-sorted parquet files with pyarrow AND write
-        their own shard parquet — the JVM↔Python channel carries only
-        a one-row manifest per file (the object-store write topology a
-        real cluster's executors use)."""
+        their own shard parquet + a vocabulary-sized _stats side-car —
+        the JVM↔Python channel carries only a one-row manifest per
+        file (the object-store write topology a real cluster's
+        executors use).  Global stats come from the side-cars
+        (read_store_stats), not a second full-store aggregation."""
+        from nil_spark.operators.segments import read_store_stats
+
         build_segment_store_files_direct(spark, files, cfg, dir_)
-        return derive_stats(dir_)
+        n_docs, avgdl, termdict = read_store_stats(dir_, cfg)
+        return n_docs, avgdl, termdict
 
     corpus_files = sorted(glob.glob(os.path.join(CORPUS_DIR, "part-*.parquet")))
 
@@ -317,8 +322,8 @@ def _kernel_work(path: str) -> int:
     if out is None:
         return 0
     # identical work to an engine build task: the direct-write build
-    # persists the shard parquet in the worker, so the bare-host
-    # ceiling must pay the same write (snappy, pinned schema)
+    # persists the shard parquet + the _stats side-car in the worker,
+    # so the bare-host ceiling must pay the same writes
     import pyarrow as pa
 
     from nil_spark.operators.segments import _segment_arrow_schema
@@ -327,6 +332,17 @@ def _kernel_work(path: str) -> int:
     pq.write_table(
         pa.Table.from_pandas(out, schema=_segment_arrow_schema(),
                              preserve_index=False),
+        dest, compression="snappy",
+    )
+    os.remove(dest)
+    g = out.groupby("term", sort=False)["n_postings"].sum()
+    stats = pd.DataFrame(
+        {"term": g.index.to_numpy(np.int64),
+         "df": g.to_numpy(np.int64),
+         "sdl": np.zeros(len(g), dtype=np.float64)}
+    )
+    pq.write_table(
+        pa.Table.from_pandas(stats, preserve_index=False),
         dest, compression="snappy",
     )
     os.remove(dest)

@@ -600,6 +600,7 @@ def build_segment_store_files_direct(
     out_dir: str,
     max_chunk: int = 1 << 20,
     order_cols: tuple = ("conv_id", "turn_idx"),
+    write_stats: bool = True,
 ) -> pd.DataFrame:
     """File-direct build with file-direct OUTPUT: one task per input
     parquet file; the Python worker reads its file itself (pyarrow),
@@ -620,6 +621,15 @@ def build_segment_store_files_direct(
     predicates) write no file.  Runs eagerly; returns the manifest as a
     pandas frame ``(path, shard, n_rows)`` sorted by shard index.
 
+    With ``write_stats`` (default), each task also writes an
+    Iceberg-stats-file-style side-car ``_stats/part-NNNNN.parquet``
+    holding the shard's per-term df partials plus its docstat sentinel
+    (n_docs / Σdl) — vocabulary-sized, ~1000× smaller than the shard.
+    :func:`read_store_stats` then derives the global term dictionary
+    and corpus stats from the side-cars alone, without a second
+    full-store Spark aggregation.  The ``_`` prefix keeps directory-
+    level parquet readers (Spark convention: hidden) off the side-cars.
+
     Reference analog: NILMain.kt:71-87's per-partition partial-index
     loop, with the partition's output persisted by the worker that
     built it rather than funneled through a central writer.
@@ -629,13 +639,24 @@ def build_segment_store_files_direct(
 
     offsets = _file_offsets_validated(file_paths, order_cols)
     os.makedirs(out_dir, exist_ok=True)
+    stats_dir = os.path.join(out_dir, "_stats")
+    if write_stats:
+        os.makedirs(stats_dir, exist_ok=True)
+    # one meta row PER PARTITION via parallelize(n_slices=n_files): the
+    # whole build is then a single shuffle-free stage (a hash
+    # repartition here would add a stage barrier + tiny shuffle whose
+    # fixed cost taxes exactly the high-parallelism level)
+    rows = [(p, int(o), i) for i, (p, o) in enumerate(zip(file_paths, offsets))]
     meta = spark.createDataFrame(
-        [(p, o, i) for i, (p, o) in enumerate(zip(file_paths, offsets))],
+        spark.sparkContext.parallelize(rows, len(rows)),
         "path string, offset long, shard int",
-    ).repartition(len(file_paths), "path")
+    )
 
     ocols = list(order_cols)
     arrow_schema = _segment_arrow_schema()
+    stats_schema = pa.schema(
+        [("term", pa.int64()), ("df", pa.int64()), ("sdl", pa.float64())]
+    )
     man_schema = "path string, shard int, n_rows long"
 
     def sweep(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -666,6 +687,36 @@ def build_segment_store_files_direct(
                 tmp = f"{dest}.inprogress.{os.getpid()}"
                 pq.write_table(tbl, tmp, compression="snappy")
                 os.replace(tmp, dest)
+                if write_stats:
+                    # per-term df partials (one posting row per doc, so
+                    # df = Σ n_postings over the term's chunks) + the
+                    # docstat sentinel (df = n_docs, sdl = Σ dl)
+                    g = out.groupby("term", sort=False)["n_postings"].sum()
+                    sdl = np.zeros(len(g), dtype=np.float64)
+                    sent_pos = np.flatnonzero(
+                        g.index.to_numpy(np.int64) == DOCSTAT_SENTINEL
+                    )
+                    if len(sent_pos):
+                        srow = out[out["term"] == DOCSTAT_SENTINEL]
+                        sdl[sent_pos[0]] = float(srow["bm_max"].iloc[0][0])
+                    stats = pd.DataFrame(
+                        {
+                            "term": g.index.to_numpy(np.int64),
+                            "df": g.to_numpy(np.int64),
+                            "sdl": sdl,
+                        }
+                    )
+                    sdest = os.path.join(
+                        stats_dir, f"part-{int(shard):05d}.parquet"
+                    )
+                    stmp = f"{sdest}.inprogress.{os.getpid()}"
+                    pq.write_table(
+                        pa.Table.from_pandas(
+                            stats, schema=stats_schema, preserve_index=False
+                        ),
+                        stmp, compression="snappy",
+                    )
+                    os.replace(stmp, sdest)
                 yield pd.DataFrame(
                     {"path": [dest], "shard": [int(shard)], "n_rows": [len(out)]}
                 )
@@ -677,6 +728,74 @@ def build_segment_store_files_direct(
         .reset_index(drop=True)
     )
     return manifest
+
+
+# side-car merge sizes above which the driver hands the aggregation to
+# a (tiny) Spark job over the _stats files instead of merging locally:
+# the local merge is O(vocab × shards) rows, fine for hundreds of
+# shards of a word vocabulary, not for thousands of shards at 10^7+
+# vocab (that product approaches posting scale)
+STATS_LOCAL_MERGE_MAX_ROWS = 50_000_000
+
+
+def read_store_stats(
+    out_dir: str,
+    cfg: EngineConfig,
+    spark: SparkSession | None = None,
+) -> tuple[int, float, pd.DataFrame]:
+    """Global corpus stats + pruned term dictionary from the per-shard
+    ``_stats`` side-cars a direct-write build leaves behind — the
+    second full-store aggregation pass (`read store → groupBy term`)
+    replaced by a merge over vocabulary-sized partials.
+
+    Returns ``(n_docs, avgdl, termdict)`` with ``termdict`` a pandas
+    ``(term, df)`` frame already df-stopword-pruned per ``cfg`` — the
+    exact inputs the serving paths take.  Merges locally (pyarrow +
+    one pandas groupby, no Spark job) while the total partial-row count
+    is bounded; beyond ``STATS_LOCAL_MERGE_MAX_ROWS`` it requires
+    ``spark`` and runs one tiny aggregation over the side-car files —
+    still ~1000× less data than re-reading the shard store."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    paths = sorted(_glob.glob(os.path.join(out_dir, "_stats", "part-*.parquet")))
+    if not paths:
+        raise FileNotFoundError(
+            f"no _stats side-cars under {out_dir} — build with "
+            f"build_segment_store_files_direct(write_stats=True), or "
+            f"derive stats from the store with index_from_partial_segments"
+        )
+    total_rows = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+    if total_rows > STATS_LOCAL_MERGE_MAX_ROWS:
+        if spark is None:
+            raise ValueError(
+                f"{total_rows} stat partial rows exceed the local-merge "
+                f"bound {STATS_LOCAL_MERGE_MAX_ROWS}; pass spark= to "
+                f"aggregate the side-cars distributed"
+            )
+        agg = (
+            spark.read.parquet(*paths)
+            .groupBy("term")
+            .agg(F.sum("df").cast("long").alias("df"),
+                 F.sum("sdl").alias("sdl"))
+        ).toPandas()
+    else:
+        frames = [pq.read_table(p).to_pandas() for p in paths]
+        allp = pd.concat(frames, ignore_index=True)
+        agg = (
+            allp.groupby("term", sort=False)
+            .agg(df=("df", "sum"), sdl=("sdl", "sum"))
+            .reset_index()
+        )
+    sent = agg[agg["term"] == DOCSTAT_SENTINEL]
+    n_docs = int(sent["df"].sum())
+    avgdl = float(sent["sdl"].sum()) / max(n_docs, 1)
+    termdict = agg[agg["term"] != DOCSTAT_SENTINEL][["term", "df"]]
+    cutoff = cfg.df_stopword_cutoff
+    if cutoff is not None and cutoff < 1.0:
+        termdict = termdict[termdict["df"] <= int(cutoff * n_docs)]
+    return n_docs, avgdl, termdict.reset_index(drop=True)
 
 
 def build_index_fused(docs_with_ids: DataFrame, cfg: EngineConfig) -> dict:

@@ -115,3 +115,10 @@ def test_filedirect_rejects_overlapping_layout(spark, tmp_path):
     ).to_parquet(b)
     with pytest.raises(ValueError, match="range-sorted"):
         build_partial_segments_from_files(spark, [a, b], EngineConfig())
+    # the direct-write variant shares the same footer validation
+    from nil_spark.operators.segments import build_segment_store_files_direct
+
+    with pytest.raises(ValueError, match="range-sorted"):
+        build_segment_store_files_direct(
+            spark, [a, b], EngineConfig(), str(tmp_path / "out")
+        )

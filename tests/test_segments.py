@@ -382,6 +382,22 @@ def test_filedirect_output_build_parity(spark, transcripts_1k, queries_1k, tmp_p
         termdict = termdict[
             termdict["df"] <= int(CFG.df_stopword_cutoff * n_docs)
         ]
+
+    # the _stats side-cars must reproduce the store-derived stats
+    # exactly — corpus scalars and the pruned dictionary
+    from nil_spark.operators.segments import read_store_stats
+
+    n2, avg2, td2 = read_store_stats(direct_dir, CFG)
+    assert n2 == n_docs
+    assert abs(avg2 - avgdl) < 1e-9
+    pd.testing.assert_frame_equal(
+        td2.sort_values("term").reset_index(drop=True).astype(
+            {"term": "int64", "df": "int64"}
+        ),
+        termdict.sort_values("term").reset_index(drop=True).astype(
+            {"term": "int64", "df": "int64"}
+        ),
+    )
     got = (
         topk_replica_resident(
             spark, queries_1k,
